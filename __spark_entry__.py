@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 (Q01-Q30 plus
+extension operators), each as ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — matching ANSI-SQL DuckDB oracles; keys without an oracle
+are genuinely non-SQL-expressible ops (driver records a rows-only check).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: top-3 orders per customer (the GetFeed top-k shape,
+    reference internal/store/feed.go:143-171) on /root/testdata/sf0.001."""
+    from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
+
+    return QUERIES["q16_topk_per_key"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from golang_cassandra_kafka_feed_spark.plans.oracles import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,292 @@
+"""DuckDB oracle SQL for the declared query inventory.
+
+One entry per key in ``plans.queries.QUERIES``.  The driver runs these on
+the same parquet tables (pre-registered views) and hash-compares against the
+Spark results, so every expression here is spelled to be *value-identical*
+with the Spark plan:
+
+- ``events.ts`` is TIMESTAMP_NS in DuckDB; ``CAST(ts AS TIMESTAMP)``
+  truncates to us exactly like the engine's ``ts div 1000`` read path.
+- Large sums accumulate in DECIMAL(18,2) (exact, order-independent) and are
+  emitted as DOUBLE.
+- Rounding uses the portable cents idiom ``ROUND(x*100)/100`` (see
+  ``queries._round2``); the inner double expression is spelled with the
+  same operation order as the Spark side so both engines round the same
+  bit pattern.
+"""
+
+ORACLES: dict[str, str] = {
+    "q01_scan_project": """
+        SELECT c_custkey, c_name FROM customer ORDER BY c_custkey
+    """,
+    "q02_point_lookup": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_name = 'Customer#000000001' ORDER BY c_custkey
+    """,
+    "q03_range_filter": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q04_inner_join": """
+        SELECT o_orderkey, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+    """,
+    "q05_broadcast_join_chain": """
+        SELECT s_suppkey, s_name, n_name, r_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        ORDER BY s_suppkey
+    """,
+    "q06_left_outer_join_agg": """
+        SELECT c_custkey, count(o_orderkey) AS order_cnt
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    "q07_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q08_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q09_range_theta_join": """
+        SELECT e1.event_id AS event_id_a, e2.event_id AS event_id_b
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE user_id < 10) e1
+        JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE user_id < 10) e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts >= e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+         AND e1.event_id < e2.event_id
+        ORDER BY event_id_a, event_id_b
+    """,
+    "q10_asof_join": """
+        WITH j AS (
+            SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events) e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, o_orderkey AS asof_orderkey,
+               CAST(o_orderdate AS DATE) AS asof_orderdate
+        FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+    "q11_hash_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q12_distinct_agg": """
+        SELECT count(DISTINCT o_custkey) AS n_cust FROM orders
+    """,
+    "q13_rollup": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+    """,
+    "q14_cube": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+    "q15_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "q16_topk_per_key": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+        ORDER BY o_custkey, rn
+    """,
+    "q17_window_lag": """
+        SELECT event_id, user_id,
+               ROUND((value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               )) * 100) / 100 AS delta
+        FROM events
+        ORDER BY event_id
+    """,
+    "q18_window_frame_avg": """
+        SELECT event_id, user_id,
+               ROUND((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                      / count(*) OVER w) * 100) / 100 AS mov_avg
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_id
+    """,
+    "q19_global_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q20a_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q20b_union_all": """
+        SELECT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        ORDER BY nationkey
+    """,
+    "q20c_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q21_percentile_trimmed": """
+        WITH pct AS (
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5)  * 100) / 100 AS p50,
+                   ROUND(quantile_cont(value, 0.9)  * 100) / 100 AS p90,
+                   ROUND(quantile_cont(value, 0.99) * 100) / 100 AS p99
+            FROM events GROUP BY event_type
+        ),
+        ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_grp
+            FROM events
+        ),
+        trimmed AS (
+            SELECT event_type,
+                   ROUND((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*)) * 100) / 100 AS trimmed_mean
+            FROM ranked
+            WHERE rn > floor(n_grp * 0.01)
+              AND rn <= n_grp - floor(n_grp * 0.01)
+            GROUP BY event_type
+        )
+        SELECT pct.event_type, p50, p90, p99, trimmed_mean
+        FROM pct JOIN trimmed USING (event_type)
+        ORDER BY event_type
+    """,
+    "q22_conditional_counts": """
+        SELECT event_type,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE value >= 100) AS n_high
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q23_events_per_day": """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY day
+    """,
+    "q24_scalar_battery": """
+        SELECT l_orderkey, l_linenumber,
+               l_returnflag || '-' || l_linestatus AS flag_status,
+               substr(l_returnflag, 1, 1) AS rf1,
+               upper(l_linestatus) AS status_up,
+               CAST(length(l_returnflag || '-' || l_linestatus) AS BIGINT) AS fs_len,
+               ROUND((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) * 100) / 100
+                   AS net_price,
+               CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    "q25_json_extract": """
+        SELECT json_extract_string(props, '$.k') AS k_value, count(*) AS n
+        FROM events GROUP BY k_value ORDER BY k_value
+    """,
+    "q26_tumbling_window": """
+        SELECT user_id,
+               strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               count(*) AS n
+        FROM events GROUP BY user_id, hour_start
+        ORDER BY user_id, hour_start
+    """,
+    "q27_session_window": """
+        WITH lagged AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev_ts
+            FROM events
+        )
+        SELECT user_id,
+               count(*) FILTER (
+                   WHERE prev_ts IS NULL
+                      OR (epoch_ms(ts) - epoch_ms(prev_ts)) > 1800000
+               ) AS n_sessions
+        FROM lagged GROUP BY user_id ORDER BY user_id
+    """,
+    "q28_dedup_counts": """
+        SELECT count(*) AS n_rows, count(DISTINCT text) AS n_distinct
+        FROM documents
+    """,
+    "q28b_dup_groups": """
+        SELECT min_doc_id, n_dups FROM (
+            SELECT min(doc_id) AS min_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        ) WHERE n_dups > 1
+        ORDER BY min_doc_id
+    """,
+    "q29_token_topk": """
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+            FROM documents
+        )
+        WHERE length(token) > 2
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 20
+    """,
+    "q30_cosine_topk": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               ROUND((list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(qe, qe)))) * 10000) / 10000
+                   AS sim
+        FROM embeddings, q
+        ORDER BY sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+}

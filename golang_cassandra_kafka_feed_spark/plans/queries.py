@@ -1,0 +1,667 @@
+"""The declared query inventory (SURVEY.md §2.6, Q01-Q30).
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+module-level ``QUERIES`` registry is what ``__spark_entry__.queries()``
+exposes to the driver.  Every query follows the determinism conventions of
+SURVEY.md §2.6: total ORDER BY on a unique key tuple, ROUND(x, 2) on float
+aggregates (4 for similarities), timestamps emitted as DATE or formatted
+strings, exact aggregates only.
+
+Cross-engine float determinism: large SUMs go through DECIMAL(18,2) —
+decimal addition is exact and order-independent, so Spark's partial/final
+aggregation tree and DuckDB's single-threaded sum produce bit-identical
+results before the final cast to DOUBLE.  Raw double sums would be
+summation-order-dependent.
+
+Reference parity notes cite /root/reference (Go) file:line per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_sum(col: str, alias: str):
+    """Order-independent exact sum: decimal-accumulate, emit DOUBLE.
+
+    Decimal addition is exact, so Spark's partial/final aggregation tree and
+    DuckDB's serial sum agree bit-for-bit; the final cast to DOUBLE is then
+    the closest-double of the same exact decimal on both engines.  No ROUND
+    needed (the value already has 2 decimals).
+    """
+    return (
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+    )
+
+
+def _round2(col):
+    """Cross-engine-deterministic ROUND(x, 2).
+
+    Spark's ROUND(double, 2) goes through BigDecimal.valueOf (shortest
+    string repr, HALF_UP) while DuckDB rounds the binary value — they
+    disagree on inputs like 1.005 whose closest double is 1.00499999….
+    ROUND(x*100)/100 sidesteps this: scale-0 rounding of the *same* double
+    is identical in both engines (nearest; exact .5 ties away from zero).
+    The oracle SQL must spell the inner expression identically so both
+    engines feed the same double into the same rounding.
+    """
+    return F.round(col * 100) / 100
+
+
+def _round4(col):
+    return F.round(col * 10000) / 10000
+
+
+# ---------------------------------------------------------------------------
+# Q01-Q08: scans, filters, joins (reference ops #1,2,6,9 — feed.go:14-111)
+# ---------------------------------------------------------------------------
+
+
+def q01(spark, sf_dir):
+    """Full scan + projection (ref op #1/#6: partition scan + project,
+    internal/store/feed.go:92-111)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q02(spark, sf_dir):
+    """Point lookup by exact match (ref op #1: GetUserIDByUsername,
+    feed.go:14-28) — predicate pushes to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_name") == "Customer#000000001")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def q03(spark, sf_dir):
+    """Range filter on a timestamp column (ref op #24-style validation
+    filter); bounds kept as raw timestamp comparisons so the parquet
+    reader can do row-group min/max skipping."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q04(spark, sf_dir):
+    """Inner equi-join orders x customer (ref op #9 fan-out join shape,
+    cmd/worker/worker.go:112-160).  Catalyst picks SMJ or broadcast via AQE."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+def q05(spark, sf_dir):
+    """3-way broadcast join chain supplier->nation->region: both dims are
+    tiny, so broadcast explicitly — zero shuffles of the fact side."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q06(spark, sf_dir):
+    """Left outer join + aggregate: orders per customer including zeros
+    (COUNT of a nullable join column)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+def q07(spark, sf_dir):
+    """Left semi join — EXISTS (ref op #2 existence check,
+    httphandlers.go:39-56)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q08(spark, sf_dir):
+    """Left anti join — NOT EXISTS; the create-if-absent / CAS guard shape
+    (ref op #2/#3, feed.go:41-74)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q09-Q10: non-equi joins (extension surface; SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q09(spark, sf_dir):
+    """Range/theta self-join: event pairs of the same user within 1 hour.
+
+    The equi key (user_id) keeps this a hash/SMJ join with a residual range
+    predicate — the scalable shape (never a cartesian).  At 100 TB the same
+    plan co-partitions both sides on user_id.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") >= F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("e1.event_id") < F.col("e2.event_id")),
+            "inner",
+        )
+        .select(
+            F.col("e1.event_id").alias("event_id_a"),
+            F.col("e2.event_id").alias("event_id_b"),
+        )
+        .orderBy("event_id_a", "event_id_b")
+    )
+
+
+def q10(spark, sf_dir):
+    """As-of join: latest order at-or-before each event's timestamp, per
+    user-as-custkey; deterministic tie-break on (o_orderdate, o_orderkey)
+    DESC.  Implemented as left join + per-event row_number — the windowed
+    emulation (SURVEY.md §2.6 Q10); operators.asof has the general form."""
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    j = ev.join(
+        o,
+        (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").cast("date").alias("asof_orderdate"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-Q15: aggregation family (ref ops #34,36 — http_load.go:87-91)
+# ---------------------------------------------------------------------------
+
+
+def q11(spark, sf_dir):
+    """Hash aggregate, TPC-H Q1 core: partial+final aggregation is Spark's
+    map-side combine (ref op #36's manual partial merge,
+    e2e_bench.go:177-232, done by the engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q12(spark, sf_dir):
+    """Distinct aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n_cust"))
+
+
+def q13(spark, sf_dir):
+    """ROLLUP of (o_orderpriority, o_orderstatus) with NULLS FIRST pinned."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"),
+            F.asc_nulls_first("o_orderstatus"),
+        )
+    )
+
+
+def q14(spark, sf_dir):
+    """CUBE of (l_returnflag, l_linestatus) with an exact decimal SUM."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_dec_sum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"),
+            F.asc_nulls_first("l_linestatus"),
+        )
+    )
+
+
+def q15(spark, sf_dir):
+    """GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) — SQL surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-Q19: windows / top-k (ref op #7 GetFeed — feed.go:143-171)
+# ---------------------------------------------------------------------------
+
+
+def q16(spark, sf_dir):
+    """Top-3 per key by value — the GetFeed shape (feed.go:143-171, newest-n
+    per user via clustering order cql:36-37).  Window + row_number with the
+    full tie-break (o_totalprice DESC, o_orderkey ASC)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q17(spark, sf_dir):
+    """Analytic window: LAG delta of value per user ordered by (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn(
+            "delta", _round2(F.col("value") - F.lag("value").over(w))
+        )
+        .select("event_id", "user_id", "delta")
+        .orderBy("event_id")
+    )
+
+
+def q18(spark, sf_dir):
+    """Frame window: moving average over ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    # Frame-sum in DECIMAL (exact), then one double division — both engines
+    # then feed the identical double into the portable cents-rounding.
+    return (
+        ev.withColumn(
+            "mov_avg",
+            _round2(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .over(w)
+                .cast("double")
+                / F.count("*").over(w)
+            ),
+        )
+        .select("event_id", "user_id", "mov_avg")
+        .orderBy("event_id")
+    )
+
+
+def q19(spark, sf_dir):
+    """Global top-k: ORDER BY ... LIMIT 10 — physical plan must be
+    TakeOrderedAndProject (no full sort materialization), mirroring the
+    pre-sorted LIMIT read (ref op #7/#8, feed.go:146, mock_store.go:81-90)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: set operations
+# ---------------------------------------------------------------------------
+
+
+def q20a(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s).orderBy("nationkey")
+
+
+def q20b(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionAll(s).orderBy("nationkey")
+
+
+def q20c(spark, sf_dir):
+    """EXCEPT (distinct) — nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Q21-Q23: bench analytics (ref ops #31-35 — e2e_bench.go:260-305)
+# ---------------------------------------------------------------------------
+
+
+def q21(spark, sf_dir):
+    """Exact percentiles + 1%-trimmed mean per event_type.
+
+    Mirrors the bench stats: linear-interpolation percentile
+    (e2e_bench.go:292-305) and count-based trimmed mean
+    (e2e_bench.go:260-275: sort, drop floor(n*trim) from each end, mean).
+    Trim rank order is (value, event_id) for a deterministic tie-break;
+    the mean accumulates in DECIMAL so partial-aggregation order can't
+    shift the rounded result.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        _round2(F.expr("percentile(value, 0.5)")).alias("p50"),
+        _round2(F.expr("percentile(value, 0.9)")).alias("p90"),
+        _round2(F.expr("percentile(value, 0.99)")).alias("p99"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_grp", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    trimmed = (
+        ranked.filter(
+            (F.col("rn") > F.floor(F.col("n_grp") * 0.01))
+            & (F.col("rn") <= F.col("n_grp") - F.floor(F.col("n_grp") * 0.01))
+        )
+        .groupBy("event_type")
+        .agg(
+            _round2(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("trimmed_mean")
+        )
+    )
+    return pct.join(trimmed, "event_type").orderBy("event_type")
+
+
+def q22(spark, sf_dir):
+    """Conditional counts per group — the 2xx/4xx/5xx status-class pattern
+    (ref op #34, http_load.go:123-130)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("value") >= 100).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q23(spark, sf_dir):
+    """Rate/throughput: events per day (ref op #35, kafka_producer.go:116-120)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24-Q25: scalar expressions & JSON (ref ops #24-30, #12-13)
+# ---------------------------------------------------------------------------
+
+
+def q24(spark, sf_dir):
+    """Scalar expression battery: concat/substr/upper/length/round-arith/
+    extract-year (ref ops #24,25,27,30 — httphandlers.go:33-37,
+    logger.go:41-55, e2e_bench.go:212)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat_ws("-", "l_returnflag", "l_linestatus").alias(
+                "flag_status"
+            ),
+            F.substring("l_returnflag", 1, 1).alias("rf1"),
+            F.upper("l_linestatus").alias("status_up"),
+            F.length(F.concat_ws("-", "l_returnflag", "l_linestatus"))
+            .cast("long")
+            .alias("fs_len"),
+            _round2(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("net_price"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+def q25(spark, sf_dir):
+    """JSON field extraction + aggregate (ref ops #12/#13 JSON
+    decode/encode — worker.go:122-126, httphandlers.go:147-151)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_value", F.get_json_object("props", "$.k"))
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26-Q27: event-time windows, batch-checkable forms (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q26(spark, sf_dir):
+    """Tumbling 1h window per user (batch form of F.window; the streaming
+    twin lives in streaming/windows.py and is proven equivalent in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id", "hour_start")
+    )
+
+
+def q27(spark, sf_dir):
+    """Session windows (gap > 30 min) per user, batch gap-and-island form
+    via LAG; streaming twin uses F.session_window (streaming/windows.py).
+    Session count = COUNT of session-start flags (COUNT FILTER, not SUM,
+    for cross-engine type parity)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.col("prev_ts").isNull()
+        | (
+            (F.unix_millis("ts") - F.unix_millis("prev_ts"))
+            > 30 * 60 * 1000
+        ),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.count_if(F.col("new_session")).alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q28-Q30: LLM-pipeline extension surface (dedup / text / similarity)
+# ---------------------------------------------------------------------------
+
+
+def q28(spark, sf_dir):
+    """Exact-dedup accounting: total vs distinct text (ref ops #3/#20
+    idempotency — the CAS uniqueness of feed.go:46-59 at corpus scale)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("text").alias("n_distinct"),
+    )
+
+
+def q28b(spark, sf_dir):
+    """Exact-dup groups: representative (min doc_id) + multiplicity for
+    every duplicated text.  Empty result at SFs with no exact dups."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("min_doc_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select("min_doc_id", "n_dups")
+        .orderBy("min_doc_id")
+    )
+
+
+def q29(spark, sf_dir):
+    """Token analysis: top-20 frequent lowercase tokens (len>2) of
+    documents.text, split on non-alpha runs."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+        )
+        .filter(F.length("token") > 2)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q30(spark, sf_dir):
+    """Brute-force cosine top-10 to the query vector (vec_id=0).
+
+    JVM-side higher-order functions (zip_with + aggregate fold) — no UDF,
+    no collect.  The query vector is a 1-row broadcast cross join; at scale
+    this is the exact-scoring baseline that operators/similarity.py's
+    LSH/IVF variants prune.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("q"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            _round4(
+                dot(F.col("e"), F.col("q"))
+                / (
+                    F.sqrt(dot(F.col("e"), F.col("e")))
+                    * F.sqrt(dot(F.col("q"), F.col("q")))
+                )
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "q01_scan_project": q01,
+    "q02_point_lookup": q02,
+    "q03_range_filter": q03,
+    "q04_inner_join": q04,
+    "q05_broadcast_join_chain": q05,
+    "q06_left_outer_join_agg": q06,
+    "q07_semi_join": q07,
+    "q08_anti_join": q08,
+    "q09_range_theta_join": q09,
+    "q10_asof_join": q10,
+    "q11_hash_agg": q11,
+    "q12_distinct_agg": q12,
+    "q13_rollup": q13,
+    "q14_cube": q14,
+    "q15_grouping_sets": q15,
+    "q16_topk_per_key": q16,
+    "q17_window_lag": q17,
+    "q18_window_frame_avg": q18,
+    "q19_global_topk": q19,
+    "q20a_intersect": q20a,
+    "q20b_union_all": q20b,
+    "q20c_except": q20c,
+    "q21_percentile_trimmed": q21,
+    "q22_conditional_counts": q22,
+    "q23_events_per_day": q23,
+    "q24_scalar_battery": q24,
+    "q25_json_extract": q25,
+    "q26_tumbling_window": q26,
+    "q27_session_window": q27,
+    "q28_dedup_counts": q28,
+    "q28b_dup_groups": q28b,
+    "q29_token_topk": q29,
+    "q30_cosine_topk": q30,
+}

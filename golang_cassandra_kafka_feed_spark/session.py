@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]`` (single JVM); the configs below are chosen so
+the same code is correct and fast on a multi-executor cluster:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic join-strategy demotion replace hand-tuned partition counts at scale.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a real
+  cluster set it ~2-3x total cores and let AQE coalesce.
+- UTC session timezone pins timestamp semantics for oracle parity
+  (SURVEY.md §7.3: Go nanoseconds vs Spark micros vs DuckDB).
+- Arrow enabled: every pandas interchange (createDataFrame, mapInPandas,
+  pandas_udf) goes through columnar batches instead of pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "golang_cassandra_kafka_feed_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS`` so the
+    bench driver controls parallelism without code changes.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

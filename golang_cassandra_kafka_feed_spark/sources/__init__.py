@@ -1,0 +1,7 @@
+from golang_cassandra_kafka_feed_spark.sources.testdata import (
+    TESTDATA_TABLES,
+    load_table,
+    register_views,
+)
+
+__all__ = ["TESTDATA_TABLES", "load_table", "register_views"]

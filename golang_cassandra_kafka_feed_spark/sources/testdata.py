@@ -1,0 +1,74 @@
+"""Loaders for the driver-generated testdata star schema.
+
+Tables and dtypes are pinned from the parquet footers (FIXTURES.md §2) —
+never ``inferSchema`` — mirroring the reference's migration-managed fixed
+schemas (internal/store/cassandra.go:106-132).
+
+``events.ts`` is physically INT64 TIMESTAMP(NANOS), which the Spark parquet
+reader rejects outright ([PARQUET_TYPE_ILLEGAL]).  We read the physical int64
+with an explicit schema and convert ns -> us with *integer* division
+(``ts div 1000``): float division would round-to-nearest at the double
+precision limit (~2^53) and drift by 1us from DuckDB's truncating cast,
+breaking oracle hash parity (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Physical read schema for the ns-timestamp table (see module docstring).
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _has_nanos_ts(path: str) -> bool:
+    """Cheap driver-side footer probe (no Spark job) for TIMESTAMP(NANOS)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        field = schema.field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its pinned schema.
+
+    The session timezone is pinned to UTC here so results are stable even
+    when the caller (e.g. the verify driver) built the session without it.
+
+    Plain ``spark.read.parquet`` everywhere except ``events`` (ns timestamp
+    workaround).  All reads stay fully pushdown-capable: filters and column
+    pruning reach the parquet scan because the conversion is a projection,
+    not an opaque UDF.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _has_nanos_ts(path):
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for the SQL surface)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
