@@ -1,0 +1,264 @@
+"""DataFrame-native feed-domain API — the StoreInterface equivalent.
+
+The reference's store (internal/store/cassandra.go:27-36, feed.go) exposes:
+CreateUser, GetUserIDByUsername, CreateFollow, GetFollowers, AddPost,
+AddToFeed, GetFeed.  Here each is a DataFrame transform over Parquet-backed
+tables, batch-native where the reference is row-at-a-time:
+
+- CAS username uniqueness (feed.go:41-74, ``INSERT ... IF NOT EXISTS``)
+  becomes batch dedup + left-anti against the existing table.  Cross-job
+  races need a transactional table format (Delta/Iceberg MERGE) — out of
+  scope for the filesystem-backed correctness build (SURVEY.md §7.3.1).
+- The dual follow tables (cql:11-21, written atomically in a LoggedBatch,
+  feed.go:78-90) collapse into ONE edge table: Spark joins either
+  direction, so the reverse "table" is just the same DataFrame.
+- ``feed_by_user`` (cql:30-37) is maintained by the fan-out (batch here,
+  streaming in streaming/fanout.py) with the invariant
+  ``feed == posts ⋈ follows ON author_id = followee_id``.
+
+Scale design: the feed sink is hash-partitioned into user buckets
+(``user_bucket = pmod(hash(user_id), n)``) so a single-user feed read
+prunes to one bucket directory; within buckets rows are written sorted by
+(created_at DESC) to approximate the reference's clustering order
+(cql:36-37) — readers still apply TakeOrderedAndProject, which is cheap on
+pruned input.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+USER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("username", T.StringType(), False),
+    ]
+)
+
+FOLLOW_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("followee_id", T.StringType(), False),
+    ]
+)
+
+POST_SCHEMA = T.StructType(
+    [
+        T.StructField("post_id", T.StringType(), False),
+        T.StructField("author_id", T.StringType(), False),
+        T.StructField("body", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+    ]
+)
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("post_id", T.StringType(), False),
+        T.StructField("author_id", T.StringType(), False),
+        T.StructField("body", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+    ]
+)
+
+_EMPTY = {
+    "users": USER_SCHEMA,
+    "follows": FOLLOW_SCHEMA,
+    "posts": POST_SCHEMA,
+    "feed_by_user": FEED_SCHEMA,
+}
+
+
+class FeedStore:
+    """Parquet-backed feed store rooted at ``base_dir``.
+
+    ``feed_buckets`` controls the user-bucket partitioning of the feed sink
+    (reference: one Cassandra partition per user, cql:30-37; at 100 TB a
+    bucket count ~ O(cluster cores) keeps files large and reads pruned).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str, feed_buckets: int = 32):
+        self.spark = spark
+        self.base = base_dir
+        self.feed_buckets = feed_buckets
+
+    # -- table plumbing ----------------------------------------------------
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.base, table)
+
+    def table(self, name: str) -> DataFrame:
+        path = self._path(name)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], _EMPTY[name])
+        df = self.spark.read.schema(
+            _EMPTY[name]
+            if name != "feed_by_user"
+            else T.StructType(
+                list(FEED_SCHEMA.fields)
+                + [T.StructField("user_bucket", T.IntegerType(), True)]
+            )
+        ).parquet(path)
+        return df.select(*[f.name for f in _EMPTY[name].fields])
+
+    def _append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self._path(name))
+
+    # -- CreateUser (feed.go:41-74): CAS -> batch dedup + anti-join --------
+
+    def create_users(self, usernames: DataFrame) -> DataFrame:
+        """Create users for a one-column ``username`` DataFrame.
+
+        Semantics of the reference CAS loop, batch-native:
+        1. validate 1 <= len(username) <= 50 (httphandlers.go:33-37);
+        2. first-wins within the batch (dropDuplicates);
+        3. losers against the existing table dropped via left-anti
+           (the reference's "read the winner's row" path, feed.go:56-59,
+           is a lookup the caller does via ``user_id_by_username``).
+        Returns the newly created rows (with generated UUIDs).
+        """
+        valid = usernames.filter(F.length("username").between(1, 50))
+        fresh = (
+            valid.dropDuplicates(["username"])
+            .join(self.table("users"), "username", "left_anti")
+            .withColumn("user_id", F.expr("uuid()"))
+            .select("user_id", "username")
+        )
+        self._append(fresh, "users")
+        return self.table("users").join(
+            fresh.select("username"), "username", "left_semi"
+        )
+
+    def user_id_by_username(self, username: str) -> DataFrame:
+        """GetUserIDByUsername (feed.go:14-28): point lookup, returns 0/1 row."""
+        return (
+            self.table("users")
+            .filter(F.col("username") == username)
+            .select("user_id")
+        )
+
+    # -- CreateFollow (feed.go:78-90): one edge table, no dual write -------
+
+    def create_follows(self, edges: DataFrame) -> DataFrame:
+        """Append follow edges (user_id, followee_id); idempotent on the
+        pair, self-follows rejected.  The reference's LoggedBatch atomicity
+        across two orientations (feed.go:79-84) is moot: one table serves
+        both scans."""
+        fresh = (
+            edges.filter(F.col("user_id") != F.col("followee_id"))
+            .dropDuplicates(["user_id", "followee_id"])
+            .join(
+                self.table("follows"),
+                ["user_id", "followee_id"],
+                "left_anti",
+            )
+        )
+        self._append(fresh.select("user_id", "followee_id"), "follows")
+        return fresh
+
+    def get_followers(self, followee_id: str) -> DataFrame:
+        """GetFollowers (feed.go:92-111): reverse-adjacency partition scan —
+        a pushdown filter here (the reverse table cql:17-21 is unneeded)."""
+        return (
+            self.table("follows")
+            .filter(F.col("followee_id") == followee_id)
+            .select("user_id")
+        )
+
+    # -- AddPost / fan-out / GetFeed ---------------------------------------
+
+    def add_posts(self, posts: DataFrame, fan_out: bool = True) -> DataFrame:
+        """AddPost (feed.go:115-127) + the worker fan-out (worker.go:112-160)
+        in one batch: validate body 1..1000 (httphandlers.go:134-137),
+        append to ``posts``, then write one feed row per (post, follower).
+        """
+        valid = posts.filter(F.length("body").between(1, 1000)).select(
+            *[f.name for f in POST_SCHEMA.fields]
+        )
+        self._append(valid, "posts")
+        if fan_out:
+            self.fan_out(valid)
+        return valid
+
+    def fan_out(self, posts: DataFrame) -> None:
+        """posts ⋈ follows ON author_id = followee_id -> feed rows
+        (worker.go:138-154; mock parity: mock_kafka.go:22-47).
+
+        Idempotent on (user_id, post_id) — replays of at-least-once
+        delivery (kafka.go:92) are dropped by the anti-join, emulating the
+        Cassandra primary-key upsert (cql:36).
+        """
+        follows = self.table("follows")
+        feed_rows = (
+            posts.alias("p")
+            .join(
+                follows.alias("f"),
+                F.col("p.author_id") == F.col("f.followee_id"),
+                "inner",
+            )
+            .select(
+                F.col("f.user_id").alias("user_id"),
+                F.col("p.post_id").alias("post_id"),
+                F.col("p.author_id").alias("author_id"),
+                F.col("p.body").alias("body"),
+                F.col("p.created_at").alias("created_at"),
+            )
+        )
+        fresh = feed_rows.join(
+            self.table("feed_by_user").select("user_id", "post_id"),
+            ["user_id", "post_id"],
+            "left_anti",
+        )
+        bucketed = fresh.withColumn(
+            "user_bucket",
+            F.pmod(F.xxhash64("user_id"), F.lit(self.feed_buckets)).cast("int"),
+        )
+        (
+            bucketed.repartition(self.feed_buckets, "user_bucket")
+            .sortWithinPartitions(F.desc("created_at"), F.desc("post_id"))
+            .write.mode("append")
+            .partitionBy("user_bucket")
+            .parquet(self._path("feed_by_user"))
+        )
+
+    def get_feed(self, user_id: str, limit: int = 50) -> DataFrame:
+        """GetFeed (feed.go:143-171): newest-``limit`` feed rows for one
+        user, tie-break on post_id DESC (cql:36-37).  Physical plan:
+        bucket-pruned scan + TakeOrderedAndProject (default limit 50,
+        httphandlers.go:191-196)."""
+        bucket = None
+        path = self._path("feed_by_user")
+        if os.path.exists(path):
+            # Prune to the user's bucket directory before filtering.
+            df = self.spark.read.parquet(path)
+            df = df.filter(
+                F.col("user_bucket")
+                == F.pmod(F.xxhash64(F.lit(user_id)), F.lit(self.feed_buckets)).cast(
+                    "int"
+                )
+            )
+            bucket = df
+        feed = bucket if bucket is not None else self.table("feed_by_user")
+        return (
+            feed.filter(F.col("user_id") == user_id)
+            .orderBy(F.desc("created_at"), F.desc("post_id"))
+            .limit(limit)
+            .select(*[f.name for f in FEED_SCHEMA.fields])
+        )
+
+    def get_feed_all(self, limit_per_user: int = 50) -> DataFrame:
+        """All-users form of GetFeed: top-k per key via window row_number
+        (SURVEY.md §2.1 #7)."""
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("created_at"), F.desc("post_id")
+        )
+        return (
+            self.table("feed_by_user")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= limit_per_user)
+            .drop("rn")
+        )

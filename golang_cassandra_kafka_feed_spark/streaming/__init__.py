@@ -1,0 +1,17 @@
+from golang_cassandra_kafka_feed_spark.streaming.fanout import (
+    decode_post_events,
+    fanout_stream,
+    run_fanout_pipeline,
+)
+from golang_cassandra_kafka_feed_spark.streaming.windows import (
+    session_counts_stream,
+    tumbling_counts_stream,
+)
+
+__all__ = [
+    "decode_post_events",
+    "fanout_stream",
+    "run_fanout_pipeline",
+    "tumbling_counts_stream",
+    "session_counts_stream",
+]

@@ -1,0 +1,111 @@
+"""The streaming fan-out pipeline — the reference worker, Spark-first.
+
+Reference dataflow (cmd/worker/worker.go): Kafka read loop → bounded queue
+→ N process goroutines → per-follower goroutines under a 20-slot semaphore
+→ Cassandra inserts.  One Structured Streaming query replaces all of it
+(SURVEY.md §3.2): threads/channels/semaphore become partition parallelism,
+the commit interval becomes checkpointing, retry/backoff becomes task retry
++ restart-from-checkpoint.
+
+Operator-by-operator parity:
+
+- empty-record filter (worker.go:93-98)        -> length(value) > 0
+- route on key 'post_created' (httphandlers.go:155-158) -> key filter
+- JSON decode, malformed dropped (worker.go:122-126)    -> from_json
+  (PERMISSIVE null struct) + isNotNull filter
+- fan-out join (worker.go:128,138-154)          -> stream-static equi-join
+  against follows, broadcast when small
+- at-least-once dedup (kafka.go:92, cql:36 PK)  -> idempotent anti-join in
+  foreachBatch (and dropDuplicatesWithinWatermark when a watermark column
+  is available)
+- graceful shutdown/drain (worker.go:66-70)     -> query.stop() +
+  checkpoint resume
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.sources.kafka import POST_EVENT_SCHEMA
+
+
+def decode_post_events(envelopes: DataFrame) -> DataFrame:
+    """Envelope stream -> clean post rows.
+
+    Drops: empty values (worker.go:93-98 / worker_test.go:141-154),
+    foreign routing keys (httphandlers.go:155-158), malformed JSON and
+    JSON missing required fields (worker.go:122-126 /
+    worker_test.go:97-113).
+    """
+    return (
+        envelopes.filter(F.length("value") > 0)
+        .filter(F.col("key").cast("string") == "post_created")
+        .withColumn(
+            "post", F.from_json(F.col("value").cast("string"), POST_EVENT_SCHEMA)
+        )
+        .filter(
+            F.col("post.id").isNotNull() & F.col("post.author_id").isNotNull()
+        )
+        .select(
+            F.col("post.id").alias("post_id"),
+            F.col("post.author_id").alias("author_id"),
+            F.col("post.body").alias("body"),
+            F.col("post.created").alias("created_at"),
+        )
+    )
+
+
+def fanout_stream(post_events: DataFrame, follows: DataFrame) -> DataFrame:
+    """Stream-static equi-join: one feed row per (post, follower)
+    (worker.go:138-154; invariant mock_kafka.go:22-47).
+
+    ``follows`` is static per micro-batch; Spark re-plans the join each
+    batch, so a small follower table goes broadcast automatically (hinted
+    here), a huge one shuffles on the equi key — both correct at scale.
+    """
+    return post_events.join(
+        F.broadcast(follows),
+        post_events.author_id == follows.followee_id,
+        "inner",
+    ).select(
+        follows.user_id.alias("user_id"),
+        "post_id",
+        "author_id",
+        "body",
+        "created_at",
+    )
+
+
+def run_fanout_pipeline(
+    envelopes_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+):
+    """Wire the full pipeline into the FeedStore's idempotent feed sink.
+
+    ``foreachBatch`` gives exactly-once-per-epoch sink semantics on top of
+    the source's at-least-once replay: FeedStore.fan_out anti-joins on
+    (user_id, post_id) so redelivered posts are dropped — the Cassandra
+    PK upsert (cql:36) made explicit.  Posts are also appended to the
+    ``posts`` table, mirroring AddPost on the consumer side.
+    """
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        posts = decode_post_events(batch_df).dropDuplicates(["post_id"])
+        fresh = posts.join(
+            store.table("posts").select("post_id"), "post_id", "left_anti"
+        )
+        # Persist: the batch is reused for the posts append and the fan-out.
+        fresh.persist()
+        try:
+            store.add_posts(fresh, fan_out=True)
+        finally:
+            fresh.unpersist()
+
+    return (
+        envelopes_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
