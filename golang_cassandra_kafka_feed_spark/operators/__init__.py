@@ -1,0 +1,47 @@
+from golang_cassandra_kafka_feed_spark.operators.topk import (
+    top_k_global,
+    top_k_per_key,
+)
+from golang_cassandra_kafka_feed_spark.operators.asof import asof_join
+from golang_cassandra_kafka_feed_spark.operators.range_join import range_join
+from golang_cassandra_kafka_feed_spark.operators.sessionize import sessionize
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from golang_cassandra_kafka_feed_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from golang_cassandra_kafka_feed_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    tokens,
+)
+
+__all__ = [
+    "top_k_global",
+    "top_k_per_key",
+    "asof_join",
+    "range_join",
+    "sessionize",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "simhash_near_duplicates",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "embedding_near_duplicates",
+    "tokens",
+    "fingerprint",
+    "lang_id",
+    "quality_features",
+]

@@ -1,0 +1,74 @@
+"""As-of join (latest right row at-or-before each left row's timestamp).
+
+Spark has no native as-of join; the scalable formulation here is the
+union-and-carry-forward trick: tag both sides, union on the key, sort by
+(ts, side) within key, and carry the last seen right-side values forward
+with ``last(..., ignorenulls=True)``.  Cost: ONE shuffle of |L|+|R| rows —
+no join blowup (the naive join+filter+row_number materializes |L|x|R_key|
+intermediates; see plans/queries.q10 for that form, kept because it is the
+SQL-oracle-checkable shape).
+
+At 100 TB: both inputs shuffle-partition on the key; AQE handles skewed
+keys.  For a time-bucketed variant that also prunes history, compose with
+range_join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` (per ``on`` key); ties at equal ts prefer the
+    right row (inclusive <=).  Right value columns come back suffixed.
+    """
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in (*on, right_ts)]
+    )
+
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    for c in value_cols:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = lhs.unionByName(rhs.select(*lhs.columns))
+    # right (side=0) sorts before left (side=1) at equal ts -> inclusive
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop(
+        "__side", "__ts", *[f"__r_{c}" for c in value_cols]
+    )

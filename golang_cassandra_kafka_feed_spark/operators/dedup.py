@@ -1,0 +1,331 @@
+"""Deduplication family for corpus-scale training-data pipelines.
+
+Everything here is pure JVM-side expression work (higher-order functions,
+xxhash64) — no Python UDFs in any hot path — so whole-stage codegen applies
+and the operators scale with partition parallelism:
+
+- exact:          hash groupBy on the normalized text (one shuffle)
+- MinHash + LSH:  shingle -> k minhashes -> b bands -> bucket self-join;
+                  candidate verification computes true Jaccard only for
+                  bucket-collided pairs (never all pairs)
+- SimHash:        64-bit signature; near-dup via 16-bit chunk banding +
+                  hamming(bit_count(xor)) verification
+- n-gram Jaccard: exact pairwise Jaccard restricted to pairs sharing >= 1
+                  shingle (inverted-index join), with a hot-shingle cap
+
+The reference's only dedup is key-level CAS/PK idempotency
+(feed.go:46-59, cql:36); this module is the extension surface mandated by
+BASELINE.json (LLM-data-pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(col), "[^a-z]+"), lambda t: F.length(t) > 0
+    )
+
+
+def _shingles(col: str, n: int) -> Column:
+    """Word n-gram shingles; documents shorter than n words yield their
+    single full-text shingle."""
+    toks = _tokens(col)
+    return F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per exact text — one hash shuffle.
+    (Q28's accounting form lives in plans/queries.)"""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, text_col, "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """k seeded-xxhash64 minhashes over word shingles.
+
+    sig[s] = min over shingles of xxhash64(shingle, s) — the standard
+    one-permutation-per-seed construction; E[sig_a == sig_b] = J(a, b).
+
+    Shape: explode shingles, fan each out to its k seeded hashes, then a
+    two-level aggregate back to the signature array.  A single nested
+    higher-order expression (transform over seeds x shingles) looks
+    simpler but re-inlines the shingle construction k times after
+    projection collapse — ~50x slower in practice and not better at
+    scale; the explode form is linear work with map-side combine.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, shingle_size)).alias("shingle"),
+    )
+    hashed = exploded.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda s: F.xxhash64("shingle", s),
+            )
+        ).alias("seed", "h"),
+    )
+    return (
+        hashed.groupBy("id", "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda s: s["mh"],
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: ids agreeing on >= 1 LSH band.
+
+    b bands of r = k/b rows; collision prob = 1-(1-J^r)^b (S-curve at
+    J ~ (1/b)^(1/r)).  The self-join runs per (band, bucket) — at corpus
+    scale the bucket key is the shuffle key and only same-bucket pairs are
+    enumerated.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r), b).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with *exact* Jaccard over shingle sets —
+    false positives from banding are filtered, so the output depends on
+    the threshold only (plus LSH recall; raise ``bands`` for higher
+    recall at lower thresholds)."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_size
+    )
+    shingle_sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
+    )
+    return (
+        cands.join(
+            shingle_sets.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_EXPR_TMPL = """
+aggregate(
+  transform(
+    aggregate(
+      transform(filter(split(lower({col}), '[^a-z]+'), t -> length(t) > 0),
+                t -> xxhash64(t)),
+      array_repeat(cast(0 as bigint), 64),
+      (a, hv) -> transform(a, (x, i) ->
+                   x + IF((shiftright(hv, i) & 1) = 1, 1, -1))
+    ),
+    (x, i) -> IF(x > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))
+  ),
+  cast(0 as bigint), (a, b) -> a | b
+)
+"""
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash: per-bit vote of seeded token hashes (Charikar).
+    Pure SQL higher-order fold — codegen'd, no UDF."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(_SIMHASH_EXPR_TMPL.format(col=text_col)).alias("simhash"),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dups by hamming distance <= max_hamming.
+
+    Banding: with 4 x 16-bit chunks, any pair within hamming 3 agrees on
+    >= 1 chunk (pigeonhole), so candidates = chunk-equal pairs; verification
+    is ``bit_count(a ^ b)``.  Same shuffle shape as MinHash-LSH.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunked = sigs.selectExpr(
+        "id",
+        "simhash",
+        "explode(transform(sequence(0, 3), c -> struct(c AS chunk, "
+        "(shiftright(simhash, c * 16) & 65535) AS ckey))) AS cc",
+    ).select("id", "simhash", "cc.chunk", "cc.ckey")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard for pairs sharing at least one n-gram shingle.
+
+    Inverted-index join: explode distinct shingles, drop shingles appearing
+    in > max_shingle_freq docs (hot keys contribute near-zero Jaccard
+    signal but quadratic pairs — the cap is the skew guard at 100 TB),
+    count shared shingles per pair, then J = shared / (|A|+|B|-shared).
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(text_col, n)).alias("sh"),
+    ).withColumn("set_size", F.size("sh"))
+    inv = sets.select(
+        "id", "set_size", F.explode("sh").alias("shingle")
+    )
+    hot = (
+        inv.groupBy("shingle")
+        .count()
+        .filter(F.col("count") > max_shingle_freq)
+        .select("shingle")
+    )
+    inv = inv.join(hot, "shingle", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,41 @@
+"""Gap-and-island sessionization (batch form of session windows).
+
+Assigns a session id per (key, row): a new session starts when the gap to
+the previous event exceeds ``gap_seconds``.  Equivalent to
+``F.session_window`` grouping (asserted in tests); this form additionally
+yields a stable per-row session id usable for downstream joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    gap_seconds: int,
+    order_tiebreak: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """One shuffle on ``keys``; two window passes (lag + running count)."""
+    w = Window.partitionBy(*keys).orderBy(ts, *order_tiebreak)
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            F.lag(ts).over(w).isNull()
+            | (
+                F.unix_millis(F.col(ts)) - F.unix_millis(F.lag(ts).over(w))
+                > gap_seconds * 1000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        session_col,
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new")

@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers, all UDF-free (higher-order-function dot products, codegen'd):
+
+1. ``brute_force_topk`` — exact scoring of every (query, corpus) pair.
+   The correctness baseline; cost O(|Q| x |C| x d) but fully parallel.
+2. ``lsh_bucketed_topk`` — random-hyperplane LSH: only same-bucket pairs
+   are scored (multi-band OR for recall).  The 100 TB path: bucket key is
+   the shuffle key, each bucket joins locally.
+3. ``embedding_near_duplicates`` — all near-dup pairs above a cosine
+   threshold via the same LSH bucketing (dedup-by-embedding for training
+   corpora).
+
+Hyperplanes are deterministic (seeded NumPy), shipped as literal arrays —
+no fit/state, reproducible across runs (no Date/random at plan time).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id_col, vec_col).  Queries are broadcast (the
+    typical ANN shape: few queries, huge corpus); scoring is a narrow
+    map over corpus partitions, then a per-query top-k window.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qe")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (F.round(cosine(F.col("e"), F.col("qe")) * 10000) / 10000).alias("sim"),
+    )
+    return top_k_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("sim"), F.asc("vec_id")],
+        k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _bucket_keys(
+    vec: Column, planes: list[list[float]], bands: int
+) -> Column:
+    """Array of ``bands`` bucket keys: the sign-bit pattern of
+    n_planes/bands hyperplane dot products, hashed together with the band
+    index (bucket identity only needs equality, so a hash of the bit slice
+    replaces explicit bit packing)."""
+    n = len(planes)
+    r = n // bands
+    bits = F.array(
+        *[
+            F.when(
+                _dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1
+            ).otherwise(0)
+            for p in planes
+        ]
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(bits, b * r + 1, r), b),
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing >= 1 LSH band
+    bucket with the query.  Recall grows with ``bands`` (multi-probe OR);
+    compare against brute_force_topk in tests for the recall figure."""
+    from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
+
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    ).withColumn("bucket", F.explode(_bucket_keys(F.col("e"), planes, bands)))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qe")
+    ).withColumn("bucket", F.explode(_bucket_keys(F.col("qe"), planes, bands)))
+
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .select("query_id", "vec_id", "e", "qe")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (F.round(cosine(F.col("e"), F.col("qe")) * 10000) / 10000).alias("sim"),
+    )
+    return top_k_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("sim"), F.asc("vec_id")],
+        k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, candidate-pruned by LSH bucket
+    collision (embedding-space near-dedup)."""
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("e")
+    ).withColumn("bucket", F.explode(_bucket_keys(F.col("e"), planes, bands)))
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (F.round(cosine(F.col("ea"), F.col("eb")) * 10000) / 10000).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

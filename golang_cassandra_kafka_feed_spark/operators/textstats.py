@@ -1,0 +1,104 @@
+"""Text analytics for training-data curation — all built-in functions
+(JVM-side, codegen'd; no UDFs), so every helper here is also expressible
+as ANSI SQL for the DuckDB oracle (plans/queries q31-q34).
+
+- tokens / token counting (whitespace + non-alpha splitting)
+- quality scoring (length, alpha ratio, stopword ratio, mean token length)
+- language ID (stopword-marker heuristic over a fixed marker table)
+- document fingerprinting (md5 of alpha-normalized text; rolling-hash
+  shingle fingerprints live in dedup.minhash_signatures)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker sets: a tiny, fixed per-language stopword inventory.
+# (Heuristic quality is data-dependent; determinism is the contract here.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
+_STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(col: str | Column) -> Column:
+    """Lowercased alpha tokens (the Q29 tokenizer)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z]+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def alpha_ratio(col: str | Column) -> Column:
+    """Fraction of characters that are ascii letters or space — a
+    boilerplate/garbage signal."""
+    return F.length(F.regexp_replace(col, "[^A-Za-z ]", "")) / F.length(col)
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    toks = tokens(col)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len(col: str | Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the quality-score feature columns (rounded via the portable
+    cents idiom for oracle parity)."""
+    r2 = lambda c: F.round(c * 100) / 100  # noqa: E731
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "alpha_ratio": r2(alpha_ratio(text_col)),
+            "stopword_ratio": r2(stopword_ratio(text_col)),
+            "mean_token_len": r2(mean_token_len(text_col)),
+        }
+    )
+
+
+def lang_id(col: str | Column) -> Column:
+    """Deterministic marker-count argmax with fixed tie-break order
+    (en > de > fr > es > unknown); a real system would use a trained
+    n-gram model — the *shape* (pure column expression, one pass) is the
+    scalable part."""
+    toks = tokens(col)
+    counts = {
+        lang: F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in ws]), t
+                ),
+            )
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    out = F.lit("unknown")
+    # reversed() so earlier languages win ties via later .when overwrite
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when(
+            (counts[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Content fingerprint: md5 of the lowercased alpha-only normalization
+    (whitespace/punct-insensitive exact dedup key)."""
+    return F.md5(F.regexp_replace(F.lower(col), "[^a-z]", ""))

@@ -15,6 +15,25 @@ with the Spark plan:
   bit pattern.
 """
 
+from golang_cassandra_kafka_feed_spark.operators.textstats import (
+    LANG_MARKERS,
+    _STOPWORDS,
+)
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> length(t) > 0)"
+
+
+def _lang_count_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
+
+
+_COSINE_PAIR = (
+    "list_dot_product(a.ed, b.ed) / (sqrt(list_dot_product(a.ed, a.ed)) "
+    "* sqrt(list_dot_product(b.ed, b.ed)))"
+)
+
 ORACLES: dict[str, str] = {
     "q01_scan_project": """
         SELECT c_custkey, c_name FROM customer ORDER BY c_custkey
@@ -288,5 +307,92 @@ ORACLES: dict[str, str] = {
         FROM embeddings, q
         ORDER BY sim DESC, vec_id ASC
         LIMIT 10
+    """,
+    "q31_token_stats": f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS text_len
+        FROM documents ORDER BY doc_id
+    """,
+    "q32_quality_score": f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               ROUND((length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / length(text)) * 100) / 100 AS alpha_ratio,
+               ROUND((len(list_filter({_TOKS},
+                          t -> list_contains({_STOP_SQL}, t)))
+                      / greatest(len({_TOKS}), 1)) * 100) / 100
+                   AS stopword_ratio,
+               ROUND((coalesce(list_sum(list_transform({_TOKS},
+                          t -> length(t))), 0)
+                      / greatest(len({_TOKS}), 1)) * 100) / 100
+                   AS mean_token_len
+        FROM documents ORDER BY doc_id
+    """,
+    "q33_lang_id": f"""
+        WITH counts AS (
+            SELECT doc_id,
+                   {_lang_count_sql('en')} AS c_en,
+                   {_lang_count_sql('de')} AS c_de,
+                   {_lang_count_sql('fr')} AS c_fr,
+                   {_lang_count_sql('es')} AS c_es
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+                 WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                 WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                 WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                 ELSE 'es'
+               END AS lang_pred
+        FROM counts ORDER BY doc_id
+    """,
+    "q34_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+    "q35_embedding_neardup": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+            FROM embeddings WHERE vec_id < 200
+        )
+        SELECT id_a, id_b, sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(({_COSINE_PAIR}) * 10000) / 10000 AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ) WHERE sim >= 0.3
+        ORDER BY id_a, id_b
+    """,
+    "q36_ann_multi_query": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])))
+                             * sqrt(list_dot_product(q.qe, q.qe)))) * 10000)
+                       / 10000 AS sim
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, sim, "rank" FROM (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS "rank"
+            FROM scored
+        ) WHERE "rank" <= 3
+        ORDER BY query_id, "rank"
+    """,
+    "q40_multimodal_features": """
+        SELECT doc_id,
+               'application/octet-stream' AS content_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               substr(sha256(text), 1, 16) AS sha256_8
+        FROM documents ORDER BY doc_id
     """,
 }

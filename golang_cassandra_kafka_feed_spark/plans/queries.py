@@ -630,6 +630,170 @@ def q30(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Q31+: LLM-pipeline extension operators (BASELINE.json mandate) — text
+# analytics, dedup family, similarity search, multimodal plumbing.
+# Oracle-checked where ANSI-SQL-expressible; hash-based ops (xxhash64 LSH,
+# SimHash) are rows-only + property-tested in tests/.
+# ---------------------------------------------------------------------------
+
+
+def q31(spark, sf_dir):
+    """Token statistics per document (textstats.token_count)."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q32(spark, sf_dir):
+    """Quality-score features per document (textstats.quality_features)."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        quality_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        quality_features(d)
+        .select(
+            "doc_id", "n_tokens", "alpha_ratio", "stopword_ratio",
+            "mean_token_len",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q33(spark, sf_dir):
+    """Heuristic language ID distribution (textstats.lang_id)."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", lang_id("text").alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+def q34(spark, sf_dir):
+    """Content fingerprint (md5 of alpha-normalized text) per document."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def q35(spark, sf_dir):
+    """Embedding near-dup pairs (exact cosine over a bounded slice).
+
+    The oracle-checkable exact form; the LSH-pruned scale path is
+    q39/operators.similarity.embedding_near_duplicates (rows-only).
+    """
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        cosine,
+        _as_double,
+    )
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", _as_double("embedding").alias("e"))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            _round4(cosine(F.col("a.e"), F.col("b.e"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q36(spark, sf_dir):
+    """Multi-query exact ANN: top-3 cosine neighbors for query vectors
+    vec_id 0..4 (operators.similarity.brute_force_topk)."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=3).orderBy("query_id", "rank")
+
+
+def q37(spark, sf_dir):
+    """MinHash-LSH near-duplicates (rows-only: xxhash64 has no DuckDB
+    twin; recall/precision property-tested in tests/test_dedup.py)."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q38(spark, sf_dir):
+    """SimHash near-duplicates (rows-only; hamming <= 3 over 64-bit
+    signatures)."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q39(spark, sf_dir):
+    """LSH-bucketed approximate ANN (rows-only; recall vs q36 brute force
+    asserted in tests/test_similarity.py)."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, queries_df, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q40(spark, sf_dir):
+    """Multimodal plumbing: binary payload metadata + content hash through
+    the Arrow-batched mapInPandas feature extractor (decode itself stubbed;
+    operators/multimodal.py)."""
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_feature_extract,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = fake_feature_extract(attach_binary_payload(d))
+    return feats.select(
+        "doc_id", "content_type", "byte_len", "sha256_8"
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -664,4 +828,14 @@ QUERIES = {
     "q28b_dup_groups": q28b,
     "q29_token_topk": q29,
     "q30_cosine_topk": q30,
+    "q31_token_stats": q31,
+    "q32_quality_score": q32,
+    "q33_lang_id": q33,
+    "q34_fingerprint": q34,
+    "q35_embedding_neardup": q35,
+    "q36_ann_multi_query": q36,
+    "q37_minhash_lsh_neardup": q37,
+    "q38_simhash_neardup": q38,
+    "q39_ann_lsh_topk": q39,
+    "q40_multimodal_features": q40,
 }

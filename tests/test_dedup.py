@@ -1,0 +1,107 @@
+"""Dedup-family property tests: LSH candidates must recall true near-dups,
+verification must be exact (SURVEY.md M6 / BASELINE.json extension ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """Real documents plus planted near-duplicates (doc_id >= 10_000):
+    each planted doc mutates the tail of an original."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzq mutated tail")).alias("text"),
+        )
+    )
+    return docs.unionByName(planted)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "aaa"), (1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.text, r.n_dups) for r in exact_dedup(df).collect()}
+    assert out == {(1, "aaa", 2), (2, "bbb", 1)}
+
+
+def test_minhash_finds_planted_near_dups(corpus):
+    pairs = minhash_near_duplicates(corpus, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 10_000) for i in range(20)}
+    recall = len(got & planted) / len(planted)
+    # banding S-curve at J~0.8 for b=16,r=4: planted pairs (J>0.85) must
+    # essentially all collide
+    assert recall >= 0.9, f"LSH recall {recall} on planted near-dups"
+    # verification step guarantees no below-threshold pair survives
+    assert pairs.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_minhash_jaccard_values_are_exact(spark, sf_dir):
+    """The testdata corpus contains planted near-dups; every returned
+    pair's jaccard must equal the independently computed exact value
+    (LSH prunes candidates, never distorts scores)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_near_duplicates(docs, threshold=0.95).collect()
+    assert len(pairs) > 0  # the generator plants high-sim duplicates
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    for r in pairs:
+        assert exact[(r.id_a, r.id_b)] == r.jaccard
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox sleeps"),
+            (3, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
+    got = {(r.id_a, r.id_b): round(r.jaccard, 4) for r in rows}
+    # doc1: {tqb, qbf, bfj}; doc2: {tqb, qbf, bfs}; shared 2, union 4
+    assert got == {(1, 2): 0.5}
+
+
+def test_simhash_close_for_near_dups(corpus):
+    sigs = simhash_signatures(corpus)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    dist = (
+        a.join(b, F.col("a.id") + 10_000 == F.col("b.id"))
+        .select(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("d")
+        )
+        .agg(F.max("d").alias("max_d"), F.avg("d").alias("avg_d"))
+        .collect()[0]
+    )
+    # a small tail mutation flips few simhash bits
+    assert dist.avg_d <= 8, dist
+
+
+def test_simhash_near_duplicates_threshold(corpus):
+    out = simhash_near_duplicates(corpus, max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    planted = {(i, i + 10_000) for i in range(20)}
+    assert len(got & planted) >= 15  # most planted pairs within hamming 6
+    assert out.filter(F.col("hamming") > 6).count() == 0

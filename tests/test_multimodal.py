@@ -1,0 +1,62 @@
+"""Multimodal plumbing tests: the Spark-side schema/partitioning/batching
+is real; the decode is stubbed (no media libs in this environment)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    attach_binary_payload,
+    decode_media,
+    fake_feature_extract,
+    frame_sample,
+)
+from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    return attach_binary_payload(docs)
+
+
+def test_payload_is_binary_with_metadata(media):
+    row = media.orderBy("doc_id").first()
+    assert isinstance(bytes(row.payload), bytes)
+    assert row.byte_len == len(bytes(row.payload))
+    assert row.content_type == "application/octet-stream"
+
+
+def test_feature_extract_schema_and_determinism(media):
+    feats = fake_feature_extract(media)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = {r.doc_id: r for r in feats.collect()}
+    raw = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for doc_id, r in rows.items():
+        d = hashlib.sha256(raw[doc_id]).digest()
+        assert r.sha256_8 == d[:8].hex()
+        assert r.feature == [b / 256.0 for b in d[:8]]
+        assert len(r.feature) == 8
+
+
+def test_feature_extract_partitioning_preserved(media):
+    """mapInPandas is a narrow transformation — no shuffle added."""
+    feats = fake_feature_extract(media.repartition(4))
+    assert feats.rdd.getNumPartitions() == 4
+
+
+def test_decode_media_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media)
+
+
+def test_frame_sample_shape(media):
+    frames = frame_sample(media, every_n_bytes=64, max_frames=4)
+    agg = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert all(1 <= r.n <= 4 for r in agg)
+    first = frames.filter(F.col("frame_idx") == 0).count()
+    assert first == media.count()  # every payload yields frame 0

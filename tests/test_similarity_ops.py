@@ -1,0 +1,162 @@
+"""Similarity search + composite operator tests: LSH recall vs brute
+force, as-of/range-join/sessionize equivalence with their oracle-checked
+query forms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.asof import asof_join
+from golang_cassandra_kafka_feed_spark.operators.range_join import range_join
+from golang_cassandra_kafka_feed_spark.operators.sessionize import sessionize
+from golang_cassandra_kafka_feed_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
+from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries_df(emb, n=10):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    """LSH top-10 must recover most of the exact top-10 (recall@10)."""
+    exact = brute_force_topk(emb, _queries_df(emb), k=10)
+    approx = lsh_bucketed_topk(emb, _queries_df(emb), k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall@10 = {recall}"
+
+
+def test_lsh_scores_are_exact_for_returned(emb):
+    """Approximation only prunes candidates — returned sims are exact."""
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in brute_force_topk(emb, _queries_df(emb, 3), k=50).collect()
+    }
+    for r in lsh_bucketed_topk(emb, _queries_df(emb, 3), k=10).collect():
+        if (r.query_id, r.vec_id) in exact:
+            assert exact[(r.query_id, r.vec_id)] == r.sim
+
+
+def test_embedding_near_duplicates_subset_of_exact(emb):
+    """LSH near-dup pairs ⊆ exact near-dup pairs at the same threshold
+    (no false positives; sims computed exactly)."""
+    sub = emb.filter(F.col("vec_id") < 200)
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(sub, threshold=0.3).collect()
+    }
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    e = sub.select("vec_id", _as_double("embedding").alias("e"))
+    a, b = e.alias("a"), e.alias("b")
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (F.round(cosine(F.col("a.e"), F.col("b.e")) * 10000) / 10000).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .collect()
+    }
+    assert lsh_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(lsh_pairs) / len(exact_pairs) >= 0.3  # loose recall floor
+
+
+def test_asof_join_matches_window_form(spark, sf_dir):
+    """Union-carry-forward as-of join == the join+row_number form (Q10)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    got = asof_join(
+        ev,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+    )
+    # tie-break difference: Q10 picks max (o_orderdate, o_orderkey); the
+    # carry-forward picks the *last in sort order* — align by comparing the
+    # as-of orderdate only (unique per (user, date) not guaranteed, so
+    # compare the date, which both definitions agree on).
+    want = {
+        (r.event_id, r.asof_orderdate)
+        for r in QUERIES["q10_asof_join"](spark, sf_dir).collect()
+    }
+    got_set = {
+        (
+            r.event_id,
+            r.o_orderdate_asof.date() if r.o_orderdate_asof else None,
+        )
+        for r in got.collect()
+    }
+    assert got_set == want
+
+
+def test_range_join_matches_theta_form(spark, sf_dir):
+    """Bucketed range join == the equi+residual theta join (Q09)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    left = ev.select(
+        F.col("event_id").alias("event_id_a"), "user_id", "ts"
+    )
+    right = ev.select(
+        F.col("event_id").alias("event_id_b"),
+        "user_id",
+        F.col("ts").alias("ts_b"),
+    )
+    joined = range_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts_b",
+        window_seconds=3600,
+        bucket_seconds=600,
+    ).filter(F.col("event_id_a") < F.col("event_id_b"))
+    got = {(r.event_id_a, r.event_id_b) for r in joined.collect()}
+    want = {
+        (r.event_id_a, r.event_id_b)
+        for r in QUERIES["q09_range_theta_join"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_matches_q27_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    )
+    got = {
+        (r.user_id, r.n_sessions)
+        for r in sess.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_sessions)
+        for r in QUERIES["q27_session_window"](spark, sf_dir).collect()
+    }
+    assert got == want
