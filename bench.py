@@ -1,0 +1,99 @@
+"""Benchmark harness: runs the declared query inventory + the fan-out
+pipeline at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1, ...extras}
+
+Engine-side mapping of the reference bench suite (BASELINE.md):
+- per-query latency  <- HTTP /posts latency percentiles (batch analog)
+- fanout_events_per_sec <- Kafka produce + E2E delivery throughput
+  (posts/sec through the fan-out join, the worker's hot path
+  cmd/worker/worker.go:112-160)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pyspark.sql import functions as F
+
+    from golang_cassandra_kafka_feed_spark.session import get_spark
+    from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
+    from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up so q01 doesn't pay session startup.
+    load_table(spark, sf_dir, "customer").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        # noop sink: full JVM-side plan execution, zero driver/Python
+        # materialization — rows never cross the JVM boundary.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # Fan-out pipeline throughput: every event becomes a post; a synthetic
+    # 10-followers-per-author graph (the reference E2E shape,
+    # e2e_bench.go:44-49: users=50, follows~10/user).
+    events = load_table(spark, sf_dir, "events")
+    posts = events.select(
+        F.col("event_id").cast("string").alias("post_id"),
+        F.col("user_id").cast("string").alias("author_id"),
+        F.col("props").alias("body"),
+        F.col("ts").alias("created_at"),
+    )
+    users = events.select(F.col("user_id").cast("string")).distinct()
+    follows = (
+        users.crossJoin(F.broadcast(spark.range(1, 11)))
+        .select(
+            F.concat(F.lit("f"), F.col("user_id"), F.lit("-"), F.col("id"))
+            .alias("user_id"),
+            F.col("user_id").alias("followee_id"),
+        )
+    )
+    n_posts = posts.count()
+    t0 = time.time()
+    n_feed = posts.join(
+        F.broadcast(follows),
+        posts.author_id == follows.followee_id,
+    ).count()
+    fanout_sec = time.time() - t0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_sweep_plus_fanout",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "fanout_posts": n_posts,
+                "fanout_feed_rows": n_feed,
+                "fanout_sec": round(fanout_sec, 3),
+                "fanout_events_per_sec": round(n_posts / fanout_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -83,26 +83,48 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def _bucket_keys(
-    vec: Column, planes: list[list[float]], bands: int
-) -> Column:
-    """Array of ``bands`` bucket keys: the sign-bit pattern of
-    n_planes/bands hyperplane dot products, hashed together with the band
-    index (bucket identity only needs equality, so a hash of the bit slice
-    replaces explicit bit packing)."""
+def _with_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+) -> DataFrame:
+    """One row per (id, band) with the LSH ``bucket`` key: xxhash64 of the
+    band's hyperplane sign-bit pattern.  Output: (id_col, vec_col, bucket).
+
+    The planes ride in a broadcast DataFrame rather than literal
+    expressions: 32 planes x 64 dims as literals is a ~2k-node expression
+    tree whose whole-stage codegen compilation alone costs seconds (and is
+    re-paid for every distinct column binding).  The join form keeps the
+    expression tiny; the 32x row amplification collapses in the map-side
+    partial aggregation, grouped on the scalar id (never on the vector).
+    """
+    spark = df.sparkSession
     n = len(planes)
     r = n // bands
-    bits = F.array(
-        *[
-            F.when(
-                _dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1
-            ).otherwise(0)
-            for p in planes
-        ]
+    planes_df = spark.createDataFrame(
+        [(i, i // r, [float(x) for x in p]) for i, p in enumerate(planes)],
+        "plane_idx int, band int, pvec array<double>",
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.slice(bits, b * r + 1, r), b),
+    bit = F.when(_dot(F.col(vec_col), F.col("pvec")) >= 0, 1).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .withColumn("__bit", bit)
+        .groupBy(id_col, "band")
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.xxhash64(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("plane_idx", "__bit"))
+                    ),
+                    lambda s: s["__bit"],
+                ),
+                F.col("band"),
+            ).alias("bucket"),
+        )
+        .drop("band")
     )
 
 
@@ -123,12 +145,25 @@ def lsh_bucketed_topk(
     from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
 
     planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
-    ).withColumn("bucket", F.explode(_bucket_keys(F.col("e"), planes, bands)))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qe")
-    ).withColumn("bucket", F.explode(_bucket_keys(F.col("qe"), planes, bands)))
+    c = _with_buckets(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+        ),
+        "vec_id",
+        "e",
+        planes,
+        bands,
+    )
+    q = _with_buckets(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(vec_col).alias("qe"),
+        ),
+        "query_id",
+        "qe",
+        planes,
+        bands,
+    )
 
     cand = (
         c.join(F.broadcast(q), "bucket")
@@ -161,9 +196,15 @@ def embedding_near_duplicates(
     """All pairs with cosine >= threshold, candidate-pruned by LSH bucket
     collision (embedding-space near-dedup)."""
     planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("e")
-    ).withColumn("bucket", F.explode(_bucket_keys(F.col("e"), planes, bands)))
+    c = _with_buckets(
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("e")
+        ),
+        "id",
+        "e",
+        planes,
+        bands,
+    )
     a = c.alias("a")
     b = c.alias("b")
     pairs = (

@@ -411,28 +411,15 @@ def q21(spark, sf_dir):
     the mean accumulates in DECIMAL so partial-aggregation order can't
     shift the rounded result.
     """
+    from golang_cassandra_kafka_feed_spark.functions.stats import (
+        exact_percentiles,
+        trimmed_mean,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    pct = ev.groupBy("event_type").agg(
-        _round2(F.expr("percentile(value, 0.5)")).alias("p50"),
-        _round2(F.expr("percentile(value, 0.9)")).alias("p90"),
-        _round2(F.expr("percentile(value, 0.99)")).alias("p99"),
-    )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n_grp", F.count("*").over(Window.partitionBy("event_type"))
-    )
-    trimmed = (
-        ranked.filter(
-            (F.col("rn") > F.floor(F.col("n_grp") * 0.01))
-            & (F.col("rn") <= F.col("n_grp") - F.floor(F.col("n_grp") * 0.01))
-        )
-        .groupBy("event_type")
-        .agg(
-            _round2(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count("*")
-            ).alias("trimmed_mean")
-        )
+    pct = exact_percentiles(ev, "value", by=["event_type"])
+    trimmed = trimmed_mean(
+        ev, "value", by=["event_type"], trim=0.01, tiebreak=["event_id"]
     )
     return pct.join(trimmed, "event_type").orderBy("event_type")
 

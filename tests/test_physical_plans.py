@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the optimizer properties SURVEY.md §4 relies
+on must actually hold (pushdown reaching the parquet scan, broadcast for
+small dims, TakeOrderedAndProject for top-k, no Python UDFs in declared
+queries).  These guard against regressions that stay correct but lose the
+scale story."""
+
+from __future__ import annotations
+
+import pytest
+
+from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_point_lookup")
+    assert "PushedFilters: [IsNotNull(c_name), EqualTo(c_name" in plan
+
+
+def test_range_filter_pushes_bounds_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q03_range_filter")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_scan_project")
+    # ReadSchema carries only the two projected columns
+    assert "c_custkey" in plan and "c_name" in plan
+    assert "c_acctbal" not in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q05_broadcast_join_chain")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_global_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no full sort
+
+
+def test_topk_per_key_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_topk_per_key")
+    # Spark 3.5+/4.x pushes rn<=k below the sort via WindowGroupLimit
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_theta_join_is_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q09_range_theta_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_declared_queries_have_no_python_udfs(spark, sf_dir):
+    """Everything oracle-checked stays JVM-side (whole-stage codegen);
+    only the multimodal feature extractor (q40) uses the Arrow path."""
+    for name in QUERIES:
+        if name == "q40_multimodal_features":
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_fanout_join_broadcasts_follows(spark, tmp_path):
+    from golang_cassandra_kafka_feed_spark.feed import FeedStore
+    from golang_cassandra_kafka_feed_spark.streaming.fanout import (
+        fanout_stream,
+    )
+    import datetime as dt
+
+    store = FeedStore(spark, str(tmp_path / "s"))
+    posts = spark.createDataFrame(
+        [("p1", "a", "b", dt.datetime(2026, 1, 1))],
+        "post_id string, author_id string, body string, created_at timestamp",
+    )
+    follows = spark.createDataFrame(
+        [("u1", "a")], "user_id string, followee_id string"
+    )
+    plan = (
+        fanout_stream(posts, follows)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
