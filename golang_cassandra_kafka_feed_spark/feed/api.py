@@ -179,9 +179,14 @@ class FeedStore:
         valid = posts.filter(F.length("body").between(1, 1000)).select(
             *[f.name for f in POST_SCHEMA.fields]
         )
-        self._append(valid, "posts")
+        # Fan out BEFORE the posts append: if ``posts`` has lineage through
+        # this store's posts table (the streaming anti-join does), the
+        # append would invalidate/re-list that lineage and the re-evaluated
+        # batch could lose rows (see streaming/fanout.py).  Order the feed
+        # write first so every action sees the pre-append snapshot.
         if fan_out:
             self.fan_out(valid)
+        self._append(valid, "posts")
         return valid
 
     def fan_out(self, posts: DataFrame) -> None:

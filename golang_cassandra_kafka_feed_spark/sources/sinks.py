@@ -1,0 +1,32 @@
+"""Batch sinks (reference op #37: CSV export of bench latencies,
+bench/e2e_bench/e2e_bench.go:246-255, http_load.go:162-176 — plus the
+standard columnar formats).
+
+Scale note: ``single_file=True`` coalesces to one partition — only for
+small report exports (the reference's use case); bulk data stays
+multi-file parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(
+    df: DataFrame, path: str, single_file: bool = False, header: bool = True
+) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_json_lines(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)

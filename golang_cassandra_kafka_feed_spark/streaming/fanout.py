@@ -96,12 +96,15 @@ def run_fanout_pipeline(
         fresh = posts.join(
             store.table("posts").select("post_id"), "post_id", "left_anti"
         )
-        # Persist: the batch is reused for the posts append and the fan-out.
-        fresh.persist()
-        try:
-            store.add_posts(fresh, fan_out=True)
-        finally:
-            fresh.unpersist()
+        # localCheckpoint, NOT persist: the batch plan reads the posts
+        # table that add_posts is about to append to, and Spark's
+        # recacheByPath re-materializes overlapping *cached* plans after a
+        # write — with a fresh file listing, the anti-join would then
+        # swallow the very rows just written (feed rows silently lost).
+        # Checkpointing truncates the lineage so no table-path dependency
+        # survives into the second action.
+        fresh = fresh.localCheckpoint(eager=True)
+        store.add_posts(fresh, fan_out=True)
 
     return (
         envelopes_stream.writeStream.foreachBatch(_process)

@@ -1,0 +1,45 @@
+"""Sink tests (reference op #37 CSV export + columnar roundtrips)."""
+
+from __future__ import annotations
+
+from golang_cassandra_kafka_feed_spark.functions import exact_percentiles
+from golang_cassandra_kafka_feed_spark.sources.sinks import (
+    write_csv,
+    write_json_lines,
+    write_parquet,
+)
+from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+
+def test_csv_export_roundtrip(spark, sf_dir, tmp_path):
+    """The e2e_bench CSV export shape: stats out, header, single file."""
+    stats = exact_percentiles(
+        load_table(spark, sf_dir, "events"), "value", by=["event_type"]
+    )
+    out = str(tmp_path / "latencies")
+    write_csv(stats, out, single_file=True)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.columns == stats.columns
+    assert back.count() == stats.count()
+    files = [
+        p for p in (tmp_path / "latencies").iterdir() if p.suffix == ".csv"
+    ]
+    assert len(files) == 1  # single-file export
+
+
+def test_parquet_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "ev")
+    write_parquet(ev.withColumn("et", ev.event_type), out, ["et"])
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition dirs exist -> partition pruning applies downstream
+    assert any(p.name.startswith("et=") for p in (tmp_path / "ev").iterdir())
+
+
+def test_json_lines_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "docs")
+    write_json_lines(docs, out)
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
