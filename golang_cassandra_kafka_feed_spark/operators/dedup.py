@@ -30,6 +30,18 @@ def _tokens(col: str) -> Column:
     )
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy per-row
+    work.  Small corpora often arrive as one parquet file = one partition,
+    serializing the whole signature computation onto a single core; at
+    real scale inputs already have >= defaultParallelism partitions and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _shingles(col: str, n: int) -> Column:
     """Word n-gram shingles; documents shorter than n words yield their
     single full-text shingle."""
@@ -85,7 +97,7 @@ def minhash_signatures(
     projection collapse — ~50x slower in practice and not better at
     scale; the explode form is linear work with map-side combine.
     """
-    exploded = df.select(
+    exploded = _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(text_col, shingle_size)).alias("shingle"),
     )
@@ -224,7 +236,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash: per-bit vote of seeded token hashes (Charikar).
     Pure SQL higher-order fold — codegen'd, no UDF."""
-    return df.select(
+    return _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.expr(_SIMHASH_EXPR_TMPL.format(col=text_col)).alias("simhash"),
     )
@@ -290,7 +302,7 @@ def ngram_jaccard_pairs(
     signal but quadratic pairs — the cap is the skew guard at 100 TB),
     count shared shingles per pair, then J = shared / (|A|+|B|-shared).
     """
-    sets = df.select(
+    sets = _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles(text_col, n)).alias("sh"),
     ).withColumn("set_size", F.size("sh"))

@@ -1,0 +1,181 @@
+"""Property-based tests (hypothesis) against independent references:
+numpy for the bench statistics, pandas.merge_asof for the as-of join,
+pure-Python gap-island for sessionization.  Upgrades the reference's
+example-based test strategy (SURVEY.md §5: no property tests there).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from golang_cassandra_kafka_feed_spark.functions.stats import (
+    exact_percentiles,
+    trimmed_mean,
+)
+from golang_cassandra_kafka_feed_spark.operators.asof import asof_join
+from golang_cassandra_kafka_feed_spark.operators.sessionize import sessionize
+from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
+
+# Spark-roundtrip-per-example is expensive; keep example counts tight.
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# two-decimal doubles, the shape of the events.value column
+_vals = st.lists(
+    st.integers(min_value=0, max_value=50_000).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(values=_vals)
+@_SETTINGS
+def test_percentiles_match_numpy(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = exact_percentiles(df, "v", ps=[0.5, 0.9]).first()
+    for col, p in (("p50", 0.5), ("p90", 0.9)):
+        want = float(np.percentile(values, p * 100, method="linear"))
+        got = getattr(row, col)
+        assert math.isclose(got, want, abs_tol=0.005 + 1e-9), (
+            col, got, want, values,
+        )
+
+
+@given(values=_vals, trim_pct=st.integers(min_value=0, max_value=10))
+@_SETTINGS
+def test_trimmed_mean_matches_reference_algorithm(spark, values, trim_pct):
+    """The e2e_bench.go:260-275 definition: sort, drop floor(n*trim) from
+    each end, mean of the remainder."""
+    trim = trim_pct / 100.0
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = trimmed_mean(df, "v", trim=trim).first().trimmed_mean
+
+    s = sorted(values)
+    k = int(math.floor(len(s) * trim))
+    kept = s[k : len(s) - k] or s  # noqa: E203
+    want = sum(kept) / len(kept)
+    assert math.isclose(got, want, abs_tol=0.005 + 1e-9), (got, want, values)
+
+
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=30
+    ),
+    right_ts=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=30
+    ),
+)
+@_SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    base = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=t)) for i, t in enumerate(left_ts)],
+        "lid long, ts timestamp",
+    )
+    import pyspark.sql.functions as F
+
+    right = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=t))
+            for j, t in enumerate(sorted(set(right_ts)))
+        ],
+        "rid long, rts timestamp",
+    ).withColumn("key", F.lit(0))  # dummy shared key
+    left = left.withColumn("key", F.lit(0))
+
+    got = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="rts",
+            value_cols=["rid"],
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        {"lid": range(len(left_ts)),
+         "ts": [base + dt.timedelta(seconds=t) for t in left_ts]}
+    ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(
+        {"rid": range(len(sorted(set(right_ts)))),
+         "rts": [base + dt.timedelta(seconds=t) for t in sorted(set(right_ts))]}
+    )
+    want_df = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="rts", direction="backward"
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    gaps=st.lists(
+        st.integers(min_value=1, max_value=4000), min_size=1, max_size=40
+    )
+)
+@_SETTINGS
+def test_sessionize_matches_python_gap_island(spark, gaps):
+    base = dt.datetime(2026, 1, 1)
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(base + dt.timedelta(seconds=acc))
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(ts)],
+        "uid long, eid long, ts timestamp",
+    )
+    out = sessionize(df, ["uid"], "ts", gap_seconds=1800, order_tiebreak=["eid"])
+    got = out.agg({"session_id": "max"}).first()[0]
+
+    want, prev = 0, None
+    for t in ts:
+        if prev is None or (t - prev).total_seconds() > 1800:
+            want += 1
+        prev = t
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_top_k_per_key_matches_python(spark, rows, k):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(key, i, v) for i, (key, v) in enumerate(rows)],
+        "key long, rid long, v long",
+    )
+    got = {
+        (r.key, r.rid)
+        for r in top_k_per_key(
+            df, ["key"], [F.desc("v"), F.asc("rid")], k
+        ).collect()
+    }
+    want = set()
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for i, (key, v) in enumerate(rows):
+        by_key.setdefault(key, []).append((i, v))
+    for key, items in by_key.items():
+        items.sort(key=lambda iv: (-iv[1], iv[0]))
+        want |= {(key, i) for i, _ in items[:k]}
+    assert got == want
