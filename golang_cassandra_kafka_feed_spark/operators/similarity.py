@@ -184,6 +184,85 @@ def lsh_bucketed_topk(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi
+    cells around centroid vectors, search only the ``n_probe`` cells
+    nearest to each query.
+
+    Centroids are a deterministic corpus sample (every |C|/n_cells-th
+    vector by id rank) — reproducible with no training state; swap in
+    KMeans centroids for better cell balance without touching the search
+    path.  Scale shape: cell assignment is a broadcast-join argmax (narrow),
+    the search is an equi-join on cell id — the corpus shuffles once by
+    cell and each probe list only meets its own cells.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
+
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    # Deterministic sampled centroids: hash-select ~n_cells vectors (no
+    # global sort of the corpus — the hash filter is a narrow scan; only
+    # the tiny centroid set is ranked to assign dense cell ids).
+    n_total = c.count()
+    stride = max(1, n_total // n_cells)
+    centroids = (
+        c.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+        .withColumn(
+            "cell",
+            F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+        )
+        .filter(F.col("cell") < n_cells)
+        .select("cell", F.col("e").alias("cvec"))
+    )
+
+    def nearest_cells(df: DataFrame, idc: str, vcol: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "__d",
+            _dot(F.col(vcol), F.col("cvec"))
+            / (_norm(F.col(vcol)) * _norm(F.col("cvec"))),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("__d"), F.asc("cell"))
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .drop("cvec", "__d", "__cr")
+        )
+
+    c_cells = nearest_cells(c, "vec_id", "e", 1)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qe")
+    )
+    q_cells = nearest_cells(q, "query_id", "qe", n_probe)
+
+    cand = c_cells.join(F.broadcast(q_cells), "cell").select(
+        "query_id", "vec_id", "e", "qe"
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (F.round(cosine(F.col("e"), F.col("qe")) * 10000) / 10000).alias("sim"),
+    )
+    return top_k_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("sim"), F.asc("vec_id")],
+        k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -102,3 +102,46 @@ def fingerprint(col: str | Column) -> Column:
     """Content fingerprint: md5 of the lowercased alpha-only normalization
     (whitespace/punct-insensitive exact dedup key)."""
     return F.md5(F.regexp_replace(F.lower(col), "[^a-z]", ""))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every char
+    k-gram of the normalized text, slide a window of ``window`` hashes,
+    keep each window's minimum; the distinct minima are the fingerprint
+    set.  Guarantee: any shared substring of length >= k + window - 1
+    between two documents shares >= 1 fingerprint.
+
+    Returns (id_col, fingerprints array<bigint>).  Built as *staged*
+    projections — the normalized text and the gram-hash array are each
+    referenced more than once downstream, which stops CollapseProject from
+    re-inlining them (a single nested expression would recompute the
+    regexp normalization per gram: O(n^2) per document).  Hashing is
+    xxhash64 on the positioned gram — same selectivity as the classic
+    polynomial rolling update at the same O(n) gram count, minus the
+    sequential carry that SQL can't express.
+    """
+    norm = df.select(
+        id_col,
+        F.regexp_replace(F.lower(text_col), "[^a-z]", "").alias("__norm"),
+    )
+    grams = norm.select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)), "
+            f"i -> xxhash64(substring(__norm, i, {k})))"
+        ).alias("__gh"),
+    )
+    return grams.select(
+        id_col,
+        F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size(__gh) - {window - 1}, 1)), "
+            f"w -> array_min(slice(__gh, w, {window}))))"
+        ).alias("fingerprints"),
+    )

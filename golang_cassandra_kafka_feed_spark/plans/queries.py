@@ -781,6 +781,36 @@ def q40(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q41(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints per document (rows-only:
+    xxhash64-based; coverage guarantee tested in tests/test_textstats.py)."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(d)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("min_fp"),
+    ).orderBy("doc_id")
+
+
+def q42(spark, sf_dir):
+    """IVF-style approximate ANN (rows-only; recall vs q36 brute force
+    asserted in tests/test_similarity_ops.py)."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=3, n_cells=16, n_probe=6).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -825,4 +855,6 @@ QUERIES = {
     "q38_simhash_neardup": q38,
     "q39_ann_lsh_topk": q39,
     "q40_multimodal_features": q40,
+    "q41_winnow_fingerprint": q41,
+    "q42_ann_ivf_topk": q42,
 }

@@ -69,6 +69,34 @@ def test_declared_queries_have_no_python_udfs(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_get_feed_prunes_user_bucket_partitions(spark, tmp_path):
+    """The feed sink is partitioned by user_bucket; a single-user read
+    must carry a PartitionFilters entry (the per-user Cassandra partition
+    emulated by layout, SURVEY.md §4 row 1)."""
+    import datetime as dt
+
+    from golang_cassandra_kafka_feed_spark.feed import FeedStore
+
+    store = FeedStore(spark, str(tmp_path / "s"), feed_buckets=4)
+    store.create_follows(
+        spark.createDataFrame([("u1", "a")], "user_id string, followee_id string")
+    )
+    store.add_posts(
+        spark.createDataFrame(
+            [("p1", "a", "b", dt.datetime(2026, 1, 1))],
+            "post_id string, author_id string, body string, created_at timestamp",
+        )
+    )
+    plan = (
+        store.get_feed("u1", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(user_bucket" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_fanout_join_broadcasts_follows(spark, tmp_path):
     from golang_cassandra_kafka_feed_spark.feed import FeedStore
     from golang_cassandra_kafka_feed_spark.streaming.fanout import (

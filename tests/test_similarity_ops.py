@@ -84,6 +84,24 @@ def test_embedding_near_duplicates_subset_of_exact(emb):
         assert len(lsh_pairs) / len(exact_pairs) >= 0.3  # loose recall floor
 
 
+def test_ivf_recall_vs_brute_force(emb):
+    from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
+
+    exact = brute_force_topk(emb, _queries_df(emb), k=5)
+    approx = ivf_topk(emb, _queries_df(emb), k=5, n_cells=16, n_probe=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall@5 = {recall}"
+    # returned sims are exact (pruning-only approximation)
+    exact_all = {
+        (r.query_id, r.vec_id): r.sim
+        for r in brute_force_topk(emb, _queries_df(emb), k=500).collect()
+    }
+    for r in ivf_topk(emb, _queries_df(emb, 3), k=5).collect():
+        assert exact_all[(r.query_id, r.vec_id)] == r.sim
+
+
 def test_asof_join_matches_window_form(spark, sf_dir):
     """Union-carry-forward as-of join == the join+row_number form (Q10)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")

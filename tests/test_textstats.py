@@ -1,0 +1,72 @@
+"""Text-analytics operator tests (beyond the q31-q34 oracle parity):
+winnowing guarantee, fingerprint normalization invariance, lang-id
+determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    winnowing_fingerprints,
+)
+
+
+def test_winnowing_identical_docs_share_all_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in
+           winnowing_fingerprints(df).collect()}
+    assert fps[1] == fps[2] and len(fps[1]) > 0
+
+
+def test_winnowing_guarantee_on_shared_substring(spark):
+    """Any shared substring of length >= k + window - 1 (= 8 chars
+    normalized) must produce >= 1 common fingerprint."""
+    shared = "commonsubstringblock"
+    df = spark.createDataFrame(
+        [(1, f"aaa unique prefix one {shared} tail alpha"),
+         (2, f"zzz totally different start {shared} other end")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in
+           winnowing_fingerprints(df).collect()}
+    assert fps[1] & fps[2], "winnowing guarantee violated"
+
+
+def test_winnowing_disjoint_docs_share_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "zyxop qrs tuvw abc")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in
+           winnowing_fingerprints(df, k=6, window=3).collect()}
+    # different char 6-gram sets -> overlap should be empty
+    assert not (fps[1] & fps[2]) or len(fps[1] & fps[2]) < len(fps[1])
+
+
+def test_fingerprint_ignores_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "helloworld"), (3, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fp for r in
+            df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert rows[1] == rows[2] != rows[3]
+
+
+def test_lang_id_marker_argmax_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"),       # en
+         (2, "der hund und die katze"),    # de
+         (3, "xxxx yyyy zzzz"),            # no markers
+         (4, "the und")],                  # 1-1 tie -> en (fixed order)
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lp for r in
+           df.select("doc_id", lang_id("text").alias("lp")).collect()}
+    assert got == {1: "en", 2: "de", 3: "unknown", 4: "en"}
