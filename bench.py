@@ -76,6 +76,40 @@ def main() -> None:
     ).count()
     fanout_sec = time.time() - t0
 
+    # True end-to-end pipeline: envelopes on disk -> streaming decode ->
+    # fan-out join -> idempotent parquet feed sink (the full worker path,
+    # not just the join) — the engine-side twin of the reference's E2E
+    # delivery bench (e2e_bench.go).
+    import shutil
+    import tempfile
+
+    from golang_cassandra_kafka_feed_spark.feed import FeedStore
+    from golang_cassandra_kafka_feed_spark.sources.kafka import (
+        posts_to_envelopes,
+        read_stream_envelope_files,
+    )
+    from golang_cassandra_kafka_feed_spark.streaming import (
+        run_fanout_pipeline,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        store = FeedStore(spark, f"{work}/store", feed_buckets=32)
+        store.create_follows(follows)
+        env_dir = f"{work}/envelopes"
+        posts_to_envelopes(posts).write.parquet(env_dir)
+        t0 = time.time()
+        q = run_fanout_pipeline(
+            read_stream_envelope_files(spark, env_dir),
+            store,
+            f"{work}/ckpt",
+        )
+        q.awaitTermination(600)
+        pipeline_sec = time.time() - t0
+        pipeline_feed_rows = store.table("feed_by_user").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -90,6 +124,9 @@ def main() -> None:
                 "fanout_feed_rows": n_feed,
                 "fanout_sec": round(fanout_sec, 3),
                 "fanout_events_per_sec": round(n_posts / fanout_sec, 1),
+                "pipeline_sec": round(pipeline_sec, 3),
+                "pipeline_feed_rows": pipeline_feed_rows,
+                "pipeline_events_per_sec": round(n_posts / pipeline_sec, 1),
             }
         )
     )
