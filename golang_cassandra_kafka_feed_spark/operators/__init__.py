@@ -23,7 +23,13 @@ from golang_cassandra_kafka_feed_spark.operators.textstats import (
     lang_id,
     quality_features,
     tokens,
+    winnowing_fingerprints,
 )
+from golang_cassandra_kafka_feed_spark.operators.skew import (
+    salted_count,
+    salted_join,
+)
+from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
 
 __all__ = [
     "top_k_global",
@@ -44,4 +50,8 @@ __all__ = [
     "fingerprint",
     "lang_id",
     "quality_features",
+    "winnowing_fingerprints",
+    "salted_join",
+    "salted_count",
+    "ivf_topk",
 ]
