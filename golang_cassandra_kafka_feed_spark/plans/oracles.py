@@ -388,6 +388,50 @@ ORACLES: dict[str, str] = {
         ) WHERE "rank" <= 3
         ORDER BY query_id, "rank"
     """,
+    "q43_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q44_unpivot": """
+        WITH w AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, metric, value FROM (
+            SELECT l_returnflag, l_linestatus,
+                   'sum_qty' AS metric, sum_qty AS value FROM w
+            UNION ALL
+            SELECT l_returnflag, l_linestatus,
+                   'sum_price' AS metric, sum_price AS value FROM w
+        )
+        ORDER BY l_returnflag, l_linestatus, metric
+    """,
+    "q45_scalar_subquery": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer
+        )
+        ORDER BY c_custkey
+    """,
+    "q46_correlated_exists": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 100000
+        )
+        ORDER BY c_custkey
+    """,
     "q40_multimodal_features": """
         SELECT doc_id,
                'application/octet-stream' AS content_type,

@@ -811,6 +811,76 @@ def q42(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q43(spark, sf_dir):
+    """Pivot: per-user event counts spread into one column per event type
+    (explicit value list keeps the plan static — no extra pass to discover
+    pivot values, the scalable form)."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+def q44(spark, sf_dir):
+    """Unpivot (stack): Q11's wide aggregate melted to (group, metric,
+    value) rows."""
+    wide = q11(spark, sf_dir)
+    return (
+        wide.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr(
+                "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) "
+                "AS (metric, value)"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus", "metric")
+    )
+
+
+def q45(spark, sf_dir):
+    """Scalar subquery: customers above the global average balance.
+    Spark plans the subquery as a broadcast scalar; no per-row rescan."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    # the threshold is computed with the decimal-sum idiom so Spark's
+    # partial aggregation and DuckDB's serial sum yield the same double
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+def q46(spark, sf_dir):
+    """Correlated EXISTS with an extra predicate: customers with at least
+    one order over 100k (semi join + pushed condition)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -857,4 +927,8 @@ QUERIES = {
     "q40_multimodal_features": q40,
     "q41_winnow_fingerprint": q41,
     "q42_ann_ivf_topk": q42,
+    "q43_pivot": q43,
+    "q44_unpivot": q44,
+    "q45_scalar_subquery": q45,
+    "q46_correlated_exists": q46,
 }
