@@ -1,5 +1,6 @@
 from golang_cassandra_kafka_feed_spark.streaming.fanout import (
     decode_post_events,
+    deduped_post_stream,
     fanout_stream,
     run_fanout_pipeline,
 )
@@ -10,6 +11,7 @@ from golang_cassandra_kafka_feed_spark.streaming.windows import (
 
 __all__ = [
     "decode_post_events",
+    "deduped_post_stream",
     "fanout_stream",
     "run_fanout_pipeline",
     "tumbling_counts_stream",

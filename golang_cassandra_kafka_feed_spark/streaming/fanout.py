@@ -56,6 +56,27 @@ def decode_post_events(envelopes: DataFrame) -> DataFrame:
     )
 
 
+def deduped_post_stream(
+    envelopes: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Decode + stateful in-stream dedup on post_id within the watermark
+    horizon — the streaming-native form of the at-least-once guard
+    (ref op #20: kafka.go:92 redelivery vs cql:36 PK idempotency).
+
+    Use this when the sink cannot anti-join (e.g. writing straight to
+    Kafka or Cassandra without a readable view); the state store holds
+    one entry per post_id until event time passes the watermark, so state
+    is bounded by the redelivery horizon, not the stream length.  The
+    foreachBatch pipeline (run_fanout_pipeline) instead dedups at the sink
+    by anti-join, which also survives restarts with fresh checkpoints.
+    """
+    return (
+        decode_post_events(envelopes)
+        .withWatermark("created_at", watermark)
+        .dropDuplicatesWithinWatermark(["post_id"])
+    )
+
+
 def fanout_stream(post_events: DataFrame, follows: DataFrame) -> DataFrame:
     """Stream-static equi-join: one feed row per (post, follower)
     (worker.go:138-154; invariant mock_kafka.go:22-47).
