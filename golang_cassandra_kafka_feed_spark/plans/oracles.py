@@ -432,6 +432,31 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY c_custkey
     """,
+    "q47_ngram_jaccard": """
+        WITH sets AS (
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(
+                                      list_slice(toks, i, i + 2), ' '))
+                     END) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> length(t) > 0) AS toks
+                  FROM documents)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+        ORDER BY id_a, id_b
+    """,
     "q40_multimodal_features": """
         SELECT doc_id,
                'application/octet-stream' AS content_type,

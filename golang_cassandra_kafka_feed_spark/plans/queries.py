@@ -881,6 +881,22 @@ def q46(spark, sf_dir):
     )
 
 
+def q47(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join,
+    operators.dedup.ngram_jaccard_pairs).  Oracle-checked: the jaccard is
+    an exact small-integer ratio, so both engines produce the identical
+    double without rounding."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -931,4 +947,5 @@ QUERIES = {
     "q44_unpivot": q44,
     "q45_scalar_subquery": q45,
     "q46_correlated_exists": q46,
+    "q47_ngram_jaccard": q47,
 }
