@@ -30,6 +30,11 @@ from golang_cassandra_kafka_feed_spark.operators.skew import (
     salted_join,
 )
 from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
+from golang_cassandra_kafka_feed_spark.operators.sketches import (
+    approx_distinct,
+    approx_percentiles,
+    bloom_semi_filter,
+)
 
 __all__ = [
     "top_k_global",
@@ -54,4 +59,7 @@ __all__ = [
     "salted_join",
     "salted_count",
     "ivf_topk",
+    "approx_distinct",
+    "approx_percentiles",
+    "bloom_semi_filter",
 ]

@@ -897,6 +897,23 @@ def q47(spark, sf_dir):
     )
 
 
+def q48(spark, sf_dir):
+    """Sketch summary per event_type: HLL distinct users + approximate
+    percentiles (rows-only: sketch internals differ between engines;
+    error bounds vs the exact forms are asserted in
+    tests/test_sketches.py).  The approximate twin of q21/q12 for
+    interactive 100 TB use."""
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        approx_distinct,
+        approx_percentiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    d = approx_distinct(ev, ["user_id"], by=["event_type"])
+    p = approx_percentiles(ev, "value", by=["event_type"], ps=[0.5, 0.99])
+    return d.join(p, "event_type").orderBy("event_type")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -948,4 +965,5 @@ QUERIES = {
     "q45_scalar_subquery": q45,
     "q46_correlated_exists": q46,
     "q47_ngram_jaccard": q47,
+    "q48_sketch_stats": q48,
 }
