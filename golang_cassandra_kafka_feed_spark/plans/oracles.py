@@ -465,3 +465,8 @@ ORACLES: dict[str, str] = {
         FROM documents ORDER BY doc_id
     """,
 }
+
+# TPC-H subset: the oracle IS the Spark SQL (shared string, plans/tpch.py)
+from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_SQL  # noqa: E402
+
+ORACLES.update(TPCH_SQL)

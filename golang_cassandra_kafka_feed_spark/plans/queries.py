@@ -967,3 +967,9 @@ QUERIES = {
     "q47_ngram_jaccard": q47,
     "q48_sketch_stats": q48,
 }
+
+# TPC-H subset (shared-SQL: the same string is the Spark query AND the
+# DuckDB oracle — see plans/tpch.py)
+from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH_QUERIES)
