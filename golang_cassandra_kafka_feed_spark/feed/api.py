@@ -255,6 +255,48 @@ class FeedStore:
             .select(*[f.name for f in FEED_SCHEMA.fields])
         )
 
+    def compact(self, table: str = "feed_by_user") -> int:
+        """Rewrite a table to heal streaming small-files buildup.
+
+        Every micro-batch append adds files; over many epochs reads pay
+        per-file open costs and lose row-group locality.  Compaction
+        rewrites the table once: the feed keeps its user-bucket
+        partitioning and per-bucket newest-first sort (cql:36-37 layout),
+        other tables coalesce by size.  Returns the file count after.
+
+        Staged write + atomic-ish swap (write to .compact, move over):
+        a concurrent reader of the old listing keeps its snapshot; crash
+        between rm and rename loses no committed data because the staging
+        dir holds a complete copy.
+        """
+        import shutil
+
+        path = self._path(table)
+        if not os.path.exists(path):
+            return 0
+        staging = path + ".compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        if table == "feed_by_user":
+            df = self.spark.read.parquet(path)
+            (
+                df.repartition(self.feed_buckets, "user_bucket")
+                .sortWithinPartitions(F.desc("created_at"), F.desc("post_id"))
+                .write.partitionBy("user_bucket")
+                .parquet(staging)
+            )
+        else:
+            df = self.table(table)
+            n = max(1, df.count() // 1_000_000 + 1)
+            df.coalesce(n).write.parquet(staging)
+        shutil.rmtree(path)
+        os.rename(staging, path)
+        return sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     def get_feed_all(self, limit_per_user: int = 50) -> DataFrame:
         """All-users form of GetFeed: top-k per key via window row_number
         (SURVEY.md §2.1 #7)."""

@@ -136,6 +136,35 @@ def test_get_feed_all_matches_single(spark, store):
     assert single == via_all == {"p4", "p3"}
 
 
+def test_compact_shrinks_files_preserves_data(spark, store):
+    store.create_follows(
+        spark.createDataFrame([("u1", "a")], "user_id string, followee_id string")
+    )
+    # many tiny appends = the streaming small-files pattern
+    for i in range(5):
+        store.add_posts(
+            _posts(spark, [(f"p{i}", "a", "b", TS + dt.timedelta(minutes=i))])
+        )
+    import os
+
+    feed_path = store._path("feed_by_user")
+    files_before = sum(
+        1 for _, _, fs in os.walk(feed_path)
+        for f in fs if f.endswith(".parquet")
+    )
+    before = {(r.user_id, r.post_id) for r in store.table("feed_by_user").collect()}
+    files_after = store.compact("feed_by_user")
+    after = {(r.user_id, r.post_id) for r in store.table("feed_by_user").collect()}
+    assert after == before and len(after) == 5
+    assert files_after < files_before
+    # read path still prunes and orders correctly post-compaction
+    feed = store.get_feed("u1", 2).collect()
+    assert [r.post_id for r in feed] == ["p4", "p3"]
+    # posts table compaction too
+    assert store.compact("posts") >= 1
+    assert store.table("posts").count() == 5
+
+
 def test_user_id_by_username(spark, store):
     store.create_users(_users(spark, ["alice"]))
     assert store.user_id_by_username("alice").count() == 1
