@@ -126,7 +126,11 @@ def winnowing_fingerprints(
     polynomial rolling update at the same O(n) gram count, minus the
     sequential carry that SQL can't express.
     """
-    norm = df.select(
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
+    )
+
+    norm = _parallelize(df).select(
         id_col,
         F.regexp_replace(F.lower(text_col), "[^a-z]", "").alias("__norm"),
     )
