@@ -49,6 +49,13 @@ def _has_nanos_ts(path: str) -> bool:
         return False
 
 
+# (id(spark), sf_dir, name) -> DataFrame.  Testdata is read-only, so the
+# reader plan (and its file listing) can be built once per session and
+# reused across the whole query sweep; keying on id(spark) keeps plans
+# from leaking across sessions.
+_READER_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with its pinned schema.
 
@@ -61,11 +68,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     not an opaque UDF.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir, name)
+    cached = _READER_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     if name == "events" and _has_nanos_ts(path):
         raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    _READER_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
