@@ -105,6 +105,107 @@ TPCH_SQL: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
     """,
+    # Q7: volume shipping between two nations (double nation join, year
+    # extraction; nation names per the generator's NATION_k scheme)
+    "tpch_q7": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(volume) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   {_DISC} AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+                OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    # Q8: national market share inside one region for one part type
+    "tpch_q8": f"""
+        SELECT o_year,
+               ROUND((CAST(sum(CASE WHEN nation = 'NATION_9' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END)
+                           AS DOUBLE)
+                      / CAST(sum(volume) AS DOUBLE)) * 100) / 100
+                   AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   {_DISC} AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    # Q15: top supplier by quarterly revenue (CTE + scalar-max filter;
+    # the double equality is safe because both sides come from the same
+    # exact decimal sum)
+    "tpch_q15": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum({_DISC}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    # Q17: small-quantity-order revenue (correlated scalar subquery; the
+    # per-part avg(l_quantity) is integral-valued -> exact in double
+    # regardless of summation order)
+    "tpch_q17": """
+        SELECT ROUND(((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DOUBLE) / 7.0)) * 100) / 100 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = part.p_partkey
+          )
+    """,
+    # Q18: large-volume customers (IN over a grouped HAVING; threshold
+    # tuned to the generator's quantity distribution, p99 ~ 262)
+    "tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+                 o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
     # Q14: promotion effect (conditional / total revenue ratio)
     "tpch_q14": f"""
         SELECT ROUND(((CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
