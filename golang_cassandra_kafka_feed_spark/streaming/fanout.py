@@ -77,16 +77,25 @@ def deduped_post_stream(
     )
 
 
-def fanout_stream(post_events: DataFrame, follows: DataFrame) -> DataFrame:
+def fanout_stream(
+    post_events: DataFrame,
+    follows: DataFrame,
+    broadcast: bool | None = None,
+) -> DataFrame:
     """Stream-static equi-join: one feed row per (post, follower)
     (worker.go:138-154; invariant mock_kafka.go:22-47).
 
-    ``follows`` is static per micro-batch; Spark re-plans the join each
-    batch, so a small follower table goes broadcast automatically (hinted
-    here), a huge one shuffles on the equi key — both correct at scale.
+    ``follows`` is static per micro-batch and Spark re-plans the join
+    every batch, so by default the planner chooses the strategy from the
+    table's size: below autoBroadcastJoinThreshold it broadcasts, a
+    100 TB follower graph shuffles on the equi key.  ``broadcast=True``
+    forces the hint (small-dim case pinned regardless of stats);
+    forcing it unconditionally would OOM on a huge graph, which is why
+    it is an opt-in, not the default.
     """
+    right = F.broadcast(follows) if broadcast else follows
     return post_events.join(
-        F.broadcast(follows),
+        right,
         post_events.author_id == follows.followee_id,
         "inner",
     ).select(

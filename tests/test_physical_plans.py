@@ -112,10 +112,21 @@ def test_fanout_join_broadcasts_follows(spark, tmp_path):
     follows = spark.createDataFrame(
         [("u1", "a")], "user_id string, followee_id string"
     )
+    # explicit small-dim pinning -> broadcast hash join
     plan = (
-        fanout_stream(posts, follows)
+        fanout_stream(posts, follows, broadcast=True)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+    # default: planner's choice from stats (no forced hint that would OOM
+    # on a 100 TB follower graph) — must still be a proper equi join
+    default_plan = (
+        fanout_stream(posts, follows)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in default_plan
+    assert "BroadcastNestedLoopJoin" not in default_plan
