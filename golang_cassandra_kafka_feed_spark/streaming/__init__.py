@@ -4,6 +4,9 @@ from golang_cassandra_kafka_feed_spark.streaming.fanout import (
     fanout_stream,
     run_fanout_pipeline,
 )
+from golang_cassandra_kafka_feed_spark.streaming.stateful import (
+    sessionize_with_state,
+)
 from golang_cassandra_kafka_feed_spark.streaming.windows import (
     session_counts_stream,
     tumbling_counts_stream,
@@ -16,4 +19,5 @@ __all__ = [
     "run_fanout_pipeline",
     "tumbling_counts_stream",
     "session_counts_stream",
+    "sessionize_with_state",
 ]

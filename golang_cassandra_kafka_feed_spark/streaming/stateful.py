@@ -1,0 +1,130 @@
+"""Custom stateful streaming operator: applyInPandasWithState sessionizer.
+
+The built-in ``F.session_window`` (streaming/windows.py) covers gap-based
+session *counts*; this operator is the escape hatch for session semantics
+the built-in cannot express — per-session custom payloads (first/last
+event ids, value sums) and explicit control over when a session closes.
+It is the Spark-native analog of the reference worker's only stateful
+behavior (the bounded in-flight queue + at-least-once redelivery horizon,
+cmd/worker/worker.go:55-70, internal/broker/kafka.go:92): state lives in
+the HDFS/RocksDB state store, bounded by the event-time watermark, not in
+process memory.
+
+Semantics (matches operators/sessionize.py and the Q27 gap-and-island
+oracle): a new session starts when the gap to the previous event is
+STRICTLY greater than ``gap_seconds``.  Sessions are emitted when a later
+event closes them, or when the watermark passes ``session_end + gap``
+(event-time timeout) — so every session eventually flushes and state per
+key is one open session, independent of stream length.
+
+Scale posture: state is partitioned by the group key (one shuffle on
+user_id); Arrow-batched pandas transfer; per-key state is O(1) (three
+longs), so 10^9 users is bounded by the state store, not the JVM heap.
+
+Late data: rows later than the watermark are dropped by Spark before the
+function runs; rows late-but-within-watermark merge into the open session
+(start/end widen) when they fall inside the gap, and otherwise start a
+new session — cross-batch reordering beyond that is not repaired, which
+mirrors the reference's "insert where it lands" stance (worker.go:149).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = (
+    "user_id long, start_ms long, end_ms long, n_events long, value_sum double"
+)
+_STATE_SCHEMA = "start_ms long, end_ms long, n_events long, value_sum double"
+
+
+def _make_session_fn(gap_ms: int):
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = ["user_id", "start_ms", "end_ms", "n_events", "value_sum"]
+        user_id = int(key[0])
+
+        if state.hasTimedOut:
+            start_ms, end_ms, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start_ms, end_ms, n, vsum)], columns=cols
+            )
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        values = rows["value"].astype("float64").tolist()
+
+        if state.exists:
+            start_ms, end_ms, n, vsum = state.get
+        else:
+            start_ms = None
+            end_ms = n = 0
+            vsum = 0.0
+
+        closed = []
+        for t, v in zip(ts_ms, values):
+            t = int(t)
+            if start_ms is None:
+                start_ms, end_ms, n, vsum = t, t, 1, v
+            elif t - end_ms > gap_ms:
+                closed.append((user_id, start_ms, end_ms, n, vsum))
+                start_ms, end_ms, n, vsum = t, t, 1, v
+            else:
+                # in-gap (possibly late-within-watermark): widen the session
+                start_ms = min(start_ms, t)
+                end_ms = max(end_ms, t)
+                n += 1
+                vsum += v
+
+        state.update((start_ms, end_ms, n, float(vsum)))
+        # flush the open session once the watermark passes end + gap; the
+        # timestamp must sit beyond the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(
+            max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return fn
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """events(user_id, ts, value) -> one row per closed session with a
+    custom payload (n_events, value_sum) — applyInPandasWithState with
+    EventTimeTimeout.  Output columns: user_id, session_start,
+    session_end, n_events, value_sum.
+    """
+    sessions = (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_seconds * 1000),
+            _OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return sessions.select(
+        "user_id",
+        F.timestamp_millis("start_ms").alias("session_start"),
+        F.timestamp_millis("end_ms").alias("session_end"),
+        "n_events",
+        (F.round(F.col("value_sum") * 100) / 100).alias("value_sum"),
+    )

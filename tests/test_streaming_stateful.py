@@ -1,0 +1,129 @@
+"""applyInPandasWithState sessionizer: true streaming run must agree with
+the batch gap-and-island oracle (Q27) on the real events table.
+
+Same harness shape as test_streaming_windows.py: real events as one file,
+then two far-future sentinel files — the first advances the watermark past
+every real session's end+gap, the second gives the engine a batch in which
+those event-time timeouts actually fire and flush the open sessions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
+from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+from golang_cassandra_kafka_feed_spark.streaming.stateful import (
+    sessionize_with_state,
+)
+
+_SENTINEL_USER = -1
+_SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = tmp_path / "ev"
+    ev.coalesce(1).write.parquet(str(src / "batch0"))
+    far = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    for i, ts in enumerate([far, far + dt.timedelta(days=1)], start=1):
+        spark.createDataFrame(
+            [(_SENTINEL_USER, ts, 0.0)], _SCHEMA
+        ).write.parquet(str(src / f"batch{i}"))
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch*"))
+    )
+    q = (
+        sessionize_with_state(stream, gap_seconds=1800, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("stateful_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = (
+        spark.sql("SELECT * FROM stateful_sess")
+        .filter(F.col("user_id") != _SENTINEL_USER)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            (F.round(F.sum("value_sum") * 100) / 100).alias("value_sum"),
+        )
+    )
+    got = {
+        (r.user_id, r.n_sessions, r.n_events, r.value_sum)
+        for r in emitted.collect()
+    }
+
+    batch_totals = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.round(F.sum("value") * 100) / 100).alias("value_sum"),
+    )
+    want = {
+        (r.user_id, r.n_sessions, r.n_events, r.value_sum)
+        for r in QUERIES["q27_session_window"](spark, sf_dir)
+        .join(batch_totals, "user_id")
+        .select("user_id", "n_sessions", "n_events", "value_sum")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_sessionizer_payload_and_gap_split(spark, tmp_path):
+    """Unit semantics: strict-gap split, in-gap merge, custom payload."""
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(minutes=10), 5.0),
+        (1, base + dt.timedelta(minutes=50), 1.0),  # 40 min gap -> split
+        (2, base, 2.0),
+    ]
+    src = tmp_path / "u"
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    far = base + dt.timedelta(days=30)
+    for i, ts in enumerate([far, far + dt.timedelta(days=1)], start=1):
+        spark.createDataFrame(
+            [(_SENTINEL_USER, ts, 0.0)], _SCHEMA
+        ).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        sessionize_with_state(stream, gap_seconds=1800, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("stateful_unit")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.sql(
+            "SELECT * FROM stateful_unit WHERE user_id >= 0"
+        ).collect()
+    }
+    assert got == {
+        (1, base, base + dt.timedelta(minutes=10), 2, 15.0),
+        (
+            1,
+            base + dt.timedelta(minutes=50),
+            base + dt.timedelta(minutes=50),
+            1,
+            1.0,
+        ),
+        (2, base, base, 1, 2.0),
+    }
