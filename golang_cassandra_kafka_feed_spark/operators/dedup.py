@@ -35,25 +35,33 @@ def _parallelize(df: DataFrame) -> DataFrame:
     work.  Small corpora often arrive as one parquet file = one partition,
     serializing the whole signature computation onto a single core; at
     real scale inputs already have >= defaultParallelism partitions and
-    this is a no-op."""
+    this is a no-op.
+
+    Hash repartition on all columns, NOT round-robin: round-robin output
+    is non-deterministic, which disqualifies the exchange from Catalyst's
+    ReuseExchange — operators that branch over the same expensive subplan
+    (e.g. the inverted index read 3x in ngram_jaccard_pairs) would then
+    recompute the per-row work once per branch."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
+        return df.repartition(target, *df.columns)
     return df
 
 
 def _shingles(col: str, n: int) -> Column:
     """Word n-gram shingles; documents shorter than n words yield their
-    single full-text shingle."""
-    toks = _tokens(col)
-    return F.when(
-        F.size(toks) < n, F.array(F.array_join(toks, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )
+    single full-text shingle.
+
+    One regex pass with a zero-width word-boundary lookahead extracts every
+    overlapping n-gram token-aligned: ``\\b(?=(w w ... w))``.  This stays on
+    the codegen'd regexp path; the equivalent higher-order-function build
+    (sequence -> transform -> slice -> array_join) runs interpreted and was
+    ~5x slower per document (measured at sf0.1; see PERFORMANCE.md).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(col), "[^a-z]+", " "))
+    pat = r"\b(?=(" + " ".join(["[a-z]+"] * n) + r"))"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return F.when(F.size(grams) == 0, F.array(norm)).otherwise(grams)
 
 
 # ---------------------------------------------------------------------------
