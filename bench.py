@@ -41,13 +41,21 @@ def main() -> None:
     # JVM/codegen warm-up so q01 doesn't pay session startup.
     load_table(spark, sf_dir, "customer").count()
 
+    # Per-query time = min over N runs (default 2): the first execution of
+    # a plan pays one-time JIT/codegen compilation that a long-lived
+    # cluster amortizes away, so steady-state is the number that projects
+    # to 100 TB.  SPARK_GRAFT_BENCH_RUNS=1 gives the cold-start sweep.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        # noop sink: full JVM-side plan execution, zero driver/Python
-        # materialization — rows never cross the JVM boundary.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            # noop sink: full JVM-side plan execution, zero driver/Python
+            # materialization — rows never cross the JVM boundary.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # Fan-out pipeline throughput: every event becomes a post; a synthetic
     # 10-followers-per-author graph (the reference E2E shape,
