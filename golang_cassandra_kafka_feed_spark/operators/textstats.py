@@ -36,6 +36,31 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer, simplified to be lookahead-free so the SAME
+# pattern runs on the DuckDB (RE2) oracle: a token is an optional leading
+# space followed by a letter run, a digit run, or a punctuation run.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """BPE-ish pre-tokenization (the unit a byte-pair encoder would merge
+    within).  Group 0 extraction: the alternation has no capture groups."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
+
+
+def whitespace_token_count(col: str | Column) -> Column:
+    """Plain whitespace-split token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    ).cast("long")
+
+
 def alpha_ratio(col: str | Column) -> Column:
     """Fraction of characters that are ascii letters or space — a
     boilerplate/garbage signal."""

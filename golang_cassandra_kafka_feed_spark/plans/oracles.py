@@ -457,6 +457,18 @@ ORACLES: dict[str, str] = {
         ) WHERE jaccard >= 0.5
         ORDER BY id_a, id_b
     """,
+    "q49_bpe_token_count": """
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> length(t) > 0)) AS n_ws_tokens,
+               len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               t -> length(t) > 0)) AS n_alpha_tokens,
+               len(regexp_extract_all(
+                   text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+                 AS n_bpe_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
     "q40_multimodal_features": """
         SELECT doc_id,
                'application/octet-stream' AS content_type,

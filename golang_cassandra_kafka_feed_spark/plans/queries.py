@@ -914,6 +914,27 @@ def q48(spark, sf_dir):
     return d.join(p, "event_type").orderBy("event_type")
 
 
+def q49(spark, sf_dir):
+    """Token counting three ways per document: whitespace split, alpha
+    tokenizer (the Q29 one), and a BPE-ish pre-tokenizer regex — the
+    training-data token-budget accounting surface.  All three stay on the
+    codegen'd JVM regex path; the BPE pattern is lookahead-free so the
+    identical pattern runs on the DuckDB oracle (RE2)."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        bpe_token_count,
+        token_count,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        token_count("text").alias("n_alpha_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -966,6 +987,7 @@ QUERIES = {
     "q46_correlated_exists": q46,
     "q47_ngram_jaccard": q47,
     "q48_sketch_stats": q48,
+    "q49_bpe_token_count": q49,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -70,3 +70,31 @@ def test_lang_id_marker_argmax_and_tiebreak(spark):
     got = {r.doc_id: r.lp for r in
            df.select("doc_id", lang_id("text").alias("lp")).collect()}
     assert got == {1: "en", 2: "de", 3: "unknown", 4: "en"}
+
+
+def test_bpe_tokens_pretokenizer_semantics(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        bpe_token_count,
+        bpe_tokens,
+        whitespace_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 cats"), (2, "a.b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.toks, r.n, r.nws)
+        for r in df.select(
+            "doc_id",
+            bpe_tokens("text").alias("toks"),
+            bpe_token_count("text").alias("n"),
+            whitespace_token_count("text").alias("nws"),
+        ).collect()
+    }
+    # letter runs, digit runs, punctuation runs; leading space attaches
+    assert got[1] == (
+        ["Hello", ",", " world", "!", " 42", " cats"], 6, 4,
+    )
+    assert got[2] == (["a", ".", "b"], 3, 1)
+    assert got[3] == ([], 0, 0)
