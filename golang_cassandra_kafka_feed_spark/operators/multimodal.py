@@ -111,6 +111,57 @@ def fake_feature_extract(
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("thumbnail", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Thumbnail/resize stage — Arrow-batched mapInPandas with the exact
+    signature a real image resize would have (payload in, width x height
+    thumbnail bytes out, narrow, no shuffle).
+
+    Without an image library the pixel decode is STUBBED deterministically:
+    the "thumbnail" is ``width*height`` bytes stride-sampled evenly across
+    the payload (repeating for short payloads), so output size and batch
+    shape match the real operator and tests can pin determinism.
+    """
+    n_out = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                if not raw:
+                    thumbs.append(b"\x00" * n_out)
+                    continue
+                step = max(1, len(raw) // n_out)
+                sampled = raw[::step][:n_out]
+                # repeat to exactly n_out bytes for short payloads
+                sampled = (sampled * (n_out // len(sampled) + 1))[:n_out]
+                thumbs.append(sampled)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content_type": pdf["content_type"],
+                    "width": width,
+                    "height": height,
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def frame_sample(
     media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
 ) -> DataFrame:

@@ -60,3 +60,21 @@ def test_frame_sample_shape(media):
     assert all(1 <= r.n <= 4 for r in agg)
     first = frames.filter(F.col("frame_idx") == 0).count()
     assert first == media.count()  # every payload yields frame 0
+
+
+def test_resize_media_shape_and_determinism(media):
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    thumbs = resize_media(media, width=4, height=4)
+    rows = {r.doc_id: r for r in thumbs.collect()}
+    assert len(rows) == media.count()
+    for r in rows.values():
+        assert (r.width, r.height) == (4, 4)
+        assert len(bytes(r.thumbnail)) == 16  # exactly width*height bytes
+    # deterministic: a second run produces identical thumbnails
+    again = {r.doc_id: bytes(r.thumbnail) for r in thumbs.collect()}
+    assert again == {k: bytes(v.thumbnail) for k, v in rows.items()}
+    # narrow: partitioning preserved
+    assert resize_media(media.repartition(4)).rdd.getNumPartitions() == 4
