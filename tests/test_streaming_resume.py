@@ -59,3 +59,46 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
     assert store.table("posts").count() == 2  # p1 NOT reprocessed
     feed = {(r.user_id, r.post_id) for r in store.table("feed_by_user").collect()}
     assert feed == {("u1", "p1"), ("u1", "p2")}
+
+
+def test_follow_graph_updates_apply_to_later_batches(spark, tmp_path):
+    """GetFollowers runs at processing time (worker.go:128): the
+    stream-static join re-plans per micro-batch, so a follow created
+    between batches affects later posts only — already-delivered posts
+    are NOT retroactively fanned out to the new follower."""
+    store = FeedStore(spark, str(tmp_path / "store"), feed_buckets=4)
+    store.create_follows(
+        spark.createDataFrame(
+            [("u1", "a")], "user_id string, followee_id string"
+        )
+    )
+    in_dir = tmp_path / "env"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(b"post_created", _value("p1"), TS)], ENVELOPE_SCHEMA
+    ).write.mode("append").parquet(str(in_dir))
+    q = run_fanout_pipeline(
+        read_stream_envelope_files(spark, str(in_dir)), store, ckpt
+    )
+    q.awaitTermination(120)
+
+    # u2 follows a AFTER p1 was delivered
+    store.create_follows(
+        spark.createDataFrame(
+            [("u2", "a")], "user_id string, followee_id string"
+        )
+    )
+    spark.createDataFrame(
+        [(b"post_created", _value("p2"), TS)], ENVELOPE_SCHEMA
+    ).write.mode("append").parquet(str(in_dir))
+    q = run_fanout_pipeline(
+        read_stream_envelope_files(spark, str(in_dir)), store, ckpt
+    )
+    q.awaitTermination(120)
+
+    feed = {
+        (r.user_id, r.post_id) for r in store.table("feed_by_user").collect()
+    }
+    assert feed == {("u1", "p1"), ("u1", "p2"), ("u2", "p2")}
