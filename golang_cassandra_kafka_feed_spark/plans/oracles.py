@@ -469,6 +469,54 @@ ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    "q50_window_battery": """
+        SELECT user_id, event_id,
+               first_value(value) OVER w_ts AS first_val,
+               last_value(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS last_val,
+               ntile(4) OVER w_ts AS quartile,
+               round(percent_rank() OVER w_val * 10000) / 10000 AS pct_rank,
+               round(cume_dist() OVER w_val * 10000) / 10000 AS cume,
+               lead(value) OVER w_ts AS next_val
+        FROM events
+        WHERE user_id <= 10
+        WINDOW w_ts AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w_val AS (PARTITION BY user_id ORDER BY value, event_id)
+        ORDER BY user_id, event_id
+    """,
+    "q51_string_battery": """
+        SELECT c_custkey,
+               lpad(c_name, 25, '*') AS padded,
+               repeat(left(c_name, 3), 2) AS rep3,
+               reverse(c_name) AS rev,
+               split_part(c_name, '#', 2) AS num_part,
+               levenshtein(c_name, 'Customer#000000001') AS lev,
+               translate(c_name, '#0', '-x') AS trans,
+               strpos(c_name, '9') AS pos9
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 100
+    """,
+    "q52_null_datetime_battery": """
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'O') AS closed_status,
+               coalesce(nullif(o_orderstatus, 'O'), 'open')
+                 AS status_or_open,
+               o_orderstatus IS NOT DISTINCT FROM
+                 nullif(o_orderstatus, 'O') AS nse,
+               CAST(o_orderdate AS DATE) AS od,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+                 AS plus30,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                 AS days_to_98,
+               CAST(extract(month FROM o_orderdate) AS INTEGER) AS mon
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 200
+    """,
     "q40_multimodal_features": """
         SELECT doc_id,
                'application/octet-stream' AS content_type,

@@ -935,6 +935,85 @@ def q49(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q50(spark, sf_dir):
+    """Window analytic battery beyond lag/avg/row_number: first/last value,
+    ntile, percent_rank, cume_dist, lead — all over deterministic
+    (ts, event_id) / (value, event_id) orderings (ties broken, SURVEY.md
+    §7.3.2).  percent_rank/cume_dist are exact small-int ratios, so both
+    engines produce the identical double."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_ts.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.first("value").over(w_ts).alias("first_val"),
+            F.last("value").over(w_full).alias("last_val"),
+            F.ntile(4).over(w_ts).alias("quartile"),
+            _round4(F.percent_rank().over(w_val)).alias("pct_rank"),
+            _round4(F.cume_dist().over(w_val)).alias("cume"),
+            F.lead("value").over(w_ts).alias("next_val"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q51(spark, sf_dir):
+    """String function battery (extends ref op #25, httphandlers.go:53,107
+    concat/format): pad, repeat, reverse, split_part, levenshtein,
+    translate, instr — every one a JVM builtin with a DuckDB twin."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.lpad("c_name", 25, "*").alias("padded"),
+            F.repeat(F.substring("c_name", 1, 3), 2).alias("rep3"),
+            F.reverse("c_name").alias("rev"),
+            F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("num_part"),
+            F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias(
+                "lev"
+            ),
+            F.translate("c_name", "#0", "-x").alias("trans"),
+            F.instr("c_name", "9").alias("pos9"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+def q52(spark, sf_dir):
+    """Null-handling + date arithmetic battery: nullif/coalesce/ifnull,
+    null-safe equality (<=> / IS NOT DISTINCT FROM), date_add, last_day,
+    datediff, month extract (extends ref ops #27-29)."""
+    o = _t(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr("nullif(o_orderstatus, 'O')").alias("closed_status"),
+            F.coalesce(
+                F.expr("nullif(o_orderstatus, 'O')"), F.lit("open")
+            ).alias("status_or_open"),
+            F.expr("o_orderstatus <=> nullif(o_orderstatus, 'O')").alias(
+                "nse"
+            ),
+            od.alias("od"),
+            F.date_add(od, 30).alias("plus30"),
+            F.last_day(od).alias("month_end"),
+            F.datediff(F.lit("1998-01-01").cast("date"), od).alias(
+                "days_to_98"
+            ),
+            F.month(od).alias("mon"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -988,6 +1067,9 @@ QUERIES = {
     "q47_ngram_jaccard": q47,
     "q48_sketch_stats": q48,
     "q49_bpe_token_count": q49,
+    "q50_window_battery": q50,
+    "q51_string_battery": q51,
+    "q52_null_datetime_battery": q52,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
