@@ -119,6 +119,16 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # reference-style latency percentiles over the query set
+    # (http_load.go:197-209 linear-interpolation percentile, applied to
+    # per-query wall times)
+    lat = sorted(timings.values())
+
+    def _pct(p: float) -> float:
+        i = p * (len(lat) - 1)
+        lo, hi = int(i), min(int(i) + 1, len(lat) - 1)
+        return round(lat[lo] + (lat[hi] - lat[lo]) * (i - lo), 3)
+
     print(
         json.dumps(
             {
@@ -128,6 +138,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "query_sec_p50": _pct(0.5),
+                "query_sec_p90": _pct(0.9),
+                "query_sec_p99": _pct(0.99),
                 "fanout_posts": n_posts,
                 "fanout_feed_rows": n_feed,
                 "fanout_sec": round(fanout_sec, 3),

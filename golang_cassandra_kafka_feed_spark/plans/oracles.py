@@ -526,6 +526,11 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# Shared-SQL oracles: the oracle IS the Spark SQL string
+from golang_cassandra_kafka_feed_spark.plans.queries import Q53_SQL  # noqa: E402
+
+ORACLES["q53_in_null_semantics"] = Q53_SQL
+
 # TPC-H subset: the oracle IS the Spark SQL (shared string, plans/tpch.py)
 from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_SQL  # noqa: E402
 

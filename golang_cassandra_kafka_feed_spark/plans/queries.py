@@ -1014,6 +1014,51 @@ def q52(spark, sf_dir):
     )
 
 
+# Shared-SQL (runs verbatim on Spark and DuckDB, tpch.py pattern):
+# ANSI three-valued IN / NOT IN with a NULL in the subquery, in PREDICATE
+# position: rows whose membership test evaluates to NULL are filtered out,
+# so NOT IN against a key set containing a NULL selects NOTHING.  The
+# CAS/create-if-absent guard (ref op #2/#3, feed.go:33-59) done with
+# NOT IN instead of an anti-join silently drops everything on a NULL key
+# — this query pins that both engines agree on the trap.
+#
+# Deliberately predicate-position only: in *projection* position Spark
+# compiles IN-subqueries to an ExistenceJoin that returns FALSE where
+# ANSI (and DuckDB) give NULL — a real cross-engine divergence found
+# while building this query; declared surface avoids that position.
+Q53_SQL = """
+    SELECT
+      (SELECT count(*) FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'BUILDING'))
+        AS n_in_clean,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'BUILDING'
+                           UNION ALL SELECT CAST(NULL AS BIGINT)))
+        AS n_in_nullable,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_mktsegment = 'BUILDING'))
+        AS n_not_in_clean,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_mktsegment = 'BUILDING'
+                               UNION ALL SELECT CAST(NULL AS BIGINT)))
+        AS n_not_in_nullable
+"""
+
+
+def q53(spark, sf_dir):
+    """Three-valued IN/NOT IN NULL semantics (see Q53_SQL)."""
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q53_SQL)
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1070,6 +1115,7 @@ QUERIES = {
     "q50_window_battery": q50,
     "q51_string_battery": q51,
     "q52_null_datetime_battery": q52,
+    "q53_in_null_semantics": q53,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
