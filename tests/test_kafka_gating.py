@@ -21,3 +21,19 @@ def test_kafka_wrappers_are_gated(spark):
     df = spark.createDataFrame([("k", "v")], "key string, value string")
     with pytest.raises(NotImplementedError):
         write_kafka(df, "localhost:9092", "feed-topic")
+
+
+def test_cassandra_wrappers_are_gated(spark):
+    from golang_cassandra_kafka_feed_spark.sources.cassandra import (
+        cassandra_available,
+        read_table,
+        write_table,
+    )
+
+    if cassandra_available(spark):
+        pytest.skip("cassandra connector present in this environment")
+    with pytest.raises(NotImplementedError, match="FeedStore"):
+        read_table(spark, "feed", "feed_by_user")
+    df = spark.createDataFrame([("u", "p")], "user_id string, post_id string")
+    with pytest.raises(NotImplementedError, match="FeedStore"):
+        write_table(df, "feed", "feed_by_user")
