@@ -1,0 +1,102 @@
+"""End-to-end corpus curation: the operators of this package composed into
+the standard training-data preparation pipeline.
+
+    quality gate -> language gate -> exact dedup -> near-dup removal
+    (MinHash-LSH) -> per-source cap -> deterministic train/val/test split
+
+Everything stays declarative DataFrame work: Catalyst sees the whole
+pipeline as one plan, so filters merge into the scan, the dedup/cap
+shuffles are the only exchanges, and the near-dup stage only pays for
+LSH-bucket-collided pairs.  The output is reproducible end-to-end — every
+stage is deterministic (hash-based split, tie-broken orderings, min-id
+survivor rule), asserted in tests/test_curate.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    minhash_near_duplicates,
+)
+from golang_cassandra_kafka_feed_spark.operators.sampling import (
+    hash_split,
+    per_key_cap,
+)
+from golang_cassandra_kafka_feed_spark.operators.textstats import (
+    alpha_ratio,
+    lang_id,
+    token_count,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.6,
+    langs: Sequence[str] | None = None,
+    near_dup_threshold: float = 0.8,
+    max_per_source: int | None = None,
+    split_weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Returns the curated corpus: input columns + ``lang`` (detected),
+    ``n_tokens``, and ``split``.
+
+    Near-dup survivor rule: for every near-duplicate pair the LOWER id
+    survives — deterministic and transitive-safe (dropping every id that
+    appears as the greater side removes one element of every remaining
+    pair; re-running the detector on the output finds no pair).
+    """
+    d = docs.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "__alpha", alpha_ratio(text_col)
+    )
+    d = d.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("__alpha") >= min_alpha_ratio)
+    ).drop("__alpha")
+    d = d.withColumn("__lang", lang_id(text_col))
+    if langs is not None:
+        d = d.filter(F.col("__lang").isin(list(langs)))
+
+    # exact dedup on normalized text, lowest id survives
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d = (
+        d.withColumn("__norm", norm)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__norm").orderBy(id_col)
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__norm")
+    )
+
+    # near-dup removal: drop the greater id of every detected pair
+    pairs = minhash_near_duplicates(
+        d, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    d = d.join(losers, id_col, "left_anti")
+
+    if max_per_source is not None:
+        d = per_key_cap(
+            d,
+            [source_col],
+            [F.desc("n_tokens"), F.asc(id_col)],
+            max_per_source,
+        )
+
+    return hash_split(d, id_col, weights=split_weights).withColumnRenamed(
+        "__lang", "lang_detected"
+    )

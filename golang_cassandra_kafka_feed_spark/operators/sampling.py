@@ -1,0 +1,76 @@
+"""Deterministic sampling/splitting for training-data pipelines.
+
+Core property: the split is a PURE FUNCTION of the row id (md5 of the id
+string + salt), not of partitioning, row order, cluster size, or a seeded
+RNG — so a 100 TB corpus re-splits identically after repartitioning,
+compaction, or incremental append, and any engine (the DuckDB oracle
+included) reproduces it bit-for-bit.  ``df.randomSplit``/``sampleBy`` by
+contrast depend on partition layout and are not cross-engine checkable.
+
+md5 (not xxhash64) because the oracle contract needs a hash both Spark and
+DuckDB implement identically over the same UTF-8 bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TWO32 = float(1 << 32)
+
+
+def hash_fraction(id_col: Column | str, salt: str = "split") -> Column:
+    """Uniform [0, 1) fraction from the first 8 md5 hex digits of
+    ``str(id) + ':' + salt``.  Change the salt to draw an independent
+    split from the same ids."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat(c.cast("string"), F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") / _TWO32
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by cumulative weight boundaries over
+    the hash fraction.  Weights need not sum to exactly 1; the last label
+    absorbs the remainder."""
+    frac = hash_fraction(id_col, salt)
+    expr = F.lit(weights[-1][0])
+    cum = 0.0
+    branches = []
+    for label, w in weights[:-1]:
+        cum += w
+        branches.append((cum, label))
+    for bound, label in reversed(branches):
+        expr = F.when(frac < bound, F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def per_key_cap(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key group, best-first by ``order_by``
+    (domain/source caps against over-represented slices).  One shuffle on
+    the keys; WindowGroupLimit pushes the rank filter below the sort
+    (same physical shape as operators/topk.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

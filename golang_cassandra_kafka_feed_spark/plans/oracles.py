@@ -517,6 +517,29 @@ ORACLES: dict[str, str] = {
         ORDER BY o_orderkey
         LIMIT 200
     """,
+    "q54_hash_split": """
+        SELECT doc_id,
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS frac
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    "q55_per_source_cap": """
+        SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 50
+        ORDER BY source, doc_id
+    """,
     "q40_multimodal_features": """
         SELECT doc_id,
                'application/octet-stream' AS content_type,

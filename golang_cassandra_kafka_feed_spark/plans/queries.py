@@ -1059,6 +1059,41 @@ def q53(spark, sf_dir):
     return spark.sql(Q53_SQL)
 
 
+def q54(spark, sf_dir):
+    """Deterministic train/val/test hash split of the corpus
+    (operators/sampling.py): split = pure function of doc_id via md5, so
+    the assignment is stable under repartitioning/append and reproducible
+    by the oracle."""
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        hash_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def q55(spark, sf_dir):
+    """Per-source cap: at most 50 docs per source, best-first by
+    (n_chars DESC, doc_id) — the domain-balancing op of a corpus pipeline
+    (and the GetFeed top-k shape, ref op #7, applied to curation)."""
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        per_key_cap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        per_key_cap(
+            d, ["source"], [F.desc("n_chars"), F.asc("doc_id")], 50
+        )
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1116,6 +1151,8 @@ QUERIES = {
     "q51_string_battery": q51,
     "q52_null_datetime_battery": q52,
     "q53_in_null_semantics": q53,
+    "q54_hash_split": q54,
+    "q55_per_source_cap": q55,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

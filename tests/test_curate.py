@@ -1,0 +1,49 @@
+"""Curation pipeline: determinism, gate monotonicity, and the no-near-dup
+invariant of the composed corpus-preparation flow (operators/curate.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.curate import curate_corpus
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    minhash_near_duplicates,
+)
+from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+
+def _curate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, min_tokens=3, near_dup_threshold=0.8, max_per_source=200
+    )
+
+
+def test_curate_deterministic_and_monotone(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out1 = _curate(spark, sf_dir)
+    rows1 = {(r.doc_id, r.split) for r in out1.select("doc_id", "split").collect()}
+    rows2 = {
+        (r.doc_id, r.split)
+        for r in _curate(spark, sf_dir).select("doc_id", "split").collect()
+    }
+    assert rows1 == rows2  # end-to-end reproducible
+    assert 0 < len(rows1) <= docs.count()
+    # output carries the annotation columns
+    assert {"n_tokens", "split", "lang_detected"} <= set(out1.columns)
+
+
+def test_curate_no_near_dups_survive(spark, sf_dir):
+    out = _curate(spark, sf_dir)
+    remaining = minhash_near_duplicates(
+        out, text_col="text", id_col="doc_id", threshold=0.8
+    )
+    assert remaining.count() == 0
+
+
+def test_curate_respects_source_cap_and_split_labels(spark, sf_dir):
+    out = _curate(spark, sf_dir)
+    per_source = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 200 for r in per_source)
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
