@@ -56,6 +56,51 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def mixture_downsample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group downsampling to target mixture rates: a row
+    survives iff its hash fraction is below its group's rate.  The corpus
+    mixture knob (e.g. keep 10% of crawl, 100% of curated sources) —
+    stable under repartitioning and append, reproducible by the oracle."""
+    rate = F.lit(default_rate)
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    return df.filter(hash_fraction(id_col, salt) < rate)
+
+
+def sequence_pack(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    size_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign rows to fixed-budget bins by running size within each key
+    group (token-budget sequence packing): ``bin = floor(cumsum_exclusive
+    (size) / budget)``.  Greedy-by-order packing as one window cumsum —
+    a single shuffle on the keys, no iteration; rows larger than the
+    budget get a bin of their own plus spillover, matching greedy
+    concatenation semantics."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        bin_col, F.floor(prior / budget).cast("long")
+    )
+
+
 def per_key_cap(
     df: DataFrame,
     keys: Sequence[str],

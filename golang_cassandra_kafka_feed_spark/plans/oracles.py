@@ -540,6 +540,35 @@ ORACLES: dict[str, str] = {
         ) WHERE rn <= 50
         ORDER BY source, doc_id
     """,
+    "q56_mixture_downsample": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   CAST(('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS frac
+            FROM documents
+        )
+        WHERE frac < CASE source WHEN 'src0' THEN 0.25
+                                 WHEN 'src1' THEN 0.25
+                                 WHEN 'src2' THEN 0.6
+                                 ELSE 1.0 END
+        ORDER BY doc_id
+    """,
+    "q57_sequence_pack": """
+        SELECT lang, doc_id, n_tokens,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / 2000) AS BIGINT) AS bin_id
+        FROM (
+            SELECT lang, doc_id,
+                   len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> length(t) > 0)) AS n_tokens
+            FROM documents
+        )
+        ORDER BY lang, doc_id
+    """,
     "q40_multimodal_features": """
         SELECT doc_id,
                'application/octet-stream' AS content_type,

@@ -1094,6 +1094,48 @@ def q55(spark, sf_dir):
     )
 
 
+def q56(spark, sf_dir):
+    """Deterministic mixture downsampling: keep 25% of src0/src1, 60% of
+    src2, everything else in full (operators/sampling.py::
+    mixture_downsample) — the corpus-mixture knob, reproducible by the
+    oracle because survival is a pure md5 function of doc_id."""
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        mixture_downsample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        mixture_downsample(
+            d,
+            "doc_id",
+            "source",
+            {"src0": 0.25, "src1": 0.25, "src2": 0.6},
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q57(spark, sf_dir):
+    """Token-budget sequence packing: greedy per-lang bins of 2000 tokens
+    via one window cumsum (operators/sampling.py::sequence_pack)."""
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        sequence_pack,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    return (
+        sequence_pack(d, ["lang"], ["doc_id"], "n_tokens", 2000)
+        .select("lang", "doc_id", "n_tokens", "bin_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1153,6 +1195,8 @@ QUERIES = {
     "q53_in_null_semantics": q53,
     "q54_hash_split": q54,
     "q55_per_source_cap": q55,
+    "q56_mixture_downsample": q56,
+    "q57_sequence_pack": q57,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
