@@ -38,6 +38,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # honored only if this call launches the JVM (first session of the
+        # process); the 1g default is too tight for local[32] shuffles
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
