@@ -65,11 +65,22 @@ FEED_SCHEMA = T.StructType(
     ]
 )
 
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType(), False),
+        T.StructField("n_envelopes", T.LongType(), False),
+        T.StructField("n_decoded", T.LongType(), False),
+        T.StructField("n_fresh", T.LongType(), False),
+        T.StructField("recorded_at", T.TimestampType(), False),
+    ]
+)
+
 _EMPTY = {
     "users": USER_SCHEMA,
     "follows": FOLLOW_SCHEMA,
     "posts": POST_SCHEMA,
     "feed_by_user": FEED_SCHEMA,
+    "pipeline_metrics": METRICS_SCHEMA,
 }
 
 
@@ -229,6 +240,19 @@ class FeedStore:
             .partitionBy("user_bucket")
             .parquet(self._path("feed_by_user"))
         )
+
+    def record_pipeline_metrics(
+        self, epoch_id: int, n_envelopes: int, n_decoded: int, n_fresh: int
+    ) -> None:
+        """One row per processed epoch — the reference's run counters
+        (http_load.go:123-130) as a queryable table.  Derived rates:
+        malformed/dropped = n_envelopes - n_decoded, redelivered
+        duplicates = n_decoded - n_fresh."""
+        row = self.spark.createDataFrame(
+            [(int(epoch_id), int(n_envelopes), int(n_decoded), int(n_fresh))],
+            T.StructType(METRICS_SCHEMA.fields[:-1]),
+        ).withColumn("recorded_at", F.current_timestamp())
+        self._append(row, "pipeline_metrics")
 
     def get_feed(self, user_id: str, limit: int = 50) -> DataFrame:
         """GetFeed (feed.go:143-171): newest-``limit`` feed rows for one

@@ -111,6 +111,7 @@ def run_fanout_pipeline(
     envelopes_stream: DataFrame,
     store,
     checkpoint_dir: str,
+    record_metrics: bool = False,
 ):
     """Wire the full pipeline into the FeedStore's idempotent feed sink.
 
@@ -119,10 +120,25 @@ def run_fanout_pipeline(
     (user_id, post_id) so redelivered posts are dropped — the Cassandra
     PK upsert (cql:36) made explicit.  Posts are also appended to the
     ``posts`` table, mirroring AddPost on the consumer side.
+
+    ``record_metrics=True`` appends one row per epoch to the store's
+    ``pipeline_metrics`` table (epoch_id, n_envelopes, n_decoded, n_fresh)
+    — the engine-side twin of the reference's per-run counters
+    (bench/http_load/http_load.go:123-130, kafka_producer.go:45-46).  The
+    counts ride an Observation on the plans that already execute, so
+    metrics cost no extra pass over the data.
     """
+    from pyspark.sql import Observation
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        posts = decode_post_events(batch_df).dropDuplicates(["post_id"])
+        obs_in = Observation() if record_metrics else None
+        if obs_in is not None:
+            batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        decoded = decode_post_events(batch_df)
+        obs_dec = Observation() if record_metrics else None
+        if obs_dec is not None:
+            decoded = decoded.observe(obs_dec, F.count(F.lit(1)).alias("n"))
+        posts = decoded.dropDuplicates(["post_id"])
         fresh = posts.join(
             store.table("posts").select("post_id"), "post_id", "left_anti"
         )
@@ -134,7 +150,15 @@ def run_fanout_pipeline(
         # Checkpointing truncates the lineage so no table-path dependency
         # survives into the second action.
         fresh = fresh.localCheckpoint(eager=True)
+        n_fresh = fresh.count()
         store.add_posts(fresh, fan_out=True)
+        if record_metrics:
+            store.record_pipeline_metrics(
+                epoch_id,
+                n_envelopes=obs_in.get["n"],
+                n_decoded=obs_dec.get["n"],
+                n_fresh=n_fresh,
+            )
 
     return (
         envelopes_stream.writeStream.foreachBatch(_process)

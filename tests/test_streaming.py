@@ -200,3 +200,46 @@ def test_session_window_matches_gap_island(spark, sf_dir):
         for r in QUERIES["q27_session_window"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pipeline_metrics_recorded_per_epoch(spark, tmp_path):
+    """record_metrics=True appends (epoch, counters) rows: envelopes in,
+    decoded after the drop filters, fresh after redelivery dedup — the
+    reference's run counters (http_load.go:123-130) as a table."""
+    import datetime as dt
+
+    from golang_cassandra_kafka_feed_spark.sources.kafka import (
+        ENVELOPE_SCHEMA,
+    )
+
+    store = FeedStore(spark, str(tmp_path / "store"), feed_buckets=4)
+    store.create_follows(
+        spark.createDataFrame(
+            [("u1", "a")], "user_id string, followee_id string"
+        )
+    )
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    good = (
+        b'{"id":"p1","author_id":"a","body":"b",'
+        b'"created":"2026-01-01T12:00:00"}'
+    )
+    envs = [
+        (b"post_created", good, ts),
+        (b"post_created", good, ts),          # duplicate delivery
+        (b"post_created", b"not json", ts),   # malformed -> dropped
+        (b"other_key", good, ts),             # foreign route -> dropped
+    ]
+    in_dir = tmp_path / "env"
+    spark.createDataFrame(envs, ENVELOPE_SCHEMA).write.parquet(str(in_dir))
+    q = run_fanout_pipeline(
+        read_stream_envelope_files(spark, str(in_dir)),
+        store,
+        str(tmp_path / "ckpt"),
+        record_metrics=True,
+    )
+    q.awaitTermination(120)
+
+    m = store.table("pipeline_metrics").collect()
+    assert len(m) == 1
+    r = m[0]
+    assert (r.n_envelopes, r.n_decoded, r.n_fresh) == (4, 2, 1)
