@@ -234,3 +234,26 @@ class CorpusStore:
             "n_after_exact": n_exact,
             "n_accepted": n_accepted,
         }
+
+
+def run_corpus_ingest_pipeline(
+    docs_stream: DataFrame,
+    store: CorpusStore,
+    checkpoint_dir: str,
+):
+    """Streaming corpus ingestion: each micro-batch of documents is
+    deduped against the store's accumulated state and committed — the
+    fan-out pipeline pattern (streaming/fanout.py) applied to corpus
+    building.  Checkpointing makes delivery at-least-once; ``ingest`` is
+    idempotent on replay (re-delivered docs are exact dups of stored
+    fingerprints), so the corpus is effectively-once."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.ingest(batch_df)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

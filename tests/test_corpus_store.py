@@ -85,3 +85,42 @@ def test_accumulated_corpus_has_no_near_dups(spark, sf_dir, tmp_path):
         store.table("docs"), text_col="text", id_col="doc_id", threshold=0.8
     )
     assert remaining.count() == 0
+
+
+def test_streaming_corpus_ingest_pipeline(spark, sf_dir, tmp_path):
+    """Documents arriving as a file stream are deduped incrementally; a
+    replayed delivery (same docs again in a later batch) adds nothing."""
+    from golang_cassandra_kafka_feed_spark.operators.corpus_store import (
+        run_corpus_ingest_pipeline,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "docs"
+    b1 = docs.filter("doc_id < 200")
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter("doc_id >= 200 AND doc_id < 300").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    b1.coalesce(1).write.parquet(str(src / "b3"))  # replayed delivery
+
+    store = CorpusStore(spark, str(tmp_path / "corpus"))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = run_corpus_ingest_pipeline(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    stored = store.table("docs")
+    n = stored.count()
+    assert 0 < n <= 300
+    # the replay added nothing: every stored id is unique
+    assert stored.select("doc_id").distinct().count() == n
+    remaining = minhash_near_duplicates(
+        stored, text_col="text", id_col="doc_id", threshold=0.8
+    )
+    assert remaining.count() == 0
