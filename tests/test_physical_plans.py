@@ -130,3 +130,56 @@ def test_fanout_join_broadcasts_follows(spark, tmp_path):
     )
     assert "CartesianProduct" not in default_plan
     assert "BroadcastNestedLoopJoin" not in default_plan
+
+
+def test_hash_split_adds_no_shuffle(spark, sf_dir):
+    """The split is a pure per-row projection: no Exchange anywhere, so a
+    100 TB re-split is an embarrassingly parallel map over files."""
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        hash_split,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        hash_split(d, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_per_key_cap_uses_window_group_limit(spark, sf_dir):
+    """The rank filter is pushed below the sort (same physical shape as
+    the GetFeed top-k, q16)."""
+    plan = (
+        QUERIES["q55_per_source_cap"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_sequence_pack_single_shuffle(spark, sf_dir):
+    """One hash exchange on the group key feeds the running-sum window;
+    nothing else shuffles."""
+    from pyspark.sql import functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        sequence_pack,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n", F.length("text").cast("long")
+    )
+    plan = (
+        sequence_pack(d, ["lang"], ["doc_id"], "n", 4096)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
