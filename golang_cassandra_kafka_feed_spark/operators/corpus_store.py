@@ -56,8 +56,16 @@ BANDS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("band", T.IntegerType(), False),
         T.StructField("bucket", T.LongType(), False),
+        # physical partition column: the stored band index is laid out in
+        # pmod(bucket, N) directories, and the candidate join includes this
+        # key — at 100 TB a batch touching a subset of mods reads only
+        # those partitions (dynamic partition pruning), instead of the
+        # whole index
+        T.StructField("bucket_mod", T.IntegerType(), True),
     ]
 )
+
+_BUCKET_MODS = 32
 
 _EMPTY = {
     "docs": DOC_SCHEMA,
@@ -132,6 +140,9 @@ class CorpusStore:
                 F.col("id").alias("doc_id"),
                 F.col("band").cast("int").alias("band"),
                 "bucket",
+                F.pmod(F.col("bucket"), F.lit(_BUCKET_MODS))
+                .cast("int")
+                .alias("bucket_mod"),
             )
         )
 
@@ -168,7 +179,7 @@ class CorpusStore:
             bands.alias("b")
             .join(
                 self.table("minhash_bands").alias("s"),
-                ["band", "bucket"],
+                ["bucket_mod", "band", "bucket"],
             )
             .select(
                 F.col("b.doc_id").alias("new_id"),
@@ -225,9 +236,11 @@ class CorpusStore:
             accepted.select(*[f.name for f in DOC_SCHEMA.fields]), "docs"
         )
         self._append(accepted.select("doc_id", "fp"), "fingerprints")
-        self._append(
-            bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
-            "minhash_bands",
+        (
+            bands.join(accepted.select("doc_id"), "doc_id", "left_semi")
+            .write.mode("append")
+            .partitionBy("bucket_mod")
+            .parquet(self._path("minhash_bands"))
         )
         return {
             "n_in": n_in,
