@@ -569,6 +569,25 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY lang, doc_id
     """,
+    "q58_moments_battery": """
+        SELECT event_type, n,
+               ROUND((CAST(s1 AS DOUBLE) / n) * 100) / 100 AS mean_val,
+               ROUND(((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)) * 100) / 100 AS var_val,
+               ROUND(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)) * 100) / 100 AS stddev_val
+        FROM (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,6))) AS s1,
+                   sum(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) AS s2
+            FROM events
+            GROUP BY event_type
+        )
+        ORDER BY event_type
+    """,
     "q40_multimodal_features": """
         SELECT doc_id,
                'application/octet-stream' AS content_type,

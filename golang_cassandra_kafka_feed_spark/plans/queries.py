@@ -1136,6 +1136,34 @@ def q57(spark, sf_dir):
     )
 
 
+def q58(spark, sf_dir):
+    """Moments battery per event_type — mean/variance/stddev derived from
+    EXACT decimal power sums (n, Σx, Σx²) instead of the built-in
+    stddev/variance aggregates: the builtin's partial-state merge is
+    shuffle-arrival-order dependent in its last ulps (run-to-run drift),
+    while decimal sums are associative-exact, so the derived double is
+    bit-identical on Spark and DuckDB, every run."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    # exact sums -> identical doubles -> identical IEEE arithmetic
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / F.col("n")
+    var = (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "event_type",
+        "n",
+        _round2(mean).alias("mean_val"),
+        _round2(var).alias("var_val"),
+        _round2(F.sqrt(var)).alias("stddev_val"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1197,6 +1225,7 @@ QUERIES = {
     "q55_per_source_cap": q55,
     "q56_mixture_downsample": q56,
     "q57_sequence_pack": q57,
+    "q58_moments_battery": q58,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
