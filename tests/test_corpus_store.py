@@ -124,3 +124,17 @@ def test_streaming_corpus_ingest_pipeline(spark, sf_dir, tmp_path):
         stored, text_col="text", id_col="doc_id", threshold=0.8
     )
     assert remaining.count() == 0
+
+
+def test_ingest_empty_batch_is_noop(spark, tmp_path):
+    store = CorpusStore(spark, str(tmp_path / "corpus"))
+    empty = _docs(spark, [])
+    stats = store.ingest(empty)
+    assert stats == {"n_in": 0, "n_after_exact": 0, "n_accepted": 0}
+    # an empty first ingest must not corrupt state for later ones
+    stats2 = store.ingest(_docs(spark, [(1, _BASE)]))
+    assert stats2["n_accepted"] == 1
+    assert store.table("docs").count() == 1
+    # and another empty ingest after real state
+    assert store.ingest(empty)["n_accepted"] == 0
+    assert store.table("docs").count() == 1
