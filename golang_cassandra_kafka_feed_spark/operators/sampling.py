@@ -87,7 +87,14 @@ def sequence_pack(
     (size) / budget)``.  Greedy-by-order packing as one window cumsum —
     a single shuffle on the keys, no iteration; rows larger than the
     budget get a bin of their own plus spillover, matching greedy
-    concatenation semantics."""
+    concatenation semantics.
+
+    ``keys`` must be high-cardinality relative to the cluster: each key
+    group is one window partition = one task.  For a corpus with few
+    natural groups, add a deterministic shard key (e.g.
+    ``pmod(xxhash64(id), n_shards)``) to the keys — packing is per-group
+    greedy anyway, so sharding only changes which docs share a bin, not
+    the budget guarantee."""
     from pyspark.sql import Window
 
     w = (

@@ -555,19 +555,19 @@ ORACLES: dict[str, str] = {
         ORDER BY doc_id
     """,
     "q57_sequence_pack": """
-        SELECT lang, doc_id, n_tokens,
+        SELECT lang, source, doc_id, n_tokens,
                CAST(floor(coalesce(sum(n_tokens) OVER (
-                        PARTITION BY lang ORDER BY doc_id
+                        PARTITION BY lang, source ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                     0) / 2000) AS BIGINT) AS bin_id
         FROM (
-            SELECT lang, doc_id,
+            SELECT lang, source, doc_id,
                    len(list_filter(
                        regexp_split_to_array(lower(text), '[^a-z]+'),
                        t -> length(t) > 0)) AS n_tokens
             FROM documents
         )
-        ORDER BY lang, doc_id
+        ORDER BY lang, source, doc_id
     """,
     "q58_moments_battery": """
         SELECT event_type, n,

@@ -1117,8 +1117,11 @@ def q56(spark, sf_dir):
 
 
 def q57(spark, sf_dir):
-    """Token-budget sequence packing: greedy per-lang bins of 2000 tokens
-    via one window cumsum (operators/sampling.py::sequence_pack)."""
+    """Token-budget sequence packing: greedy bins of 2000 tokens within
+    (lang, source) via one window cumsum (operators/sampling.py::
+    sequence_pack).  The composite key matters at scale: packing per lang
+    alone would funnel a 100 TB corpus through ~5 window partitions (one
+    reducer each); the packing key must be high-cardinality."""
     from golang_cassandra_kafka_feed_spark.operators.sampling import (
         sequence_pack,
     )
@@ -1130,9 +1133,9 @@ def q57(spark, sf_dir):
         "n_tokens", token_count("text")
     )
     return (
-        sequence_pack(d, ["lang"], ["doc_id"], "n_tokens", 2000)
-        .select("lang", "doc_id", "n_tokens", "bin_id")
-        .orderBy("lang", "doc_id")
+        sequence_pack(d, ["lang", "source"], ["doc_id"], "n_tokens", 2000)
+        .select("lang", "source", "doc_id", "n_tokens", "bin_id")
+        .orderBy("lang", "source", "doc_id")
     )
 
 
