@@ -116,8 +116,11 @@ def per_key_cap(
 ) -> DataFrame:
     """Keep at most ``n`` rows per key group, best-first by ``order_by``
     (domain/source caps against over-represented slices).  One shuffle on
-    the keys; WindowGroupLimit pushes the rank filter below the sort
-    (same physical shape as operators/topk.py)."""
+    the keys, and it is skew-safe even with FEW keys: Spark plans a
+    Partial WindowGroupLimit before the exchange (each map task keeps at
+    most ``n`` rows per key), so the shuffle moves <= n x keys x tasks
+    rows — not the raw group — and the Final pass sees tiny input
+    (asserted in tests/test_physical_plans.py)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys).orderBy(*order_by)

@@ -152,8 +152,9 @@ def test_hash_split_adds_no_shuffle(spark, sf_dir):
 
 
 def test_per_key_cap_uses_window_group_limit(spark, sf_dir):
-    """The rank filter is pushed below the sort (same physical shape as
-    the GetFeed top-k, q16)."""
+    """The rank filter is pushed below the sort AND below the shuffle: a
+    Partial WindowGroupLimit caps each map task's output per key, so hot
+    keys never funnel their full group through one reducer."""
     plan = (
         QUERIES["q55_per_source_cap"](spark, sf_dir)
         ._jdf.queryExecution()
@@ -161,6 +162,7 @@ def test_per_key_cap_uses_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
 
 
 def test_sequence_pack_single_shuffle(spark, sf_dir):
