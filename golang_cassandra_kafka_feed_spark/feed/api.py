@@ -32,6 +32,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def valid_length(col: str, lo: int, hi: int) -> F.Column:
+    """Byte-length bounds check matching the reference's Go ``len()``
+    (httphandlers.go:33-37,134-137), which counts UTF-8 BYTES, not
+    characters — a 400-char body of 3-byte runes is >1000 bytes and must
+    be rejected.  octet_length is the Spark twin of Go len()."""
+    return F.octet_length(col).between(lo, hi)
+
+
 USER_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.StringType(), False),
@@ -132,7 +140,7 @@ class FeedStore:
            is a lookup the caller does via ``user_id_by_username``).
         Returns the newly created rows (with generated UUIDs).
         """
-        valid = usernames.filter(F.length("username").between(1, 50))
+        valid = usernames.filter(valid_length("username", 1, 50))
         fresh = (
             valid.dropDuplicates(["username"])
             .join(self.table("users"), "username", "left_anti")
@@ -187,7 +195,7 @@ class FeedStore:
         in one batch: validate body 1..1000 (httphandlers.go:134-137),
         append to ``posts``, then write one feed row per (post, follower).
         """
-        valid = posts.filter(F.length("body").between(1, 1000)).select(
+        valid = posts.filter(valid_length("body", 1, 1000)).select(
             *[f.name for f in POST_SCHEMA.fields]
         )
         # Fan out BEFORE the posts append: if ``posts`` has lineage through

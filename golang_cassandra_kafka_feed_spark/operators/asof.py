@@ -40,16 +40,24 @@ def asof_join(
         else [c for c in right.columns if c not in (*on, right_ts)]
     )
 
-    lhs = left.withColumn("__side", F.lit(1)).withColumn(
-        "__ts", F.col(left_ts)
+    # Carry ONE struct of all right value columns so the carried row stays
+    # atomic: last(struct, ignorenulls=True) skips left-side rows (whole
+    # struct NULL) but never skips a right row whose individual value
+    # columns contain NULLs — those NULLs are preserved, and multi-column
+    # results can't mix fields from different right rows.
+    struct_type = "struct<{}>".format(
+        ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
     )
-    for c in value_cols:
-        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    lhs = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__ts", F.col(left_ts))
+        .withColumn("__r", F.lit(None).cast(struct_type))
+    )
     rhs = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
     )
     for c in left.columns:
         if c not in rhs.columns:
@@ -63,12 +71,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__carried")
     )
-    return carried.filter(F.col("__side") == 1).drop(
-        "__side", "__ts", *[f"__r_{c}" for c in value_cols]
+    return carried.filter(F.col("__side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )

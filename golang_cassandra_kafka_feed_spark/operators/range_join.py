@@ -32,12 +32,14 @@ def range_join(
     bucket_seconds = bucket_seconds or window_seconds
     n_buckets = window_seconds // bucket_seconds + 1
 
+    # floor division, NOT float-divide + cast: cast truncates toward zero,
+    # which mis-buckets pre-1970 (negative epoch) timestamps.
     l_b = left.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(left_ts) / bucket_seconds).cast("long"),
-                (
+                F.floor(F.unix_timestamp(left_ts) / bucket_seconds).cast("long"),
+                F.floor(
                     (F.unix_timestamp(left_ts) + window_seconds)
                     / bucket_seconds
                 ).cast("long"),
@@ -45,7 +47,8 @@ def range_join(
         ),
     )
     r_b = right.withColumn(
-        "__bucket", (F.unix_timestamp(right_ts) / bucket_seconds).cast("long")
+        "__bucket",
+        F.floor(F.unix_timestamp(right_ts) / bucket_seconds).cast("long"),
     )
     cond = (
         (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))

@@ -198,12 +198,15 @@ def ivf_topk(
     cells around centroid vectors, search only the ``n_probe`` cells
     nearest to each query.
 
-    Centroids are a deterministic corpus sample (every |C|/n_cells-th
-    vector by id rank) — reproducible with no training state; swap in
-    KMeans centroids for better cell balance without touching the search
-    path.  Scale shape: cell assignment is a broadcast-join argmax (narrow),
-    the search is an equi-join on cell id — the corpus shuffles once by
-    cell and each probe list only meets its own cells.
+    Centroids are a deterministic corpus sample: each vector hashes into
+    one of ``n_cells`` hash-cells and the min-hash vector per cell is that
+    cell's centroid — ONE tiny-state aggregation (n_cells rows out,
+    map-side partials), no corpus ``count()`` job and no global-window
+    ranking.  Reproducible with no training state; swap in KMeans
+    centroids for better cell balance without touching the search path.
+    Scale shape: cell assignment is a broadcast-join argmax (narrow), the
+    search is an equi-join on cell id — the corpus shuffles once by cell
+    and each probe list only meets its own cells.
     """
     from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
 
@@ -212,19 +215,11 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
-    # Deterministic sampled centroids: hash-select ~n_cells vectors (no
-    # global sort of the corpus — the hash filter is a narrow scan; only
-    # the tiny centroid set is ranked to assign dense cell ids).
-    n_total = c.count()
-    stride = max(1, n_total // n_cells)
     centroids = (
-        c.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
-        .withColumn(
-            "cell",
-            F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+        c.groupBy(
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_cells)).cast("int").alias("cell")
         )
-        .filter(F.col("cell") < n_cells)
-        .select("cell", F.col("e").alias("cvec"))
+        .agg(F.min_by("e", F.xxhash64("vec_id")).alias("cvec"))
     )
 
     def nearest_cells(df: DataFrame, idc: str, vcol: str, keep: int) -> DataFrame:

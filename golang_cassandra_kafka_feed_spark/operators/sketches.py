@@ -79,6 +79,10 @@ def bloom_semi_filter(
     m_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m_bits / expected_items * math.log(2)))
 
+    # Pack bit positions into 64-bit words DISTRIBUTED-side (bit_or per
+    # word index), so the driver receives <= m/64 word rows (~15k at the
+    # default sizing) instead of up to m distinct positions (~1M).  bit_or
+    # absorbs duplicates, so no separate distinct() pass is needed.
     pos = small.select(
         F.explode(
             F.array(
@@ -90,12 +94,22 @@ def bloom_semi_filter(
                 ]
             )
         ).alias("p")
-    ).distinct()
+    )
+    word_rows = (
+        pos.groupBy((F.col("p") / 64).cast("int").alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(F.col("p"), F.lit(64)).cast("int"),
+                )
+            ).alias("bits")
+        )
+    )
     words = [0] * ((m_bits + 63) // 64)
-    for r in pos.collect():
-        words[r.p // 64] |= 1 << (r.p % 64)
-    # two's-complement into Spark's signed long
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in word_rows.collect():
+        words[r.w] = r.bits  # already a signed JVM long — no 2's-comp fixup
     bits: Column = F.lit(words)
 
     cond = None

@@ -44,7 +44,16 @@ def salted_join(
 
     Replication cost: |other| x salt rows shuffled — use only when
     ``other`` is the smaller side but above the broadcast threshold.
+
+    Only ``inner`` and ``left`` are equivalence-preserving: with right or
+    full outer joins an unmatched ``other`` row would surface once per
+    salt replica, so those modes are rejected.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left'); got {how!r} — "
+            "outer-preserving the replicated side would emit one row per salt"
+        )
     s = skewed.withColumn(
         "__salt", _salt_col(skewed, salt, deterministic_by)
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from golang_cassandra_kafka_feed_spark.feed import api as feed_api
 from golang_cassandra_kafka_feed_spark.sources.kafka import POST_EVENT_SCHEMA
 
 
@@ -139,6 +140,10 @@ def run_fanout_pipeline(
         if obs_dec is not None:
             decoded = decoded.observe(obs_dec, F.count(F.lit(1)).alias("n"))
         posts = decoded.dropDuplicates(["post_id"])
+        # Apply add_posts' body validation HERE so n_fresh counts rows that
+        # will actually be written — counting pre-validation overstates the
+        # metric in epochs containing invalid bodies.
+        posts = posts.filter(feed_api.valid_length("body", 1, 1000))
         fresh = posts.join(
             store.table("posts").select("post_id"), "post_id", "left_anti"
         )

@@ -49,6 +49,15 @@ def test_create_users_length_validation(spark, store):
     assert [r.username for r in bad.collect()] == ["ok"]
 
 
+def test_length_validation_counts_bytes_not_chars(spark, store):
+    """Reference Go len() counts UTF-8 bytes (httphandlers.go:33-37): a
+    17-char string of 3-byte runes is 51 bytes and must be rejected."""
+    multi = "é" * 26  # 26 chars x 2 bytes = 52 bytes > 50
+    ok_multi = "é" * 25  # 50 bytes — at the limit, accepted
+    got = store.create_users(_users(spark, [multi, ok_multi]))
+    assert [r.username for r in got.collect()] == [ok_multi]
+
+
 def test_follow_and_fanout_invariant(spark, store):
     store.create_follows(
         spark.createDataFrame(

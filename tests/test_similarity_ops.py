@@ -134,6 +134,42 @@ def test_asof_join_matches_window_form(spark, sf_dir):
     assert got_set == want
 
 
+def test_asof_join_null_fields_stay_atomic(spark):
+    """When the most recent right row has a NULL value column, that NULL
+    must survive — asof must NOT substitute an older row's non-NULL value
+    or mix fields across right rows (struct-carry semantics)."""
+    left = spark.createDataFrame([("k", 100, "L1")], "k string, ts long, tag string")
+    right = spark.createDataFrame(
+        [("k", 10, "old_price", "old_note"), ("k", 50, None, "new_note")],
+        "k string, ts long, price string, note string",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["price", "note"],
+    ).collect()[0]
+    # latest right row (ts=50) has price=NULL, note='new_note'
+    assert row.price_asof is None
+    assert row.note_asof == "new_note"
+
+
+def test_range_join_negative_epoch_buckets(spark):
+    """Pre-1970 timestamps: floor-division bucketing must still pair rows
+    whose interval condition holds (cast-truncation toward zero would
+    mis-bucket negative epochs)."""
+    left = spark.createDataFrame(
+        [("k", "1969-12-31 23:59:30")], "k string, lts string"
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [("k", "1969-12-31 23:59:50"), ("k", "1970-01-01 00:00:20")],
+        "k string, rts string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"))
+    got = range_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        window_seconds=60, bucket_seconds=25,
+    )
+    assert got.count() == 2
+
+
 def test_range_join_matches_theta_form(spark, sf_dir):
     """Bucketed range join == the equi+residual theta join (Q09)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)

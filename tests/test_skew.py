@@ -44,6 +44,17 @@ def test_salted_join_left_outer(spark):
     assert got == {(1, "a", "X"), (1, "b", "X"), (2, "c", "Y"), (99, "d", None)}
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would emit unmatched `other` rows once per salt
+    replica — the operator must refuse those modes."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, ["k"], how=how)
+
+
 def test_salted_count_equals_plain_count(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plain = {
