@@ -86,17 +86,57 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _md5_32(col: Column) -> Column:
+    """Cross-engine 32-bit hash: first 8 hex digits of md5(value).
+
+    DuckDB twin (bit-identical, the idiom behind the oracle-checked
+    hash-split family in sampling.py):
+    ``CAST(('0x' || substring(md5(v), 1, 8)) AS BIGINT)``.  32 bits is
+    ample minhash resolution (per-pair collision 2^-32) and fits a signed
+    BIGINT in both engines with no sign fixup.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# Affine universal-hash family for the portable minhash path: the s-th
+# "permutation" of a base hash h is (A[s]*h + B[s]) mod P.  ONE md5 per
+# shingle + 64 integer-arithmetic mixes replaces 64 md5 evaluations, and
+# DuckDB reproduces the arithmetic exactly (all operands non-negative and
+# < 2^62, so BIGINT % agrees between engines).  Coefficients are fixed
+# md5-derived constants so both engines embed identical literals.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+import hashlib as _hashlib
+
+MINHASH_A = [
+    int(_hashlib.md5(f"minhash-a-{s}".encode()).hexdigest()[:8], 16)
+    % (MINHASH_P - 1)
+    + 1
+    for s in range(64)
+]
+MINHASH_B = [
+    int(_hashlib.md5(f"minhash-b-{s}".encode()).hexdigest()[:8], 16)
+    % MINHASH_P
+    for s in range(64)
+]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_size: int = 3,
+    hasher: str = "xxhash",
 ) -> DataFrame:
-    """k seeded-xxhash64 minhashes over word shingles.
+    """k seeded minhashes over word shingles.
 
-    sig[s] = min over shingles of xxhash64(shingle, s) — the standard
+    sig[s] = min over shingles of h(shingle, s) — the standard
     one-permutation-per-seed construction; E[sig_a == sig_b] = J(a, b).
+    ``hasher="xxhash"`` (default) is the fast JVM path; ``hasher="md5"``
+    hashes each shingle once with the 32-bit md5 prefix and derives the k
+    seeded values with the affine family (A[s]*h + B[s]) mod P, so a
+    DuckDB oracle reproduces the signatures bit-for-bit at essentially
+    xxhash cost (use for verification surfaces).
 
     Shape: explode shingles, fan each out to its k seeded hashes, then a
     two-level aggregate back to the signature array.  A single nested
@@ -105,30 +145,74 @@ def minhash_signatures(
     projection collapse — ~50x slower in practice and not better at
     scale; the explode form is linear work with map-side combine.
     """
+    mh = _minhash_per_seed(df, text_col, id_col, num_hashes, shingle_size, hasher)
+    return mh.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+            lambda s: s["mh"],
+        ).alias("sig")
+    )
+
+
+def _minhash_per_seed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    hasher: str,
+) -> DataFrame:
+    """(id, seed, mh) minhash rows — the shared pre-array stage."""
     exploded = _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(text_col, shingle_size)).alias("shingle"),
     )
-    hashed = exploded.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda s: F.xxhash64("shingle", s),
-            )
-        ).alias("seed", "h"),
-    )
-    return (
-        hashed.groupBy("id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda s: s["mh"],
-            ).alias("sig")
+    if hasher == "md5":
+        # ONE md5 per doc-shingle pair, then the k seeded values come from
+        # the affine family via a broadcast equi-join with the 64-row
+        # coefficient table (BroadcastHashJoin, codegen'd; NOT literal
+        # arrays inside a HOF, which run interpreted and bloat codegen).
+        # The shingle string is dropped before the k-fanout so only
+        # (id, h, seed) triples flow into the partial aggregate.
+        assert num_hashes <= len(MINHASH_A)
+        seeds_df = df.sparkSession.createDataFrame(
+            [
+                (s, MINHASH_A[s], MINHASH_B[s])
+                for s in range(num_hashes)
+            ],
+            "seed int, a long, b long",
         )
-    )
+        hv = exploded.select(
+            "id", F.pmod(_md5_32(F.col("shingle")), F.lit(MINHASH_P)).alias("hb")
+        )
+        hashed = (
+            hv.select(
+                "id",
+                "hb",
+                F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias(
+                    "seed"
+                ),
+            )
+            .join(F.broadcast(seeds_df), "seed")
+            .select(
+                "id",
+                "seed",
+                F.pmod(
+                    F.col("a") * F.col("hb") + F.col("b"), F.lit(MINHASH_P)
+                ).alias("h"),
+            )
+        )
+    else:
+        hashed = exploded.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                    lambda s: F.xxhash64("shingle", s),
+                )
+            ).alias("seed", "h"),
+        )
+    return hashed.groupBy("id", "seed").agg(F.min("h").alias("mh"))
 
 
 def minhash_lsh_candidates(
@@ -138,39 +222,60 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    hasher: str = "xxhash",
 ) -> DataFrame:
     """Candidate near-dup pairs: ids agreeing on >= 1 LSH band.
 
     b bands of r = k/b rows; collision prob = 1-(1-J^r)^b (S-curve at
-    J ~ (1/b)^(1/r)).  The self-join runs per (band, bucket) — at corpus
-    scale the bucket key is the shuffle key and only same-bucket pairs are
-    enumerated.
+    J ~ (1/b)^(1/r)).
+
+    Two structural choices, both measured on the sf0.1 corpus:
+
+    - Bands aggregate directly at (id, band) granularity from the
+      (id, seed, mh) rows — NOT by slicing a materialized signature
+      array: a band transform over ``sig`` gets the signature expression
+      (array_sort over 64 structs) inlined into its lambda by
+      CollapseProject and re-evaluates it per band — 16x interpreted
+      re-evaluation, ~6s of pure overhead at sf0.1.
+    - Pairs are enumerated by grouping ids per (band, bucket) and
+      exploding in-bucket pairs — NOT a banded self-join: a self-join
+      references the whole signature pipeline twice and Catalyst does not
+      reuse the exchange across the differently-aliased branches
+      (measured 2x the stage cost).  Output volume is identical
+      (quadratic in bucket size either way); a pathological mega-bucket
+      (mass-identical documents) should be drained by ``exact_dedup``
+      first, which removes exact copies before banding.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * r + 1, r), b).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    mh = _minhash_per_seed(df, text_col, id_col, num_hashes, shingle_size, hasher)
+    grouped = mh.groupBy(
+        "id", F.floor(F.col("seed") / r).cast("int").alias("band")
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm")
+    )
+    if hasher == "md5":
+        # Oracle-portable bucket key: the band's signature slice joined as
+        # a string — DuckDB groups on the identical array_to_string value.
+        # (The xxhash bucket below is narrower per row but has no twin.)
+        bucket = F.array_join(
+            F.transform("sm", lambda s: s["mh"].cast("string")), ","
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    else:
+        bucket = F.xxhash64(
+            F.transform("sm", lambda s: s["mh"]), F.col("band")
+        )
+    banded = grouped.select("id", "band", bucket.alias("bucket"))
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -183,13 +288,14 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    hasher: str = "xxhash",
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard over shingle sets —
     false positives from banding are filtered, so the output depends on
     the threshold only (plus LSH recall; raise ``bands`` for higher
     recall at lower thresholds)."""
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_size
+        df, text_col, id_col, num_hashes, bands, shingle_size, hasher
     )
     shingle_sets = df.select(
         F.col(id_col).alias("id"),

@@ -135,6 +135,7 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    hasher: str = "xxhash",
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): hash every char
     k-gram of the normalized text, slide a window of ``window`` hashes,
@@ -147,14 +148,22 @@ def winnowing_fingerprints(
     referenced more than once downstream, which stops CollapseProject from
     re-inlining them (a single nested expression would recompute the
     regexp normalization per gram: O(n^2) per document).  Hashing is
-    xxhash64 on the positioned gram — same selectivity as the classic
-    polynomial rolling update at the same O(n) gram count, minus the
-    sequential carry that SQL can't express.
+    ``hasher="xxhash"`` (default, fast JVM path) or ``hasher="md5"`` (the
+    32-bit md5-prefix hash a DuckDB oracle reproduces bit-for-bit) on the
+    positioned gram — same selectivity as the classic polynomial rolling
+    update at the same O(n) gram count, minus the sequential carry that
+    SQL can't express.
     """
     from golang_cassandra_kafka_feed_spark.operators.dedup import (
         _parallelize,
     )
 
+    gram_hash = (
+        f"cast(conv(substring(md5(substring(__norm, i, {k})), 1, 8), 16, 10)"
+        " as bigint)"
+        if hasher == "md5"
+        else f"xxhash64(substring(__norm, i, {k}))"
+    )
     norm = _parallelize(df).select(
         id_col,
         F.regexp_replace(F.lower(text_col), "[^a-z]", "").alias("__norm"),
@@ -163,7 +172,7 @@ def winnowing_fingerprints(
         id_col,
         F.expr(
             f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)), "
-            f"i -> xxhash64(substring(__norm, i, {k})))"
+            f"i -> {gram_hash})"
         ).alias("__gh"),
     )
     return grams.select(

@@ -15,10 +15,18 @@ with the Spark plan:
   bit pattern.
 """
 
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
 from golang_cassandra_kafka_feed_spark.operators.textstats import (
     LANG_MARKERS,
     _STOPWORDS,
 )
+
+_MH_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_MH_B = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> length(t) > 0)"
@@ -387,6 +395,91 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE "rank" <= 3
         ORDER BY query_id, "rank"
+    """,
+    # Full MinHash-LSH mechanism twin: md5-prefix base hash + affine
+    # (A[s]*h + B[s]) mod P seeded values -> 64-entry signatures -> 16
+    # bands of 4 (bucket = slice joined as text) -> bucket-collided
+    # candidate pairs -> exact-Jaccard verify.  Must mirror the
+    # MECHANISM, not just the result: LSH recall at J~0.5 is
+    # probabilistic, so the pair set depends on the banding itself.
+    "q37_minhash_lsh_neardup": """
+        WITH toks AS (
+            SELECT doc_id, """ + _TOKS + """ AS toks FROM documents
+        ), sets AS (
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(
+                                      list_slice(toks, i, i + 2), ' '))
+                     END) AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT doc_id, unnest(sh) AS shingle FROM sets
+        ), hv AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)
+                     % """ + str(MINHASH_P) + """ AS hb
+            FROM shingles
+        ), hashed AS (
+            SELECT doc_id, s.seed AS seed,
+                   min((""" + _MH_A + """[s.seed + 1] * hb
+                        + """ + _MH_B + """[s.seed + 1])
+                       % """ + str(MINHASH_P) + """) AS mh
+            FROM hv, range(0, 64) s(seed)
+            GROUP BY doc_id, s.seed
+        ), sig AS (
+            SELECT doc_id, list(mh ORDER BY seed) AS sig
+            FROM hashed GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, b.band AS band,
+                   array_to_string(
+                       list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                       ',') AS bucket
+            FROM sig, range(0, 16) b(band)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   len(list_intersect(sa.sh, sb.sh))
+                     / (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+            FROM cand
+            JOIN sets sa ON sa.doc_id = id_a
+            JOIN sets sb ON sb.doc_id = id_b
+        ) WHERE jaccard >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    # Winnowing twin: md5-prefix hash of each char 5-gram of the
+    # normalized text, window-of-4 minima, distinct fingerprint set.
+    "q41_winnow_fingerprint": """
+        WITH norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(text), '[^a-z]', '', 'g') AS n
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(length(n) - 4, 1) + 1),
+                     i -> CAST(('0x' || substring(
+                              md5(substring(n, i, 5)), 1, 8)) AS BIGINT)
+                   ) AS gh
+            FROM norm
+        ), fps AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(gh) - 3, 1) + 1),
+                     w -> list_min(list_slice(gh, w, w + 3)))) AS f
+            FROM grams
+        )
+        SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fingerprints,
+               list_min(f) AS min_fp
+        FROM fps ORDER BY doc_id
     """,
     "q43_pivot": """
         SELECT user_id,

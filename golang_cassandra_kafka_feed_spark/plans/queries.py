@@ -728,14 +728,20 @@ def q36(spark, sf_dir):
 
 
 def q37(spark, sf_dir):
-    """MinHash-LSH near-duplicates (rows-only: xxhash64 has no DuckDB
-    twin; recall/precision property-tested in tests/test_dedup.py)."""
+    """MinHash-LSH near-duplicates with the md5-prefix hasher, so the
+    DuckDB oracle reproduces the signatures, band buckets, and verified
+    pairs bit-for-bit (the xxhash64 fast path keeps its recall/precision
+    property tests in tests/test_dedup.py)."""
     from golang_cassandra_kafka_feed_spark.operators.dedup import (
         minhash_near_duplicates,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
+    # jaccard is int/int division — IEEE-exact in both engines (the same
+    # raw form q47 hash-matches with), so no rounding idiom is needed.
+    return minhash_near_duplicates(d, threshold=0.5, hasher="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q38(spark, sf_dir):
@@ -782,14 +788,15 @@ def q40(spark, sf_dir):
 
 
 def q41(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints per document (rows-only:
-    xxhash64-based; coverage guarantee tested in tests/test_textstats.py)."""
+    """Winnowing fingerprints per document with the md5-prefix gram hash,
+    so the DuckDB oracle reproduces every fingerprint (coverage guarantee
+    for the scheme tested in tests/test_textstats.py)."""
     from golang_cassandra_kafka_feed_spark.operators.textstats import (
         winnowing_fingerprints,
     )
 
     d = _t(spark, sf_dir, "documents")
-    fp = winnowing_fingerprints(d)
+    fp = winnowing_fingerprints(d, hasher="md5")
     return fp.select(
         "doc_id",
         F.size("fingerprints").cast("long").alias("n_fingerprints"),
