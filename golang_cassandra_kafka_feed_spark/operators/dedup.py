@@ -356,18 +356,111 @@ def simhash_signatures(
     )
 
 
+def simhash_signatures_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable 64-bit SimHash as TWO 32-bit halves (id, hi, lo).
+
+    One md5 per token supplies both halves (hex digits 1-8 and 9-16); the
+    per-bit +-1 votes are 64 SUM aggregates in a single groupBy(id) — one
+    shuffle, map-side partials, all codegen'd arithmetic a DuckDB oracle
+    replicates exactly.  Two BIGINT halves rather than one 64-bit value
+    keep every quantity non-negative and below 2^32, so no engine
+    disagrees on sign or overflow.
+    """
+    toks = _parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    )
+    th = toks.select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+        .cast("bigint")
+        .alias("lo"),
+    )
+
+    def vote(col: str, i: int) -> Column:
+        bit = F.shiftright(F.col(col), i).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1))
+
+    sums = th.groupBy("id").agg(
+        *[vote("hi", i).alias(f"vh{i}") for i in range(32)],
+        *[vote("lo", i).alias(f"vl{i}") for i in range(32)],
+    )
+
+    def assemble(prefix: str) -> Column:
+        out = F.lit(0).cast("bigint")
+        for i in range(32):
+            out = out + F.when(
+                F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    return sums.select(
+        "id", assemble("vh").alias("hi"), assemble("vl").alias("lo")
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hasher: str = "xxhash",
 ) -> DataFrame:
     """Near-dups by hamming distance <= max_hamming.
 
     Banding: with 4 x 16-bit chunks, any pair within hamming 3 agrees on
     >= 1 chunk (pigeonhole), so candidates = chunk-equal pairs; verification
     is ``bit_count(a ^ b)``.  Same shuffle shape as MinHash-LSH.
+
+    ``hasher="md5"`` uses the portable two-half signature
+    (simhash_signatures_md5) and enumerates pairs per chunk bucket (the
+    signature there is an aggregate, so the self-join form would compute
+    its shuffle twice); verification joins the tiny (id, hi, lo) table
+    back onto the pairs.
     """
+    if hasher == "md5":
+        # The signature is 3 longs, so carry it THROUGH the bucket
+        # pipeline (collect_list of structs, explode in-bucket pairs)
+        # instead of joining the signature table back per pair side —
+        # the aggregate signature pipeline then appears exactly once in
+        # the plan (the join-back form computed it three times).
+        sigs = simhash_signatures_md5(df, text_col, id_col)
+        chunked = sigs.selectExpr(
+            "struct(id, hi, lo) AS s",
+            "explode(array("
+            "struct(0 AS chunk, (lo & 65535) AS ckey), "
+            "struct(1 AS chunk, (shiftright(lo, 16) & 65535) AS ckey), "
+            "struct(2 AS chunk, (hi & 65535) AS ckey), "
+            "struct(3 AS chunk, (shiftright(hi, 16) & 65535) AS ckey)"
+            ")) AS cc",
+        ).select("s", "cc.chunk", "cc.ckey")
+        buckets = (
+            chunked.groupBy("chunk", "ckey")
+            .agg(F.collect_list("s").alias("ss"))
+            .filter(F.size("ss") > 1)
+        )
+        return (
+            buckets.select(F.explode("ss").alias("a"), "ss")
+            .select("a", F.explode("ss").alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                (
+                    F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+                    + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+                )
+                .cast("long")
+                .alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
     sigs = simhash_signatures(df, text_col, id_col)
     chunked = sigs.selectExpr(
         "id",

@@ -90,8 +90,14 @@ def _with_buckets(
     planes: list[list[float]],
     bands: int,
 ) -> DataFrame:
-    """One row per (id, band) with the LSH ``bucket`` key: xxhash64 of the
-    band's hyperplane sign-bit pattern.  Output: (id_col, vec_col, bucket).
+    """One row per (id, band) with the LSH ``bucket`` key: the band id and
+    the band's hyperplane sign-bit pattern packed into one integer
+    (``band * 2^r + sum(bit_i * 2^i)``).  Output: (id_col, vec_col, bucket).
+
+    The packed-integer bucket is pure arithmetic on the sign bits, so a
+    DuckDB oracle reproduces it exactly (a hash of the bit array would
+    have no cross-engine twin); as a join key it is equivalent — buckets
+    are opaque.
 
     The planes ride in a broadcast DataFrame rather than literal
     expressions: 32 planes x 64 dims as literals is a ~2k-node expression
@@ -114,17 +120,18 @@ def _with_buckets(
         .groupBy(id_col, "band")
         .agg(
             F.first(vec_col).alias(vec_col),
-            F.xxhash64(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("plane_idx", "__bit"))
-                    ),
-                    lambda s: s["__bit"],
-                ),
-                F.col("band"),
-            ).alias("bucket"),
+            F.sum(
+                F.col("__bit").cast("long")
+                * F.pow(F.lit(2.0), F.pmod("plane_idx", F.lit(r))).cast("long")
+            ).alias("__bits"),
         )
-        .drop("band")
+        .select(
+            id_col,
+            vec_col,
+            (F.col("band").cast("long") * (1 << r) + F.col("__bits")).alias(
+                "bucket"
+            ),
+        )
     )
 
 
@@ -202,12 +209,15 @@ def ivf_topk(
     one of ``n_cells`` hash-cells and the min-hash vector per cell is that
     cell's centroid — ONE tiny-state aggregation (n_cells rows out,
     map-side partials), no corpus ``count()`` job and no global-window
-    ranking.  Reproducible with no training state; swap in KMeans
-    centroids for better cell balance without touching the search path.
-    Scale shape: cell assignment is a broadcast-join argmax (narrow), the
-    search is an equi-join on cell id — the corpus shuffles once by cell
-    and each probe list only meets its own cells.
+    ranking.  The hash is the md5-prefix idiom so a DuckDB oracle selects
+    the identical centroids (``arg_min`` on the same hash).  Reproducible
+    with no training state; swap in KMeans centroids for better cell
+    balance without touching the search path.  Scale shape: cell
+    assignment is a broadcast-join argmax (narrow), the search is an
+    equi-join on cell id — the corpus shuffles once by cell and each
+    probe list only meets its own cells.
     """
+    from golang_cassandra_kafka_feed_spark.operators.dedup import _md5_32
     from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
 
     from pyspark.sql import Window
@@ -215,12 +225,10 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
-    centroids = (
-        c.groupBy(
-            F.pmod(F.xxhash64("vec_id"), F.lit(n_cells)).cast("int").alias("cell")
-        )
-        .agg(F.min_by("e", F.xxhash64("vec_id")).alias("cvec"))
-    )
+    id_hash = _md5_32(F.col("vec_id").cast("string"))
+    centroids = c.groupBy(
+        F.pmod(id_hash, F.lit(n_cells)).cast("int").alias("cell")
+    ).agg(F.min_by("e", id_hash).alias("cvec"))
 
     def nearest_cells(df: DataFrame, idc: str, vcol: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).withColumn(

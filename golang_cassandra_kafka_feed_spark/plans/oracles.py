@@ -28,6 +28,34 @@ from golang_cassandra_kafka_feed_spark.operators.textstats import (
 _MH_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
 _MH_B = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
 
+# 32-bit md5-prefix hash of an expression — the cross-engine idiom.
+def _h32(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _planes_values() -> str:
+    """The LSH hyperplanes as a VALUES list (plane_idx, band, pvec) —
+    identical doubles to the broadcast table in operators/similarity.py
+    (seeded NumPy rounded to 6 decimals; repr round-trips exactly in both
+    engines)."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(64, 32)
+    r = 32 // 8
+    rows = ", ".join(
+        f"({i}, {i // r}, [{', '.join(repr(x) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    return rows
+
+
+_COS_EQ = (
+    "(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))))"
+)
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> length(t) > 0)"
 
@@ -395,6 +423,144 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE "rank" <= 3
         ORDER BY query_id, "rank"
+    """,
+    # IVF mechanism twin: md5-hash cells, arg_min-per-cell centroids,
+    # nearest-cell assignment (1 cell per corpus vector, n_probe=6 per
+    # query), equi-join on cell, exact cosine top-3.  Cell ranking orders
+    # on the raw double cosine — both engines fold the same values, and
+    # ranks are ulp-stable for non-degenerate embeddings.
+    "q42_ann_ivf_topk": f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), h AS (
+            SELECT vec_id, e,
+                   {_h32("CAST(vec_id AS VARCHAR)")} AS hh
+            FROM emb
+        ), centroids AS (
+            SELECT hh % 16 AS cell, arg_min(e, hh) AS cvec
+            FROM h GROUP BY hh % 16
+        ), c_cells AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT h.vec_id, h.e, c.cell,
+                       row_number() OVER (
+                           PARTITION BY h.vec_id
+                           ORDER BY {_COS_EQ.format(a="h.e", b="c.cvec")}
+                                    DESC, c.cell ASC) AS rn
+                FROM h CROSS JOIN centroids c
+            ) WHERE rn <= 1
+        ), q_cells AS (
+            SELECT query_id, qe, cell FROM (
+                SELECT h.vec_id AS query_id, h.e AS qe, c.cell,
+                       row_number() OVER (
+                           PARTITION BY h.vec_id
+                           ORDER BY {_COS_EQ.format(a="h.e", b="c.cvec")}
+                                    DESC, c.cell ASC) AS rn
+                FROM h CROSS JOIN centroids c
+                WHERE h.vec_id < 5
+            ) WHERE rn <= 6
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND({_COS_EQ.format(a="c.e", b="q.qe")} * 10000)
+                     / 10000 AS sim
+            FROM c_cells c JOIN q_cells q ON c.cell = q.cell
+        )
+        SELECT query_id, vec_id, sim, "rank" FROM (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS "rank"
+            FROM scored
+        ) WHERE "rank" <= 3
+        ORDER BY query_id, "rank"
+    """,
+    # Random-hyperplane LSH ANN twin: identical hyperplane literals, sign
+    # bits packed into (band * 2^r + bits) integer buckets, candidates =
+    # bucket-collided (query, vec) pairs, exact cosine top-3.
+    "q39_ann_lsh_topk": f"""
+        WITH planes(plane_idx, band, pvec) AS (
+            VALUES {_planes_values()}
+        ), emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), cb AS (
+            SELECT e.vec_id, p.band,
+                   CAST(p.band AS BIGINT) * 16 + sum(
+                       CASE WHEN list_dot_product(e.e, p.pvec) >= 0
+                            THEN CAST(2 ** (p.plane_idx % 4) AS BIGINT)
+                            ELSE 0 END) AS bucket
+            FROM emb e CROSS JOIN planes p
+            GROUP BY e.vec_id, p.band
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM cb c JOIN cb q ON c.bucket = q.bucket
+            WHERE q.vec_id < 5
+        ), scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   ROUND({_COS_EQ.format(a="ce.e", b="qe.e")} * 10000)
+                     / 10000 AS sim
+            FROM cand
+            JOIN emb ce ON ce.vec_id = cand.vec_id
+            JOIN emb qe ON qe.vec_id = cand.query_id
+        )
+        SELECT query_id, vec_id, sim, "rank" FROM (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS "rank"
+            FROM scored
+        ) WHERE "rank" <= 3
+        ORDER BY query_id, "rank"
+    """,
+    # SimHash mechanism twin: one md5 per token (hex 1-8 -> hi half,
+    # 9-16 -> lo half), per-bit +-1 votes, sign -> signature bits, 4 x
+    # 16-bit chunk banding (pigeonhole for hamming <= 3), bit_count(xor)
+    # verify — all BIGINT arithmetic both engines agree on.
+    "q38_simhash_neardup": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   {_h32("tok")} AS hi,
+                   CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS lo
+            FROM toks
+        ), votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hi >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS vh,
+                   sum(CASE WHEN (lo >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS vl
+            FROM th, range(0, 32) b(bit)
+            GROUP BY doc_id, b.bit
+        ), sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN vh > 0 THEN CAST(2 ** bit AS BIGINT)
+                            ELSE 0 END) AS hi,
+                   sum(CASE WHEN vl > 0 THEN CAST(2 ** bit AS BIGINT)
+                            ELSE 0 END) AS lo
+            FROM votes GROUP BY doc_id
+        ), chunked AS (
+            SELECT doc_id, hi, lo, c.chunk,
+                   CASE c.chunk
+                        WHEN 0 THEN lo & 65535
+                        WHEN 1 THEN (lo >> 16) & 65535
+                        WHEN 2 THEN hi & 65535
+                        ELSE (hi >> 16) & 65535
+                   END AS ckey
+            FROM sig, range(0, 4) c(chunk)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM chunked a JOIN chunked b
+              ON a.chunk = b.chunk AND a.ckey = b.ckey
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa.hi, sb.hi))
+                        + bit_count(xor(sa.lo, sb.lo)) AS BIGINT) AS hamming
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+        ) WHERE hamming <= 3
+        ORDER BY id_a, id_b
     """,
     # Full MinHash-LSH mechanism twin: md5-prefix base hash + affine
     # (A[s]*h + B[s]) mod P seeded values -> 64-entry signatures -> 16

@@ -745,19 +745,24 @@ def q37(spark, sf_dir):
 
 
 def q38(spark, sf_dir):
-    """SimHash near-duplicates (rows-only; hamming <= 3 over 64-bit
-    signatures)."""
+    """SimHash near-duplicates (hamming <= 3 over 64-bit signatures) with
+    the portable md5 two-half signature — oracle-checked: DuckDB rebuilds
+    the per-bit votes, chunk banding, and hamming verify exactly."""
     from golang_cassandra_kafka_feed_spark.operators.dedup import (
         simhash_near_duplicates,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_duplicates(d, max_hamming=3, hasher="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q39(spark, sf_dir):
-    """LSH-bucketed approximate ANN (rows-only; recall vs q36 brute force
-    asserted in tests/test_similarity.py)."""
+    """LSH-bucketed approximate ANN — oracle-checked: the packed sign-bit
+    buckets and identical hyperplane literals let DuckDB reproduce the
+    candidate set exactly (recall vs q36 brute force also asserted in
+    tests/test_similarity_ops.py)."""
     from golang_cassandra_kafka_feed_spark.operators.similarity import (
         lsh_bucketed_topk,
     )
@@ -805,8 +810,9 @@ def q41(spark, sf_dir):
 
 
 def q42(spark, sf_dir):
-    """IVF-style approximate ANN (rows-only; recall vs q36 brute force
-    asserted in tests/test_similarity_ops.py)."""
+    """IVF-style approximate ANN — oracle-checked: md5-hash cells and
+    arg_min centroid selection are engine-portable (recall vs q36 brute
+    force asserted in tests/test_similarity_ops.py)."""
     from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
