@@ -47,14 +47,18 @@ def main() -> None:
     # to 100 TB.  SPARK_GRAFT_BENCH_RUNS=1 gives the cold-start sweep.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best = float("inf")
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.time()
             # noop sink: full JVM-side plan execution, zero driver/Python
             # materialization — rows never cross the JVM boundary.
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            elapsed = time.time() - t0
+            if i == 0:
+                timings_cold[name] = round(elapsed, 3)
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
 
     # Fan-out pipeline throughput: every event becomes a post; a synthetic
@@ -123,11 +127,15 @@ def main() -> None:
     # (http_load.go:197-209 linear-interpolation percentile, applied to
     # per-query wall times)
     lat = sorted(timings.values())
+    lat_cold = sorted(timings_cold.values())
+
+    def _pct_of(series: list[float], p: float) -> float:
+        i = p * (len(series) - 1)
+        lo, hi = int(i), min(int(i) + 1, len(series) - 1)
+        return round(series[lo] + (series[hi] - series[lo]) * (i - lo), 3)
 
     def _pct(p: float) -> float:
-        i = p * (len(lat) - 1)
-        lo, hi = int(i), min(int(i) + 1, len(lat) - 1)
-        return round(lat[lo] + (lat[hi] - lat[lo]) * (i - lo), 3)
+        return _pct_of(lat, p)
 
     print(
         json.dumps(
@@ -141,6 +149,14 @@ def main() -> None:
                 "query_sec_p50": _pct(0.5),
                 "query_sec_p90": _pct(0.9),
                 "query_sec_p99": _pct(0.99),
+                # cold series: first execution of each plan (includes
+                # JIT/codegen compile); steady `queries` stays the
+                # headline so round-over-round comparisons are stable.
+                "value_cold": round(sum(timings_cold.values()), 3),
+                "queries_cold": timings_cold,
+                "query_cold_sec_p50": _pct_of(lat_cold, 0.5),
+                "query_cold_sec_p90": _pct_of(lat_cold, 0.9),
+                "query_cold_sec_p99": _pct_of(lat_cold, 0.99),
                 "fanout_posts": n_posts,
                 "fanout_feed_rows": n_feed,
                 "fanout_sec": round(fanout_sec, 3),
