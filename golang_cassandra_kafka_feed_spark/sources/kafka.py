@@ -89,10 +89,19 @@ def write_kafka(df: DataFrame, brokers: str, topic: str) -> None:
     )
 
 
-def read_stream_envelope_files(spark: SparkSession, path: str) -> DataFrame:
+def read_stream_envelope_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-based streaming source with the Kafka envelope schema — the
-    broker-less test double (one parquet file per 'delivery')."""
-    return spark.readStream.schema(ENVELOPE_SCHEMA).parquet(path)
+    broker-less test double (one parquet file per 'delivery').
+
+    ``max_files_per_trigger`` is the file-source twin of the Kafka
+    source's ``maxOffsetsPerTrigger`` rate limit — it bounds a
+    micro-batch, which also makes mid-stream stop/resume exercisable."""
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def posts_to_envelopes(posts: DataFrame) -> DataFrame:

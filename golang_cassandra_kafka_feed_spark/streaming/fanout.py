@@ -113,8 +113,17 @@ def run_fanout_pipeline(
     store,
     checkpoint_dir: str,
     record_metrics: bool = False,
+    processing_time: str | None = None,
 ):
     """Wire the full pipeline into the FeedStore's idempotent feed sink.
+
+    ``processing_time`` switches from the default drain-everything
+    ``availableNow`` trigger to a continuous processing-time trigger
+    (e.g. ``"1 second"``) — the long-running worker deployment shape
+    (reference cmd/worker/main.go:55-71); stop with ``query.stop()``,
+    which checkpoint-commits the in-flight epoch boundary so a restart
+    resumes with no loss or duplication (drain semantics,
+    worker.go:66-70).
 
     ``foreachBatch`` gives exactly-once-per-epoch sink semantics on top of
     the source's at-least-once replay: FeedStore.fan_out anti-joins on
@@ -165,9 +174,11 @@ def run_fanout_pipeline(
                 n_fresh=n_fresh,
             )
 
-    return (
-        envelopes_stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = envelopes_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
