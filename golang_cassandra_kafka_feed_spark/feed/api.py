@@ -341,3 +341,63 @@ class FeedStore:
             .filter(F.col("rn") <= limit_per_user)
             .drop("rn")
         )
+
+
+# ---------------------------------------------------------------------------
+# optional transactional CAS (Delta MERGE), capability-gated
+# ---------------------------------------------------------------------------
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True if delta-spark (python binding + jars) is usable."""
+    try:
+        import delta  # noqa: F401
+
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.delta.DeltaLog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def merge_create_users(
+    spark: SparkSession, delta_path: str, usernames: DataFrame
+) -> None:
+    """Concurrency-safe CreateUser CAS via Delta MERGE.
+
+    The filesystem-backed FeedStore.create_users is exact within one job
+    (batch dedup + anti-join) but two *concurrent* jobs can both insert
+    the same username — the reference closes that race with Cassandra's
+    ``INSERT ... IF NOT EXISTS`` LWT (feed.go:41-74).  With a
+    transactional table format present, MERGE WHEN NOT MATCHED under
+    Delta's optimistic concurrency control is the distributed twin:
+    conflicting commits retry serialized, so exactly one writer wins per
+    username (SURVEY.md §7.3.1).
+
+    Gated: raises NotImplementedError when delta-spark is absent (this
+    sandbox ships no Delta jars and has no network; the gated test in
+    tests/test_feed_api.py runs wherever delta-spark is installed).
+    """
+    if not delta_available(spark):
+        raise NotImplementedError(
+            "delta-spark not available; FeedStore.create_users covers the "
+            "single-job CAS semantics, cross-job uniqueness needs Delta"
+        )
+    from delta.tables import DeltaTable
+
+    valid = (
+        usernames.filter(valid_length("username", 1, 50))
+        .dropDuplicates(["username"])
+        .withColumn("user_id", F.expr("uuid()"))
+        .select("user_id", "username")
+    )
+    if not DeltaTable.isDeltaTable(spark, delta_path):
+        valid.limit(0).write.format("delta").mode("overwrite").save(delta_path)
+    (
+        DeltaTable.forPath(spark, delta_path)
+        .alias("t")
+        .merge(valid.alias("s"), "t.username = s.username")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )

@@ -41,6 +41,21 @@ def cassandra_available(spark: SparkSession) -> bool:
         return False
 
 
+def cassandra_options(
+    keyspace: str, table: str, consistency: str = "QUORUM", write: bool = False
+) -> dict[str, str]:
+    """The exact option map handed to the connector format — pure function
+    so the plumbing is unit-testable without the jar (the sandbox has no
+    connector jar or network; only the ``.load()``/``.save()`` line itself
+    stays unexercised).  QUORUM default mirrors cassandra.go:58."""
+    side = "output" if write else "input"
+    return {
+        "keyspace": keyspace,
+        "table": table,
+        f"spark.cassandra.{side}.consistency.level": consistency,
+    }
+
+
 def write_table(
     df: DataFrame,
     keyspace: str,
@@ -56,9 +71,7 @@ def write_table(
         )
     (
         df.write.format(_PROVIDER)
-        .option("keyspace", keyspace)
-        .option("table", table)
-        .option("spark.cassandra.output.consistency.level", consistency)
+        .options(**cassandra_options(keyspace, table, consistency, write=True))
         .mode("append")
         .save()
     )
@@ -79,8 +92,6 @@ def read_table(
         )
     return (
         spark.read.format(_PROVIDER)
-        .option("keyspace", keyspace)
-        .option("table", table)
-        .option("spark.cassandra.input.consistency.level", consistency)
+        .options(**cassandra_options(keyspace, table, consistency))
         .load()
     )

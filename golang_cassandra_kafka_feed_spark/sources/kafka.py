@@ -50,14 +50,47 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
+def kafka_source_options(
+    brokers: str,
+    topic: str,
+    group_id: str = "worker-group",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option map handed to ``.format("kafka")`` — a pure
+    function so the plumbing is unit-testable without the connector jar
+    (the sandbox has no Kafka jar or network; the only untested line left
+    is the ``.load()`` itself).  Mirrors the worker's consumer config
+    (internal/broker/kafka.go:81-99: group worker-group, topic
+    feed-topic); MinBytes/MaxBytes batch sizing maps to
+    maxOffsetsPerTrigger; the 1 s offset-commit interval (kafka.go:92) is
+    superseded by checkpointing (stronger: replay-exact)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "kafka.group.id": group_id,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    """Producer-side option map (kafka.go:33-73 / the async batched bench
+    producer kafka_producer.go:34-39)."""
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+
+
 def read_stream_kafka(
-    spark: SparkSession, brokers: str, topic: str, group_id: str = "worker-group"
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    group_id: str = "worker-group",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming Kafka source mirroring the worker's consumer group
-    (internal/broker/kafka.go:81-99: group worker-group, topic feed-topic).
-    Batch sizing (MinBytes/MaxBytes) maps to maxOffsetsPerTrigger; the 1 s
-    offset-commit interval (kafka.go:92) is superseded by checkpointing
-    (stronger: replay-exact)."""
+    """Streaming Kafka source — see kafka_source_options for the config
+    contract."""
     if not kafka_available(spark):
         raise NotImplementedError(
             "spark-sql-kafka connector jar not on classpath; use "
@@ -65,26 +98,28 @@ def read_stream_kafka(
         )
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("kafka.group.id", group_id)
-        .option("startingOffsets", "earliest")
+        .options(
+            **kafka_source_options(
+                brokers,
+                topic,
+                group_id,
+                max_offsets_per_trigger=max_offsets_per_trigger,
+            )
+        )
         .load()
         .select("key", "value", "timestamp")
     )
 
 
 def write_kafka(df: DataFrame, brokers: str, topic: str) -> None:
-    """Batch Kafka sink (producer side, kafka.go:33-73 / the async batched
-    bench producer kafka_producer.go:34-39)."""
+    """Batch Kafka sink — see kafka_sink_options for the config contract."""
     if not kafka_available(df.sparkSession):
         raise NotImplementedError(
             "spark-sql-kafka connector jar not on classpath"
         )
     (
         df.write.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
+        .options(**kafka_sink_options(brokers, topic))
         .save()
     )
 
