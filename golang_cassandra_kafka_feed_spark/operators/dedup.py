@@ -504,10 +504,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard for pairs sharing at least one n-gram shingle.
 
-    Inverted-index join: explode distinct shingles, drop shingles appearing
-    in > max_shingle_freq docs (hot keys contribute near-zero Jaccard
-    signal but quadratic pairs — the cap is the skew guard at 100 TB),
-    count shared shingles per pair, then J = shared / (|A|+|B|-shared).
+    Inverted index as ONE aggregation: group postings per shingle, keep
+    buckets with 2..max_shingle_freq docs, and explode in-bucket pairs.
+    The size cap both guards skew (hot shingles contribute near-zero
+    Jaccard signal but quadratic pairs — the 100 TB safety valve) and
+    bounds the collected posting list, so no bucket array can exceed
+    max_shingle_freq structs.  The previous formulation (separate
+    hot-shingle anti-join + posting-list self-join) referenced the
+    shingle-extraction pipeline three times; Catalyst does not reuse the
+    exchange across those branches, so the regex work ran 3x.
     """
     sets = _parallelize(df).select(
         F.col(id_col).alias("id"),
@@ -516,21 +521,15 @@ def ngram_jaccard_pairs(
     inv = sets.select(
         "id", "set_size", F.explode("sh").alias("shingle")
     )
-    hot = (
+    buckets = (
         inv.groupBy("shingle")
-        .count()
-        .filter(F.col("count") > max_shingle_freq)
-        .select("shingle")
+        .agg(F.collect_list(F.struct("id", "set_size")).alias("xs"))
+        .filter((F.size("xs") >= 2) & (F.size("xs") <= max_shingle_freq))
     )
-    inv = inv.join(hot, "shingle", "left_anti")
-    a = inv.alias("a")
-    b = inv.alias("b")
     shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

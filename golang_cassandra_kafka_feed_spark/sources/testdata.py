@@ -40,8 +40,18 @@ _EVENTS_RAW_SCHEMA = (
 def _has_nanos_ts(path: str) -> bool:
     """Cheap driver-side footer probe (no Spark job) for TIMESTAMP(NANOS)."""
     try:
+        import glob
+        import os
+
         import pyarrow.parquet as pq
 
+        if os.path.isdir(path):
+            # multi-file table (e.g. the synthesized scale SFs): all parts
+            # share one schema — probe the first.
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return False
+            path = parts[0]
         schema = pq.read_schema(path)
         field = schema.field("ts")
         return getattr(field.type, "unit", None) == "ns"
