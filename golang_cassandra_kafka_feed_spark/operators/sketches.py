@@ -26,6 +26,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate — the DETERMINISTIC,
+    engine-portable sketch (HLL++ inside ``approx_count_distinct`` is
+    engine-internal and cannot be oracle-checked; KMV on the md5-prefix
+    hash produces bit-identical estimates in any engine).
+
+    Estimator (Bar-Yossef et al.): hash values to uniform [0,1); with
+    the k-th smallest distinct hash at h_k, est = (k-1)/h_k; if fewer
+    than k distinct hashes exist the count is exact.  RSE ~ 1/sqrt(k-2)
+    (~6% at k=256).
+
+    Scale shape: one distinct-shuffle on (by, h), then the k smallest
+    per group via TakeOrderedAndProject (global) or WindowGroupLimit
+    (per-key) — state is bounded by k everywhere, and the k-min set is
+    mergeable across partitions by construction.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    ).alias("h")
+    hs = df.select(*by, h).distinct()
+    if by:
+        w = Window.partitionBy(*by).orderBy("h")
+        kmin = hs.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= k
+        )
+        grouped = kmin.groupBy(*by)
+    else:
+        kmin = hs.orderBy("h").limit(k)
+        grouped = kmin.groupBy()
+    return grouped.agg(
+        F.count("*").alias("__n"), F.max("h").alias("__hk")
+    ).select(
+        *by,
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("__hk"))
+        .alias("est_distinct"),
+    )
+
+
 def approx_distinct(
     df: DataFrame, cols: Sequence[str], by: Sequence[str] = (), rsd: float = 0.02
 ) -> DataFrame:

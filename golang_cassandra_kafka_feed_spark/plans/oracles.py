@@ -647,6 +647,39 @@ ORACLES: dict[str, str] = {
                list_min(f) AS min_fp
         FROM fps ORDER BY doc_id
     """,
+    # KMV twin: identical md5 hash -> uniform [0,1) (power-of-two division
+    # is exact), identical k-min selection (h values are distinct, so the
+    # LIMIT boundary is unambiguous), identical (k-1)/h_k IEEE division.
+    "q59_kmv_distinct": f"""
+        WITH hs AS (
+            SELECT DISTINCT
+                   {_h32("CAST(event_id AS VARCHAR)")} / 4294967296.0 AS h
+            FROM events
+        ), kmin AS (
+            SELECT h FROM hs ORDER BY h LIMIT 256
+        ), g AS (
+            SELECT 'global_event_ids' AS scope, '*' AS "key",
+                   CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                        ELSE 255.0 / max(h) END AS est_distinct
+            FROM kmin
+        ), ph AS (
+            SELECT DISTINCT event_type,
+                   {_h32("CAST(user_id AS VARCHAR)")} / 4294967296.0 AS h
+            FROM events
+        ), pk AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn
+            FROM ph
+        ), p AS (
+            SELECT 'per_type_user_ids' AS scope, event_type AS "key",
+                   CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                        ELSE 255.0 / max(h) END AS est_distinct
+            FROM pk WHERE rn <= 256 GROUP BY event_type
+        )
+        SELECT * FROM g UNION ALL SELECT * FROM p
+        ORDER BY scope, "key"
+    """,
     "q43_pivot": """
         SELECT user_id,
                count(*) FILTER (WHERE event_type = 'click')    AS n_click,

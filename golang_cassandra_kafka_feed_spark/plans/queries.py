@@ -1180,6 +1180,30 @@ def q58(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q59(spark, sf_dir):
+    """KMV distinct-count sketch battery — the oracle-checkable twin of
+    q48's engine-internal HLL: deterministic md5-hash k-minimum-values
+    estimates (operators/sketches.py::kmv_distinct), exercising both the
+    estimation path (global event_id, |D| >> k) and the exact path
+    (per-type user_id, |D| < k)."""
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    g = kmv_distinct(ev, "event_id").select(
+        F.lit("global_event_ids").alias("scope"),
+        F.lit("*").alias("key"),
+        "est_distinct",
+    )
+    p = kmv_distinct(ev, "user_id", by=["event_type"]).select(
+        F.lit("per_type_user_ids").alias("scope"),
+        F.col("event_type").alias("key"),
+        "est_distinct",
+    )
+    return g.unionByName(p).orderBy("scope", "key")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1242,6 +1266,7 @@ QUERIES = {
     "q56_mixture_downsample": q56,
     "q57_sequence_pack": q57,
     "q58_moments_battery": q58,
+    "q59_kmv_distinct": q59,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

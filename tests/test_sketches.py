@@ -59,3 +59,38 @@ def test_bloom_semi_filter_plan_has_no_join(spark, sf_dir):
         .toString()
     )
     assert "Join" not in plan  # membership predicate only — no shuffle
+
+
+def test_kmv_distinct_error_bound(spark, sf_dir):
+    """KMV estimate within 4 RSE (~25% at k=256) of truth on an
+    estimation-path column; deterministic across runs."""
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    true = ev.select("event_id").distinct().count()
+    est1 = kmv_distinct(ev, "event_id").collect()[0].est_distinct
+    est2 = kmv_distinct(ev, "event_id").collect()[0].est_distinct
+    assert est1 == est2  # deterministic, unlike a seeded-random sketch
+    assert abs(est1 - true) / true < 4 / (256 - 2) ** 0.5
+
+
+def test_kmv_distinct_exact_below_k(spark, sf_dir):
+    """Fewer than k distinct values -> the count is exact, per group."""
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: r.est_distinct
+        for r in kmv_distinct(ev, "user_id", by=["event_type"]).collect()
+    }
+    want = {
+        r.event_type: float(r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
