@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -45,9 +46,7 @@ def asof_join(
     # struct NULL) but never skips a right row whose individual value
     # columns contain NULLs — those NULLs are preserved, and multi-column
     # results can't mix fields from different right rows.
-    struct_type = "struct<{}>".format(
-        ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
-    )
+    struct_type = T.StructType([right.schema[c] for c in value_cols])
     lhs = (
         left.withColumn("__side", F.lit(1))
         .withColumn("__ts", F.col(left_ts))

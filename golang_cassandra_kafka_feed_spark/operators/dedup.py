@@ -41,9 +41,20 @@ def _parallelize(df: DataFrame) -> DataFrame:
     is non-deterministic, which disqualifies the exchange from Catalyst's
     ReuseExchange — operators that branch over the same expensive subplan
     (e.g. the inverted index read 3x in ngram_jaccard_pairs) would then
-    recompute the per-row work once per branch."""
+    recompute the per-row work once per branch.
+
+    Width is probed from plan metadata only: ``df.inputFiles()`` walks the
+    analyzed plan's file indexes on the driver — no job, and crucially no
+    ``df.rdd`` conversion (which would graft an RDD-scan stage into every
+    signature pipeline's query plan).  File count underestimates scan
+    parallelism when single files split under
+    ``spark.sql.files.maxPartitionBytes``; the penalty for that
+    underestimate is one redundant hash repartition, which is the safe
+    direction.  Non-file inputs (in-memory relations, streaming batch
+    frames) report zero files and are repartitioned — they are either tiny
+    or already epoch-bounded."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target, *df.columns)
     return df
 
@@ -174,7 +185,12 @@ def _minhash_per_seed(
         # arrays inside a HOF, which run interpreted and bloat codegen).
         # The shingle string is dropped before the k-fanout so only
         # (id, h, seed) triples flow into the partial aggregate.
-        assert num_hashes <= len(MINHASH_A)
+        if num_hashes > len(MINHASH_A):
+            raise ValueError(
+                f"num_hashes={num_hashes} exceeds the {len(MINHASH_A)}-coefficient "
+                "limit of the md5 affine family (MINHASH_A/MINHASH_B); use "
+                "num_hashes <= 64 or hasher='xxhash64'"
+            )
         seeds_df = df.sparkSession.createDataFrame(
             [
                 (s, MINHASH_A[s], MINHASH_B[s])

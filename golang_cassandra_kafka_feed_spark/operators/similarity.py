@@ -21,6 +21,15 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Shared defaults for the LSH family.  The DuckDB oracles
+# (plans/oracles.py) derive their SQL literals from these same names, so
+# changing a default here keeps the cross-engine twin in lockstep instead
+# of silently desyncing it.
+DEFAULT_DIM = 64
+DEFAULT_N_PLANES = 32
+DEFAULT_BANDS = 8
+DEFAULT_N_CELLS = 16
+
 
 def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -142,9 +151,9 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    dim: int = 64,
-    n_planes: int = 32,
-    bands: int = 8,
+    dim: int = DEFAULT_DIM,
+    n_planes: int = DEFAULT_N_PLANES,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing >= 1 LSH band
     bucket with the query.  Recall grows with ``bands`` (multi-probe OR);
@@ -198,7 +207,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_cells: int = 16,
+    n_cells: int = DEFAULT_N_CELLS,
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
@@ -271,9 +280,9 @@ def embedding_near_duplicates(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
-    n_planes: int = 32,
-    bands: int = 8,
+    dim: int = DEFAULT_DIM,
+    n_planes: int = DEFAULT_N_PLANES,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, candidate-pruned by LSH bucket
     collision (embedding-space near-dedup)."""

@@ -24,6 +24,19 @@ from golang_cassandra_kafka_feed_spark.operators.textstats import (
     LANG_MARKERS,
     _STOPWORDS,
 )
+from golang_cassandra_kafka_feed_spark.operators.similarity import (
+    DEFAULT_BANDS,
+    DEFAULT_DIM,
+    DEFAULT_N_PLANES,
+)
+from golang_cassandra_kafka_feed_spark.plans.queries import (
+    ANN_K,
+    ANN_N_QUERIES,
+    IVF_N_CELLS,
+    IVF_N_PROBE,
+)
+
+_LSH_R = DEFAULT_N_PLANES // DEFAULT_BANDS
 
 _MH_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
 _MH_B = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
@@ -42,8 +55,8 @@ def _planes_values() -> str:
         _hyperplanes,
     )
 
-    planes = _hyperplanes(64, 32)
-    r = 32 // 8
+    planes = _hyperplanes(DEFAULT_DIM, DEFAULT_N_PLANES)
+    r = _LSH_R
     rows = ", ".join(
         f"({i}, {i // r}, [{', '.join(repr(x) for x in p)}])"
         for i, p in enumerate(planes)
@@ -401,10 +414,10 @@ ORACLES: dict[str, str] = {
         ) WHERE sim >= 0.3
         ORDER BY id_a, id_b
     """,
-    "q36_ann_multi_query": """
+    "q36_ann_multi_query": f"""
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-            FROM embeddings WHERE vec_id < 5
+            FROM embeddings WHERE vec_id < {ANN_N_QUERIES}
         ),
         scored AS (
             SELECT q.query_id, e.vec_id,
@@ -421,7 +434,7 @@ ORACLES: dict[str, str] = {
                        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
                    ) AS "rank"
             FROM scored
-        ) WHERE "rank" <= 3
+        ) WHERE "rank" <= {ANN_K}
         ORDER BY query_id, "rank"
     """,
     # IVF mechanism twin: md5-hash cells, arg_min-per-cell centroids,
@@ -437,8 +450,8 @@ ORACLES: dict[str, str] = {
                    {_h32("CAST(vec_id AS VARCHAR)")} AS hh
             FROM emb
         ), centroids AS (
-            SELECT hh % 16 AS cell, arg_min(e, hh) AS cvec
-            FROM h GROUP BY hh % 16
+            SELECT hh % {IVF_N_CELLS} AS cell, arg_min(e, hh) AS cvec
+            FROM h GROUP BY hh % {IVF_N_CELLS}
         ), c_cells AS (
             SELECT vec_id, e, cell FROM (
                 SELECT h.vec_id, h.e, c.cell,
@@ -456,8 +469,8 @@ ORACLES: dict[str, str] = {
                            ORDER BY {_COS_EQ.format(a="h.e", b="c.cvec")}
                                     DESC, c.cell ASC) AS rn
                 FROM h CROSS JOIN centroids c
-                WHERE h.vec_id < 5
-            ) WHERE rn <= 6
+                WHERE h.vec_id < {ANN_N_QUERIES}
+            ) WHERE rn <= {IVF_N_PROBE}
         ), scored AS (
             SELECT q.query_id, c.vec_id,
                    ROUND({_COS_EQ.format(a="c.e", b="q.qe")} * 10000)
@@ -470,7 +483,7 @@ ORACLES: dict[str, str] = {
                        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
                    ) AS "rank"
             FROM scored
-        ) WHERE "rank" <= 3
+        ) WHERE "rank" <= {ANN_K}
         ORDER BY query_id, "rank"
     """,
     # Random-hyperplane LSH ANN twin: identical hyperplane literals, sign
@@ -483,16 +496,16 @@ ORACLES: dict[str, str] = {
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ), cb AS (
             SELECT e.vec_id, p.band,
-                   CAST(p.band AS BIGINT) * 16 + sum(
+                   CAST(p.band AS BIGINT) * {1 << _LSH_R} + sum(
                        CASE WHEN list_dot_product(e.e, p.pvec) >= 0
-                            THEN CAST(2 ** (p.plane_idx % 4) AS BIGINT)
+                            THEN CAST(2 ** (p.plane_idx % {_LSH_R}) AS BIGINT)
                             ELSE 0 END) AS bucket
             FROM emb e CROSS JOIN planes p
             GROUP BY e.vec_id, p.band
         ), cand AS (
             SELECT DISTINCT q.vec_id AS query_id, c.vec_id
             FROM cb c JOIN cb q ON c.bucket = q.bucket
-            WHERE q.vec_id < 5
+            WHERE q.vec_id < {ANN_N_QUERIES}
         ), scored AS (
             SELECT cand.query_id, cand.vec_id,
                    ROUND({_COS_EQ.format(a="ce.e", b="qe.e")} * 10000)
@@ -507,7 +520,7 @@ ORACLES: dict[str, str] = {
                        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
                    ) AS "rank"
             FROM scored
-        ) WHERE "rank" <= 3
+        ) WHERE "rank" <= {ANN_K}
         ORDER BY query_id, "rank"
     """,
     # SimHash mechanism twin: one md5 per token (hex 1-8 -> hi half,

@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
 
+# Declared ANN query parameters — the DuckDB oracles (plans/oracles.py)
+# interpolate these same names into their SQL, so Spark call sites and
+# oracle literals cannot drift apart.  Operator-level LSH/IVF geometry
+# (dim, planes, bands, cells) lives in operators/similarity.py.
+ANN_K = 3
+ANN_N_QUERIES = 5
+IVF_N_CELLS = 16
+IVF_N_PROBE = 6
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -721,10 +730,10 @@ def q36(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
+    queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(emb, queries_df, k=3).orderBy("query_id", "rank")
+    return brute_force_topk(emb, queries_df, k=ANN_K).orderBy("query_id", "rank")
 
 
 def q37(spark, sf_dir):
@@ -768,10 +777,10 @@ def q39(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
+    queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucketed_topk(emb, queries_df, k=3).orderBy(
+    return lsh_bucketed_topk(emb, queries_df, k=ANN_K).orderBy(
         "query_id", "rank"
     )
 
@@ -816,10 +825,12 @@ def q42(spark, sf_dir):
     from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
+    queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries_df, k=3, n_cells=16, n_probe=6).orderBy(
+    return ivf_topk(
+        emb, queries_df, k=ANN_K, n_cells=IVF_N_CELLS, n_probe=IVF_N_PROBE
+    ).orderBy(
         "query_id", "rank"
     )
 

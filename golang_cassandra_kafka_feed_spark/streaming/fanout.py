@@ -148,11 +148,13 @@ def run_fanout_pipeline(
         obs_dec = Observation() if record_metrics else None
         if obs_dec is not None:
             decoded = decoded.observe(obs_dec, F.count(F.lit(1)).alias("n"))
-        posts = decoded.dropDuplicates(["post_id"])
-        # Apply add_posts' body validation HERE so n_fresh counts rows that
-        # will actually be written — counting pre-validation overstates the
-        # metric in epochs containing invalid bodies.
-        posts = posts.filter(feed_api.valid_length("body", 1, 1000))
+        # Validate BEFORE dropDuplicates: if one epoch carries both a valid
+        # and an invalid row for the same post_id, dedup must choose among
+        # writable rows only — filtering afterwards would let an arbitrary
+        # kept invalid duplicate drop a valid post nondeterministically.
+        # n_fresh thereby also counts only rows that will actually be written.
+        posts = decoded.filter(feed_api.valid_length("body", 1, 1000))
+        posts = posts.dropDuplicates(["post_id"])
         fresh = posts.join(
             store.table("posts").select("post_id"), "post_id", "left_anti"
         )

@@ -12,7 +12,11 @@ Design choices that keep the scaled data *shaped* like real growth:
 - referential integrity per replica: orders.o_custkey shifts with
   customer.c_custkey, lineitem.l_{order,part,supp}key shift with their
   parents, so join fan-outs scale linearly.
-- documents get every word prefixed with a replica tag (r<i>w): shingle
+- documents get every word prefixed with a letters-only replica tag
+  (q<tag>, e.g. 'qba' — never digit-bearing like 'r3', because the
+  tokenizers split on [^a-z]+ and a digit tag would re-tokenize every
+  replica back into the original word stream, collapsing all replicas
+  into exact token-clones): shingle
   sets are DISJOINT across replicas, so near-dup pair counts grow
   linearly (10x planted pairs), not quadratically (every doc x its 9
   clones would be the mass-identical-corpus pathology the dedup
