@@ -20,8 +20,49 @@ BASELINE.json (LLM-data-pipeline operators).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
+
+# Hard ceiling on members per LSH bucket (per (band, bucket) in MinHash,
+# per (chunk, ckey) in SimHash).  Pair enumeration is quadratic in bucket
+# width, so one templated-boilerplate mega-bucket (near-identical but not
+# exact-duplicate documents: license headers, scraped nav chrome) would
+# otherwise produce an O(width^2) straggler task at corpus scale —
+# exact_dedup drains exact copies first but cannot drain these.  The cap
+# keeps the ``max_bucket_width`` smallest ids per bucket (deterministic,
+# and mirrored literally in the DuckDB oracles via the same constant); at
+# width 256 a saturated bucket still verifies 32k candidate pairs, far
+# past the point where "these are all the same template" is established.
+MAX_BUCKET_WIDTH = 256
+
+
+def _cap_bucket_width(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    max_bucket_width: int,
+    observation: Observation | None,
+) -> DataFrame:
+    """Keep the ``max_bucket_width`` smallest ``order_col`` rows per
+    bucket.  The rank-filter shape plans as WindowGroupLimit (map-side
+    Partial + Final), so oversized buckets are truncated BEFORE the
+    shuffle — the mega-bucket never materializes on one task.
+
+    ``observation`` (optional) records ``n_bucket_members_dropped`` on the
+    same pass; note the CollectMetrics node sits between the window and
+    the rank filter, which disables the WindowGroupLimit pushdown — use it
+    to audit a corpus, not in the steady-state pipeline.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum(
+                F.when(F.col("__rn") > max_bucket_width, 1).otherwise(0)
+            ).alias("n_bucket_members_dropped"),
+        )
+    return ranked.filter(F.col("__rn") <= max_bucket_width).drop("__rn")
 
 
 def _tokens(col: str) -> Column:
@@ -239,6 +280,8 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_size: int = 3,
     hasher: str = "xxhash",
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+    width_observation: Observation | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: ids agreeing on >= 1 LSH band.
 
@@ -258,9 +301,11 @@ def minhash_lsh_candidates(
       references the whole signature pipeline twice and Catalyst does not
       reuse the exchange across the differently-aliased branches
       (measured 2x the stage cost).  Output volume is identical
-      (quadratic in bucket size either way); a pathological mega-bucket
-      (mass-identical documents) should be drained by ``exact_dedup``
-      first, which removes exact copies before banding.
+      (quadratic in bucket size either way); ``exact_dedup`` first drains
+      mass-identical documents, and ``max_bucket_width`` truncates any
+      mega-bucket that survives it (templated near-identical corpora) to
+      its smallest ids BEFORE the bucket list is collected — see
+      ``MAX_BUCKET_WIDTH`` / ``_cap_bucket_width``.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -281,7 +326,13 @@ def minhash_lsh_candidates(
         bucket = F.xxhash64(
             F.transform("sm", lambda s: s["mh"]), F.col("band")
         )
-    banded = grouped.select("id", "band", bucket.alias("bucket"))
+    banded = _cap_bucket_width(
+        grouped.select("id", "band", bucket.alias("bucket")),
+        ["band", "bucket"],
+        "id",
+        max_bucket_width,
+        width_observation,
+    )
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("id").alias("ids"))
@@ -305,13 +356,23 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_size: int = 3,
     hasher: str = "xxhash",
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+    width_observation: Observation | None = None,
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard over shingle sets —
     false positives from banding are filtered, so the output depends on
     the threshold only (plus LSH recall; raise ``bands`` for higher
     recall at lower thresholds)."""
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_size, hasher
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_size,
+        hasher,
+        max_bucket_width,
+        width_observation,
     )
     shingle_sets = df.select(
         F.col(id_col).alias("id"),
@@ -426,6 +487,8 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hasher: str = "xxhash",
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+    width_observation: Observation | None = None,
 ) -> DataFrame:
     """Near-dups by hamming distance <= max_hamming.
 
@@ -455,6 +518,10 @@ def simhash_near_duplicates(
             "struct(3 AS chunk, (shiftright(hi, 16) & 65535) AS ckey)"
             ")) AS cc",
         ).select("s", "cc.chunk", "cc.ckey")
+        chunked = _cap_bucket_width(
+            chunked, ["chunk", "ckey"], "s.id", max_bucket_width,
+            width_observation,
+        )
         buckets = (
             chunked.groupBy("chunk", "ckey")
             .agg(F.collect_list("s").alias("ss"))
@@ -484,6 +551,9 @@ def simhash_near_duplicates(
         "explode(transform(sequence(0, 3), c -> struct(c AS chunk, "
         "(shiftright(simhash, c * 16) & 65535) AS ckey))) AS cc",
     ).select("id", "simhash", "cc.chunk", "cc.ckey")
+    chunked = _cap_bucket_width(
+        chunked, ["chunk", "ckey"], "id", max_bucket_width, width_observation
+    )
     a = chunked.alias("a")
     b = chunked.alias("b")
     return (

@@ -16,6 +16,7 @@ with the Spark plan:
 """
 
 from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    MAX_BUCKET_WIDTH,
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
@@ -559,9 +560,17 @@ ORACLES: dict[str, str] = {
                         ELSE (hi >> 16) & 65535
                    END AS ckey
             FROM sig, range(0, 4) c(chunk)
+        ), kept AS (
+            -- bucket-width cap: same {MAX_BUCKET_WIDTH}-smallest-ids
+            -- truncation the Spark operator applies per (chunk, ckey)
+            SELECT doc_id, hi, lo, chunk, ckey FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY chunk, ckey ORDER BY doc_id) AS brn
+                FROM chunked
+            ) WHERE brn <= {MAX_BUCKET_WIDTH}
         ), cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM chunked a JOIN chunked b
+            FROM kept a JOIN kept b
               ON a.chunk = b.chunk AND a.ckey = b.ckey
              AND a.doc_id < b.doc_id
         )
@@ -617,9 +626,17 @@ ORACLES: dict[str, str] = {
                        list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
                        ',') AS bucket
             FROM sig, range(0, 16) b(band)
+        ), kept AS (
+            -- bucket-width cap: same """ + str(MAX_BUCKET_WIDTH) + """-smallest-ids
+            -- truncation the Spark operator applies per (band, bucket)
+            SELECT doc_id, band, bucket FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY band, bucket ORDER BY doc_id) AS brn
+                FROM banded
+            ) WHERE brn <= """ + str(MAX_BUCKET_WIDTH) + """
         ), cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
         )

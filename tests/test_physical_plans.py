@@ -185,3 +185,13 @@ def test_sequence_pack_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lsh_bucket_cap_uses_window_group_limit(spark, sf_dir):
+    """The mega-bucket guard must truncate buckets map-side: the
+    rank-filter in _cap_bucket_width plans as WindowGroupLimit (Partial +
+    Final), so an oversized (band, bucket) never ships all its members to
+    one reducer before slicing."""
+    for name in ("q37_minhash_lsh_neardup", "q38_simhash_neardup"):
+        plan = _plan(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan, name
