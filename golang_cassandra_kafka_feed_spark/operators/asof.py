@@ -30,10 +30,17 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    right_tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_ts <= left_ts`` (per ``on`` key); ties at equal ts prefer the
     right row (inclusive <=).  Right value columns come back suffixed.
+
+    ``right_tie_cols`` makes ties among right rows at the SAME timestamp
+    deterministic: the carried row is the one with the greatest
+    (right_ts, *right_tie_cols) tuple.  Without it, equal-timestamp right
+    rows are carried in arbitrary shuffle order (fine for true event
+    streams, wrong for date-granular history like orders-per-day).
     """
     value_cols = list(
         value_cols
@@ -52,21 +59,30 @@ def asof_join(
         .withColumn("__ts", F.col(left_ts))
         .withColumn("__r", F.lit(None).cast(struct_type))
     )
+    tie_names = [f"__tie{i}" for i in range(len(right_tie_cols))]
+    lhs = lhs.select(
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(n)
+               for c, n in zip(right_tie_cols, tie_names)]
+    )
     rhs = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
+        *[F.col(c).alias(n) for c, n in zip(right_tie_cols, tie_names)],
     )
     for c in left.columns:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
-    # right (side=0) sorts before left (side=1) at equal ts -> inclusive
+    # right (side=0) sorts before left (side=1) at equal ts -> inclusive;
+    # ascending tie columns make the LAST carried right row the greatest
+    # (ts, *ties) — left rows order among themselves by NULL ties, which
+    # is harmless (their __r is NULL and ignored by last()).
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", *tie_names)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

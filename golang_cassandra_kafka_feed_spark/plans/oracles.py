@@ -710,6 +710,35 @@ ORACLES: dict[str, str] = {
         SELECT * FROM g UNION ALL SELECT * FROM p
         ORDER BY scope, "key"
     """,
+    # KMV estimate next to the exact distinct count with a portable
+    # relative-error column (micro-units rounding idiom, see _round2):
+    # identical md5 hash -> identical k-min set -> identical estimate,
+    # so even the error values hash-match.
+    "q48_sketch_stats": f"""
+        WITH ph AS (
+            SELECT DISTINCT event_type,
+                   {_h32("CAST(event_id AS VARCHAR)")} / 4294967296.0 AS h
+            FROM events
+        ), pk AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn
+            FROM ph
+        ), est AS (
+            SELECT event_type,
+                   CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                        ELSE 255.0 / max(h) END AS est_distinct
+            FROM pk WHERE rn <= 256 GROUP BY event_type
+        ), ex AS (
+            SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+            FROM events GROUP BY event_type
+        )
+        SELECT est.event_type, est_distinct, exact_distinct,
+               ROUND((est_distinct - exact_distinct) / exact_distinct
+                     * 1000000) / 1000000 AS rel_err
+        FROM est JOIN ex ON est.event_type = ex.event_type
+        ORDER BY est.event_type
+    """,
     "q43_pivot": """
         SELECT user_id,
                count(*) FILTER (WHERE event_type = 'click')    AS n_click,

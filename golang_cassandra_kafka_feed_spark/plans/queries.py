@@ -207,28 +207,40 @@ def q09(spark, sf_dir):
 def q10(spark, sf_dir):
     """As-of join: latest order at-or-before each event's timestamp, per
     user-as-custkey; deterministic tie-break on (o_orderdate, o_orderkey)
-    DESC.  Implemented as left join + per-event row_number — the windowed
-    emulation (SURVEY.md §2.6 Q10); operators.asof has the general form."""
+    DESC.
+
+    Implemented with operators.asof.asof_join (union + carry-forward):
+    ONE shuffle of |events| + |orders| rows, no join amplification.  The
+    naive left-join + per-event row_number form materializes
+    |events| x |orders-per-key| intermediates before the window filter —
+    a hot key with a long order history amplifies that join output
+    quadratically at scale, which is why the declared (driver-checked)
+    shape is the carry-forward one.  The DuckDB oracle keeps the
+    declarative join form: as-of is exact/deterministic, so the oracle
+    checks the RESULT, not the mechanism."""
+    from golang_cassandra_kafka_feed_spark.operators.asof import asof_join
+
     ev = _t(spark, sf_dir, "events")
-    o = _t(spark, sf_dir, "orders")
-    j = ev.join(
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
         o,
-        (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts),
-        "left",
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_ts",
+        value_cols=["o_orderkey", "o_orderdate"],
+        right_tie_cols=["o_orderkey"],
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.col("o_orderdate").cast("date").alias("asof_orderdate"),
-        )
-        .orderBy("event_id")
-    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey_asof").alias("asof_orderkey"),
+        F.col("o_orderdate_asof").cast("date").alias("asof_orderdate"),
+    ).orderBy("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -922,20 +934,44 @@ def q47(spark, sf_dir):
 
 
 def q48(spark, sf_dir):
-    """Sketch summary per event_type: HLL distinct users + approximate
-    percentiles (rows-only: sketch internals differ between engines;
-    error bounds vs the exact forms are asserted in
-    tests/test_sketches.py).  The approximate twin of q21/q12 for
-    interactive 100 TB use."""
+    """Sketch-vs-exact error audit per event_type: the deterministic KMV
+    distinct-count estimate (operators/sketches.py::kmv_distinct, same
+    machinery as q59) next to the exact distinct count, with the relative
+    error as a column — the accuracy-monitoring query a 100 TB deployment
+    runs on a sample before trusting the sketch on the full corpus.
+
+    Fully oracle-checked: KMV on the md5-prefix hash is bit-identical
+    cross-engine, unlike HLL/approx-percentile whose engine-internal
+    sketches made the previous q48 rows-only (those remain available as
+    interactive utilities in operators/sketches.py, error-bound-tested in
+    tests/test_sketches.py)."""
     from golang_cassandra_kafka_feed_spark.operators.sketches import (
-        approx_distinct,
-        approx_percentiles,
+        kmv_distinct,
     )
 
     ev = _t(spark, sf_dir, "events")
-    d = approx_distinct(ev, ["user_id"], by=["event_type"])
-    p = approx_percentiles(ev, "value", by=["event_type"], ps=[0.5, 0.99])
-    return d.join(p, "event_type").orderBy("event_type")
+    est = kmv_distinct(ev, "event_id", by=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    rel_err = (
+        F.round(
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 1000000
+        )
+        / 1000000
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "est_distinct",
+            "exact_distinct",
+            rel_err.alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q49(spark, sf_dir):

@@ -5,6 +5,7 @@ query forms."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.operators.asof import asof_join
@@ -115,20 +116,33 @@ def test_asof_join_matches_window_form(spark, sf_dir):
         left_ts="ts",
         right_ts="o_orderdate",
         value_cols=["o_orderkey", "o_orderdate"],
+        right_tie_cols=["o_orderkey"],
     )
-    # tie-break difference: Q10 picks max (o_orderdate, o_orderkey); the
-    # carry-forward picks the *last in sort order* — align by comparing the
-    # as-of orderdate only (unique per (user, date) not guaranteed, so
-    # compare the date, which both definitions agree on).
+    # independent reference: the naive left-join + per-event row_number
+    # form (this used to BE q10's implementation; q10 now declares the
+    # carry-forward shape, so the window form lives here as the oracle)
+    j = ev.join(
+        orders,
+        (ev.user_id == orders.user_id) & (orders.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    def _d(v):
+        # date-typed columns surface as date or datetime depending on the
+        # union coercion path; normalize to date for comparison
+        return v.date() if hasattr(v, "date") else v
+
     want = {
-        (r.event_id, r.asof_orderdate)
-        for r in QUERIES["q10_asof_join"](spark, sf_dir).collect()
+        (r.event_id, r.o_orderkey, _d(r.o_orderdate))
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "o_orderkey", "o_orderdate")
+        .collect()
     }
     got_set = {
-        (
-            r.event_id,
-            r.o_orderdate_asof.date() if r.o_orderdate_asof else None,
-        )
+        (r.event_id, r.o_orderkey_asof, _d(r.o_orderdate_asof))
         for r in got.collect()
     }
     assert got_set == want
