@@ -1,0 +1,238 @@
+"""Differential fuzzing of the relational surface: random queries from a
+bounded grammar over the Q01-Q24 operator set (filter/project, aggregate,
+join, distinct, order-limit, window top-k, IN-subquery, union), executed
+as the SAME SQL text on Spark and DuckDB over the same in-memory tables.
+
+The 73 declared queries prove fixed points of the semantics; this suite
+hardens the space between them — coercion rules, NULL propagation,
+three-valued logic, grouping of NULL keys — where two engines most often
+disagree.  Everything generated stays inside the portable intersection
+dialect the oracle contract already relies on:
+
+- sums go through DECIMAL(18,2) then CAST AS DOUBLE (exact,
+  order-independent; SUM(int) would be HUGEINT in DuckDB),
+- ORDER BY always spells NULLS FIRST/LAST and ends in the unique ``id``
+  when a LIMIT/rank cutoff makes order observable (Spark defaults asc to
+  NULLS FIRST, DuckDB to NULLS LAST),
+- IN-subqueries appear only in predicate position (both engines are
+  null-aware there; Spark's projection-position ExistenceJoin is not),
+- comparison is the driver's order-insensitive multiset of stringified
+  rows with columns sorted by name.
+
+Seeded and deterministic: SPARK_GRAFT_FUZZ_SEED / SPARK_GRAFT_FUZZ_CASES
+(default 500 cases) reproduce any failure, and every divergence report
+carries the offending SQL.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import random
+from collections import Counter
+
+SEED = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260813"))
+N_CASES = int(os.environ.get("SPARK_GRAFT_FUZZ_CASES", "500"))
+
+_VOCAB = ["alpha", "bravo", "china", "delta", "echo", "fox", "golf", "hotel"]
+
+
+def _gen_rows(rng: random.Random):
+    t1 = []
+    for i in range(150):
+        k = None if rng.random() < 0.1 else rng.randrange(7)
+        v = None if rng.random() < 0.15 else rng.randrange(-1000, 1001)
+        s = None if rng.random() < 0.1 else rng.choice(_VOCAB)
+        c = chr(ord("a") + rng.randrange(5))
+        dt = datetime.date(2020, 1, 1) + datetime.timedelta(
+            days=rng.randrange(365)
+        )
+        t1.append((i, k, v, s, c, dt))
+    t2 = [
+        (k, rng.choice(_VOCAB), rng.randrange(100)) for k in range(10)
+    ]
+    return t1, t2
+
+
+def _pred(rng: random.Random, t: str = "") -> str:
+    p = t + "." if t else ""
+    opts = [
+        lambda: f"{p}v > {rng.randrange(-500, 500)}",
+        lambda: f"{p}v <= {rng.randrange(-500, 500)}",
+        lambda: f"{p}k = {rng.randrange(7)}",
+        lambda: f"{p}k IS NULL",
+        lambda: f"{p}k IS NOT NULL",
+        lambda: f"{p}c IN ({', '.join(repr(chr(ord('a') + i)) for i in sorted(rng.sample(range(5), 2)))})",
+        lambda: f"{p}s LIKE '{rng.choice(_VOCAB)[:2]}%'",
+        lambda: f"{p}v BETWEEN {rng.randrange(-800, 0)} AND {rng.randrange(0, 800)}",
+        lambda: f"{p}dt >= DATE '2020-{rng.randrange(1, 13):02d}-01'",
+        lambda: f"{p}s IS NULL",
+    ]
+    terms = [rng.choice(opts)() for _ in range(rng.randrange(1, 3))]
+    pred = f" {rng.choice(['AND', 'OR'])} ".join(terms)
+    if rng.random() < 0.15:
+        pred = f"NOT ({pred})"
+    return pred
+
+
+def _scalar_exprs(rng: random.Random):
+    pool = [
+        ("id", "id"),
+        ("k", "k"),
+        ("v", "v"),
+        ("s", "s"),
+        ("c", "c"),
+        ("dt", "dt"),
+        ("ABS(v)", "e_abs"),
+        ("LENGTH(s)", "e_len"),
+        ("UPPER(s)", "e_up"),
+        ("COALESCE(v, 0)", "e_coal"),
+        ("v + COALESCE(k, 0)", "e_sum"),
+        (
+            "CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg' "
+            "ELSE 'zero' END",
+            "e_case",
+        ),
+    ]
+    picks = rng.sample(pool, rng.randrange(2, 5))
+    return ", ".join(f"{e} AS {a}" for e, a in picks)
+
+
+_AGGS = [
+    "COUNT(*) AS n",
+    "COUNT(v) AS n_v",
+    "COUNT(DISTINCT s) AS nd_s",
+    "MIN(v) AS min_v",
+    "MAX(v) AS max_v",
+    "MIN(s) AS min_s",
+    "MAX(dt) AS max_dt",
+    "CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v",
+]
+
+
+def _gen_query(rng: random.Random) -> str:
+    kind = rng.randrange(8)
+    if kind == 0:  # filter + project
+        return f"SELECT {_scalar_exprs(rng)} FROM f1 WHERE {_pred(rng)}"
+    if kind == 1:  # aggregate
+        g = rng.choice(
+            ["k", "c", "k, c", "CASE WHEN v > 0 THEN 1 ELSE 0 END"]
+        )
+        gsel = g if "CASE" not in g else f"{g} AS gpos"
+        aggs = ", ".join(rng.sample(_AGGS, rng.randrange(2, 5)))
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.5 else ""
+        having = (
+            f" HAVING COUNT(*) > {rng.randrange(4)}"
+            if rng.random() < 0.3
+            else ""
+        )
+        return (
+            f"SELECT {gsel}, {aggs} FROM f1{where} GROUP BY {g}{having}"
+        )
+    if kind == 2:  # join (+ optional aggregate on top)
+        how = rng.choice(["JOIN", "LEFT JOIN"])
+        where = f" WHERE {_pred(rng, 'a')}" if rng.random() < 0.5 else ""
+        if rng.random() < 0.5:
+            return (
+                "SELECT a.id, a.v, a.c, b.name, b.w "
+                f"FROM f1 a {how} f2 b ON a.k = b.k{where}"
+            )
+        return (
+            "SELECT b.name, COUNT(*) AS n, MIN(a.v) AS min_v, "
+            "CAST(SUM(CAST(a.v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v "
+            f"FROM f1 a {how} f2 b ON a.k = b.k{where} "
+            "GROUP BY b.name"
+        )
+    if kind == 3:  # order + limit (total order: id tiebreak, explicit nulls)
+        direction = rng.choice(
+            ["v ASC NULLS FIRST", "v DESC NULLS LAST", "s ASC NULLS FIRST"]
+        )
+        return (
+            "SELECT id, k, v, s FROM f1 "
+            f"WHERE {_pred(rng)} "
+            f"ORDER BY {direction}, id LIMIT {rng.randrange(1, 40)}"
+        )
+    if kind == 4:  # distinct
+        cols = rng.choice(["k", "c", "k, c", "s, c"])
+        return f"SELECT DISTINCT {cols} FROM f1 WHERE {_pred(rng)}"
+    if kind == 5:  # IN-subquery in predicate position
+        sub = f"SELECT k FROM f2 WHERE w > {rng.randrange(100)}"
+        neg = "NOT " if rng.random() < 0.3 else ""
+        return (
+            f"SELECT id, k, v FROM f1 WHERE {neg}k IN ({sub}) "
+            f"AND ({_pred(rng)})"
+        )
+    if kind == 6:  # union all + aggregate
+        return (
+            "SELECT c, COUNT(*) AS n FROM ("
+            f"SELECT c FROM f1 WHERE {_pred(rng)} "
+            f"UNION ALL SELECT c FROM f1 WHERE {_pred(rng)}"
+            ") u GROUP BY c"
+        )
+    # window top-k per key (deterministic: id tiebreak)
+    m = rng.randrange(1, 5)
+    return (
+        "SELECT id, k, v, rn FROM ("
+        "SELECT id, k, v, row_number() OVER ("
+        "PARTITION BY k ORDER BY v ASC NULLS FIRST, id) AS rn FROM f1"
+        f") x WHERE rn <= {m}"
+    )
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _multiset(cols, rows) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def test_differential_fuzz(spark, duck):
+    rng = random.Random(SEED)
+    t1, t2 = _gen_rows(rng)
+
+    spark.createDataFrame(
+        t1, "id bigint, k bigint, v bigint, s string, c string, dt date"
+    ).createOrReplaceTempView("f1")
+    spark.createDataFrame(
+        t2, "k bigint, name string, w bigint"
+    ).createOrReplaceTempView("f2")
+
+    duck.sql("DROP TABLE IF EXISTS f1")
+    duck.sql("DROP TABLE IF EXISTS f2")
+    duck.sql("CREATE TABLE f1 (id BIGINT, k BIGINT, v BIGINT, s VARCHAR, c VARCHAR, dt DATE)")
+    duck.sql("CREATE TABLE f2 (k BIGINT, name VARCHAR, w BIGINT)")
+    duck.executemany("INSERT INTO f1 VALUES (?, ?, ?, ?, ?, ?)", t1)
+    duck.executemany("INSERT INTO f2 VALUES (?, ?, ?)", t2)
+
+    divergences = []
+    for i in range(N_CASES):
+        sql = _gen_query(rng)
+        sdf = spark.sql(sql)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        rel = duck.sql(sql)
+        d_cols = list(rel.columns)
+        d_rows = rel.fetchall()
+        if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
+            divergences.append((i, sql, "columns", s_cols, d_cols))
+            continue
+        sm, dm = _multiset(s_cols, s_rows), _multiset(d_cols, d_rows)
+        if sm != dm:
+            extra_s = list((sm - dm).items())[:3]
+            extra_d = list((dm - sm).items())[:3]
+            divergences.append((i, sql, "values", extra_s, extra_d))
+
+    assert not divergences, (
+        f"{len(divergences)}/{N_CASES} divergent queries "
+        f"(seed={SEED}); first: {divergences[:3]}"
+    )
