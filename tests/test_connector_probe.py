@@ -1,0 +1,122 @@
+"""Per-round connector availability probe (VERDICT round-2 ask #5).
+
+Every test run re-checks whether the kafka / cassandra / delta
+integration paths can light up in this environment, two independent
+ways: Class.forName on the provider class (what the wrappers gate on)
+and a scan of the actual jar directories + pip metadata.  The always-run
+consistency test IS the proof the probe executed; the integration tests
+below it carry explicit skip reasons naming what was scanned, so the
+test report shows skipped-vs-run per connector.  If a jar or delta-spark
+appears in a future image, those tests run with zero code changes.
+"""
+
+from __future__ import annotations
+
+import glob
+import importlib.util
+import os
+
+import pytest
+
+from golang_cassandra_kafka_feed_spark.feed.api import delta_available
+from golang_cassandra_kafka_feed_spark.sources.cassandra import (
+    cassandra_available,
+)
+from golang_cassandra_kafka_feed_spark.sources.kafka import kafka_available
+
+
+def _jar_dirs() -> list[str]:
+    import pyspark
+
+    dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    if os.environ.get("SPARK_HOME"):
+        dirs.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def _scan_jars(pattern: str) -> list[str]:
+    return [
+        os.path.basename(p)
+        for d in _jar_dirs()
+        for p in glob.glob(os.path.join(d, f"*{pattern}*.jar"))
+    ]
+
+
+def test_connector_probe_ran_and_is_consistent(spark):
+    """The probe itself: Class.forName gating must agree with the jar
+    scan in both directions — a jar appearing without the gate opening
+    (or vice versa) would mean the integration tests silently stay dark
+    in an environment where they should run."""
+    probes = {
+        "kafka": (kafka_available(spark), bool(_scan_jars("sql-kafka"))),
+        "cassandra": (
+            cassandra_available(spark),
+            bool(_scan_jars("cassandra-connector")),
+        ),
+        "delta": (
+            delta_available(spark),
+            importlib.util.find_spec("delta") is not None
+            and bool(_scan_jars("delta")),
+        ),
+    }
+    for name, (gate, scan) in probes.items():
+        assert gate == scan, (
+            f"{name}: capability gate says {gate} but environment scan "
+            f"says {scan} (jar dirs: {_jar_dirs()})"
+        )
+
+
+def test_kafka_integration_lights_up(spark):
+    if not kafka_available(spark):
+        pytest.skip(
+            "spark-sql-kafka jar absent (probed Class.forName + "
+            f"scanned {_jar_dirs()}); reader construction unexercised"
+        )
+    # jar present, broker absent: streaming source construction is lazy,
+    # so the reader must build and expose the kafka envelope schema
+    from golang_cassandra_kafka_feed_spark.sources.kafka import (
+        read_stream_kafka,
+    )
+
+    df = read_stream_kafka(spark, "localhost:9092", "feed-topic")
+    cols = set(df.columns)
+    assert {"key", "value", "topic", "partition", "offset"} <= cols
+
+
+def test_cassandra_integration_lights_up(spark):
+    if not cassandra_available(spark):
+        pytest.skip(
+            "spark-cassandra-connector jar absent (probed Class.forName "
+            f"+ scanned {_jar_dirs()}); read path unexercised"
+        )
+    # catalog registration is the furthest broker-less step
+    spark.conf.set(
+        "spark.sql.catalog.feedcat",
+        "com.datastax.spark.connector.datasource.CassandraCatalog",
+    )
+
+
+def test_delta_integration_lights_up(spark, tmp_path):
+    if not delta_available(spark):
+        pytest.skip(
+            "delta-spark absent (probed python import + DeltaLog class); "
+            "MERGE CAS path runs only its gate test"
+        )
+    from golang_cassandra_kafka_feed_spark.feed.api import (
+        merge_create_users,
+    )
+
+    path = str(tmp_path / "users_delta")
+    u1 = spark.createDataFrame([("alice",), ("bob",)], "username string")
+    u2 = spark.createDataFrame([("alice",), ("carol",)], "username string")
+    merge_create_users(spark, path, u1)
+    first = {
+        r.username: r.user_id
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    merge_create_users(spark, path, u2)
+    rows = spark.read.format("delta").load(path).collect()
+    by_name = {r.username: r.user_id for r in rows}
+    # CAS: one row per username, alice keeps her first-assigned id
+    assert set(by_name) == {"alice", "bob", "carol"}
+    assert by_name["alice"] == first["alice"]
