@@ -243,3 +243,53 @@ def test_pipeline_metrics_recorded_per_epoch(spark, tmp_path):
     assert len(m) == 1
     r = m[0]
     assert (r.n_envelopes, r.n_decoded, r.n_fresh) == (4, 2, 1)
+
+
+def test_fanout_pipeline_out_of_order_event_time(spark, tmp_path):
+    """Late/out-of-order delivery: posts arrive hours out of event-time
+    order across micro-batches.  The reference inserts late data where it
+    lands and restores ordering at read time via clustering (worker.go:149,
+    cql:36-37); here the feed table ingests in arrival order and get_feed's
+    ORDER BY created_at DESC, post_id DESC is the clustering twin — the
+    read must equal the batch oracle computed from event time alone."""
+    store = FeedStore(spark, str(tmp_path / "store"), feed_buckets=4)
+    store.create_follows(
+        spark.createDataFrame(
+            [("u1", "a")], "user_id string, followee_id string"
+        )
+    )
+    in_dir = tmp_path / "envelopes"
+    in_dir.mkdir()
+
+    def _v(pid: str, hour: int) -> bytes:
+        return (
+            f'{{"id":"{pid}","author_id":"a","body":"b-{pid}",'
+            f'"created":"2026-01-01T{hour:02d}:00:00"}}'
+        ).encode()
+
+    # arrival order: 18:00 post first, 09:00 second, 12:00 third —
+    # event time is hours out of order vs delivery order
+    arrivals = [("p_new", 18), ("p_old", 9), ("p_mid", 12)]
+    for i, (pid, hour) in enumerate(arrivals):
+        _envelopes(
+            spark, [(b"post_created", _v(pid, hour), TS)]
+        ).write.mode("append").parquet(str(in_dir / f"b{i}"))
+
+    q = run_fanout_pipeline(
+        read_stream_envelope_files(
+            spark, str(in_dir / "b*"), max_files_per_trigger=1
+        ),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = [r.post_id for r in store.get_feed("u1", 10).collect()]
+    # batch oracle: event-time ordering, not arrival ordering
+    want = [
+        r.post_id
+        for r in store.table("posts")
+        .orderBy(F.desc("created_at"), F.desc("post_id"))
+        .collect()
+    ]
+    assert got == want == ["p_new", "p_mid", "p_old"]
