@@ -185,3 +185,53 @@ def winnowing_fingerprints(
             f"w -> array_min(slice(__gh, w, {window}))))"
         ).alias("fingerprints"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate word
+    n-gram fractions (n=2,3) and the peak 2-gram multiplicity — the
+    repeated-boilerplate signals a training-data quality filter cuts on
+    (the reference has no quality surface; this extends BASELINE.json's
+    LLM-pipeline mandate alongside quality_features).
+
+    Scale shape: the n-gram extraction is the codegen'd lookahead regex
+    shared with the dedup family (one pass per n), then ONE shuffle per n
+    on (doc, gram) with map-side partial counts; the per-doc rollup
+    reuses that partitioning.  All outputs are integers or portable
+    micro-rounded ratios, so a DuckDB oracle reproduces them exactly.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.dedup import _shingles
+
+    r6 = lambda c: F.round(c * 1000000) / 1000000  # noqa: E731
+
+    def _per_n(n: int, prefix: str) -> DataFrame:
+        grams = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(text_col, n)).alias("g"),
+        )
+        per_gram = grams.groupBy("id", "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy("id").agg(
+            F.sum("c").cast("long").alias(f"n_{prefix}grams"),
+            F.count("*").cast("long").alias(f"d_{prefix}grams"),
+            F.max("c").cast("long").alias(f"top_{prefix}gram_n"),
+        )
+
+    g2, g3 = _per_n(2, "2"), _per_n(3, "3")
+    return (
+        g2.join(g3, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_2grams",
+            r6(
+                (F.col("n_2grams") - F.col("d_2grams")) / F.col("n_2grams")
+            ).alias("dup_2gram_frac"),
+            "top_2gram_n",
+            r6(
+                (F.col("n_3grams") - F.col("d_3grams")) / F.col("n_3grams")
+            ).alias("dup_3gram_frac"),
+        )
+    )

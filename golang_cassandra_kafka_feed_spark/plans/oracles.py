@@ -84,6 +84,35 @@ _COSINE_PAIR = (
     "* sqrt(list_dot_product(b.ed, b.ed)))"
 )
 
+
+
+def _gram_stats_cte(n: int, tag: str) -> str:
+    """CTE chain computing per-doc n-gram multiplicity stats with the
+    SAME shingle extraction as dedup._shingles (duplicates kept) — the
+    DuckDB twin of textstats.repetition_stats' per-n pipeline."""
+    return f"""
+        s{tag} AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < {n}
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(1, len(toks) - {n - 2}),
+                             i -> array_to_string(
+                                    list_slice(toks, i, i + {n - 1}), ' '))
+                   END AS sh
+            FROM toks
+        ), g{tag} AS (
+            SELECT doc_id, unnest(sh) AS g FROM s{tag}
+        ), p{tag} AS (
+            SELECT doc_id, g, count(*) AS c FROM g{tag}
+            GROUP BY doc_id, g
+        ), a{tag} AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n{tag},
+                   CAST(count(*) AS BIGINT) AS d{tag},
+                   CAST(max(c) AS BIGINT) AS m{tag}
+            FROM p{tag} GROUP BY doc_id
+        )"""
+
 ORACLES: dict[str, str] = {
     "q01_scan_project": """
         SELECT c_custkey, c_name FROM customer ORDER BY c_custkey
@@ -738,6 +767,57 @@ ORACLES: dict[str, str] = {
                      * 1000000) / 1000000 AS rel_err
         FROM est JOIN ex ON est.event_type = ex.event_type
         ORDER BY est.event_type
+    """,
+    # Repetition metrics twin: same duplicate-kept shingle extraction as
+    # the q37 minhash oracle, integer multiplicity stats, micro-unit
+    # rounded fractions.
+    "q60_repetition_stats": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), {_gram_stats_cte(2, "2")}, {_gram_stats_cte(3, "3")}
+        SELECT a2.doc_id, n2 AS n_2grams,
+               ROUND(((n2 - d2) / n2) * 1000000) / 1000000
+                   AS dup_2gram_frac,
+               m2 AS top_2gram_n,
+               ROUND(((n3 - d3) / n3) * 1000000) / 1000000
+                   AS dup_3gram_frac
+        FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+        ORDER BY a2.doc_id
+    """,
+    # Quality-flag rule table: identical rounded features (q32 idioms) +
+    # the q60 dup-2gram fraction, compared against identical literals —
+    # the boolean columns therefore hash-match.
+    "q61_quality_flags": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), {_gram_stats_cte(2, "2")}, feats AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   ROUND((length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                          / length(text)) * 100) / 100 AS alpha_ratio,
+                   ROUND((coalesce(list_sum(list_transform({_TOKS},
+                              t -> length(t))), 0)
+                          / greatest(len({_TOKS}), 1)) * 100) / 100
+                       AS mean_token_len
+            FROM documents
+        ), rep AS (
+            SELECT doc_id,
+                   ROUND(((n2 - d2) / n2) * 1000000) / 1000000 AS dupf
+            FROM a2
+        ), flags AS (
+            SELECT f.doc_id,
+                   dupf > 0.05 AS flag_repetitive,
+                   n_tokens < 70 AS flag_short,
+                   alpha_ratio < 0.95 AS flag_low_alpha,
+                   (mean_token_len < 3.5 OR mean_token_len > 5.0)
+                       AS flag_weird_len
+            FROM feats f JOIN rep r ON f.doc_id = r.doc_id
+        )
+        SELECT doc_id, flag_repetitive, flag_short, flag_low_alpha,
+               flag_weird_len,
+               NOT (flag_repetitive OR flag_short OR flag_low_alpha
+                    OR flag_weird_len) AS keep
+        FROM flags ORDER BY doc_id
     """,
     "q43_pivot": """
         SELECT user_id,

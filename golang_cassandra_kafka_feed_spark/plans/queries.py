@@ -1227,6 +1227,60 @@ def q58(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q60(spark, sf_dir):
+    """Gopher-style repetition metrics per document (duplicate 2/3-gram
+    fractions + peak 2-gram multiplicity) — the repeated-boilerplate
+    quality signals for a training corpus
+    (operators/textstats.py::repetition_stats)."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
+
+
+def q61(spark, sf_dir):
+    """Quality-flag filter: every document with its per-rule boolean
+    flags (repetition, length, alpha ratio, token-length shape) and the
+    keep/drop verdict — the C4/Gopher-style rule cut that precedes
+    dedup in a curation pipeline.  Pure column expressions over the
+    already-portable quality features, so the whole rule table is
+    oracle-checked."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        quality_features,
+        repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(d).select(
+        "doc_id", "n_tokens", "alpha_ratio", "stopword_ratio",
+        "mean_token_len",
+    )
+    rep = repetition_stats(d).select("doc_id", "dup_2gram_frac")
+    j = feats.join(rep, "doc_id")
+    flags = j.select(
+        "doc_id",
+        (F.col("dup_2gram_frac") > 0.05).alias("flag_repetitive"),
+        (F.col("n_tokens") < 70).alias("flag_short"),
+        (F.col("alpha_ratio") < 0.95).alias("flag_low_alpha"),
+        (
+            (F.col("mean_token_len") < 3.5) | (F.col("mean_token_len") > 5.0)
+        ).alias("flag_weird_len"),
+    )
+    return flags.select(
+        "*",
+        (
+            ~(
+                F.col("flag_repetitive")
+                | F.col("flag_short")
+                | F.col("flag_low_alpha")
+                | F.col("flag_weird_len")
+            )
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def q59(spark, sf_dir):
     """KMV distinct-count sketch battery — the oracle-checkable twin of
     q48's engine-internal HLL: deterministic md5-hash k-minimum-values
@@ -1303,6 +1357,8 @@ QUERIES = {
     "q46_correlated_exists": q46,
     "q47_ngram_jaccard": q47,
     "q48_sketch_stats": q48,
+    "q60_repetition_stats": q60,
+    "q61_quality_flags": q61,
     "q49_bpe_token_count": q49,
     "q50_window_battery": q50,
     "q51_string_battery": q51,

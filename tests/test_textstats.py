@@ -98,3 +98,21 @@ def test_bpe_tokens_pretokenizer_semantics(spark):
     )
     assert got[2] == (["a", ".", "b"], 3, 1)
     assert got[3] == ([], 0, 0)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    # "a b a b c": 2-grams = [a b, b a, a b, b c] -> n=4, distinct=3,
+    # dup_frac=0.25, top multiplicity 2 (a b);
+    # 3-grams = [a b a, b a b, a b c] -> all distinct, dup_frac=0
+    df = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    r = repetition_stats(df).collect()[0]
+    assert r.n_2grams == 4
+    assert r.dup_2gram_frac == 0.25
+    assert r.top_2gram_n == 2
+    assert r.dup_3gram_frac == 0.0
