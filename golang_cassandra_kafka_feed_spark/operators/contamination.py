@@ -1,0 +1,144 @@
+"""Cross-document span duplication and benchmark decontamination.
+
+Two corpus-hygiene operators a training-data pipeline runs between
+near-dup removal and packing (no reference twin — the reference's data
+surface stops at feed queries; this extends BASELINE.json's
+LLM-pipeline mandate):
+
+- :func:`duplicate_ngram_spans` — span-level exact duplication in the
+  style of Lee et al., "Deduplicating Training Data Makes Language
+  Models Better" (arXiv:2107.06499): find word n-grams occurring in
+  two or more distinct documents and report, per document, how much of
+  it is covered by such cross-duplicated spans.  Whole-doc dedup
+  (exact_dedup / minhash) misses boilerplate shared across otherwise
+  distinct pages; this catches it at the n-gram granularity without a
+  suffix array, which does not map to a shared-nothing cluster.
+- :func:`benchmark_overlap` — eval-set decontamination in the style of
+  the GPT-3 appendix (arXiv:2005.14165 §C): fraction of a training
+  document's n-grams that appear anywhere in a benchmark corpus, plus
+  a contaminated verdict at a threshold.
+
+Scale shape (both): the n-gram extraction is the shared codegen'd
+lookahead regex (`dedup._shingles`, one pass per doc); the only wide
+operations are a groupBy on the gram and an equi join back on the gram.
+Gram-stat rows are one per distinct gram, so the join-back has no
+amplification; partial aggregation absorbs hot grams map-side.  The
+benchmark side of :func:`benchmark_overlap` is DISTINCT n-grams of an
+eval corpus — small by nature (thousands of docs, not billions) — and
+is broadcast so the training corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.dedup import _shingles
+
+__all__ = ["duplicate_ngram_spans", "benchmark_overlap"]
+
+
+def _r6(c: Column) -> Column:
+    """Micro-unit rounding — portable across Spark/DuckDB float paths."""
+    return F.round(c * 1000000) / 1000000
+
+
+def _distinct_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """One row per (doc, distinct n-gram): ``(id, g)``."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingles(text_col, n))).alias("g"),
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document coverage by n-grams shared with other documents.
+
+    Returns one row per input document:
+
+    ``(id_col, n_distinct_grams, n_dup_grams, dup_span_frac)``
+
+    where ``n_dup_grams`` counts this document's distinct n-grams that
+    occur in at least ``min_docs`` distinct documents corpus-wide and
+    ``dup_span_frac`` is the micro-rounded ratio.  A high fraction with
+    a low whole-doc similarity is the shared-boilerplate signature that
+    motivates span-level dedup (Lee et al. 2021).
+
+    Plan: one shuffle on the gram for the document-frequency aggregate,
+    one equi join back (gram stats are 1 row/gram — no amplification),
+    one shuffle on the doc for the rollup.  No collect, no windows.
+    """
+    grams = _distinct_grams(df, text_col, id_col, n)
+    gram_df = grams.groupBy("g").agg(F.count("*").alias("df_docs"))
+    flagged = grams.join(gram_df, "g").select(
+        "id", (F.col("df_docs") >= min_docs).cast("long").alias("is_dup")
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").alias("n_distinct_grams"),
+        F.sum("is_dup").alias("n_dup_grams"),
+        _r6(F.sum("is_dup") / F.count("*")).alias("dup_span_frac"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_distinct_grams",
+        "n_dup_grams",
+        "dup_span_frac",
+    )
+
+
+def benchmark_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Per-training-document n-gram overlap with a benchmark corpus.
+
+    Returns one row per ``train`` document:
+
+    ``(id_col, n_distinct_grams, n_bench_grams, overlap_frac,
+    contaminated)``
+
+    ``n_bench_grams`` counts the document's distinct n-grams that occur
+    anywhere in ``bench``; ``contaminated`` is
+    ``overlap_frac >= threshold`` (GPT-3-style decontamination keeps
+    only clean documents; the caller anti-joins on this flag).
+
+    Plan: the benchmark gram set is globally DISTINCT and broadcast —
+    the 100 TB training side is scanned once and aggregated per doc
+    with NO shuffle of the training grams against the benchmark (the
+    membership probe is a broadcast left-semi-shaped join expressed as
+    a left join + flag so non-matching grams still count).
+    """
+    tg = _distinct_grams(train, text_col, id_col, n)
+    bg = (
+        _distinct_grams(bench, text_col, id_col, n)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    probed = tg.join(F.broadcast(bg), "g", "left").select(
+        "id", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    return probed.groupBy("id").agg(
+        F.count("*").alias("n_distinct_grams"),
+        F.sum("hit").alias("n_bench_grams"),
+        _r6(F.sum("hit") / F.count("*")).alias("overlap_frac"),
+        (
+            F.sum("hit") / F.count("*")
+            >= F.lit(threshold)
+        ).alias("contaminated"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_distinct_grams",
+        "n_bench_grams",
+        "overlap_frac",
+        "contaminated",
+    )

@@ -235,3 +235,75 @@ def repetition_stats(
             ).alias("dup_3gram_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    The idf is the BM25 rational form ``(2N - 2df + 1) / (2df + 1)``
+    (Robertson-Spärck Jones without the log): it preserves the idf
+    ordering exactly while staying a ratio of small integers, so the
+    double-precision score is BIT-IDENTICAL across engines — a
+    transcendental ``ln`` idf would leave cross-engine ulp drift in the
+    rank comparisons.  Output: ``(id_col, term, tf, df_docs, score,
+    rank)`` with score micro-rounded for display (ranking uses the
+    exact double, ties broken on the term string).
+
+    Plan: one shuffle on (doc, term) for tf, one on term for df, the
+    corpus size N joined in as a broadcast 1-row aggregate (no driver
+    ``.count()``), and WindowGroupLimit for the per-doc top-k.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.topk import (
+        top_k_per_key,
+    )
+
+    terms = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    tf = terms.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    dfreq = (
+        terms.distinct().groupBy("t").agg(F.count("*").alias("df_docs"))
+    )
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "t",
+            "tf",
+            "df_docs",
+            (
+                F.col("tf")
+                * (
+                    (
+                        F.lit(2.0) * F.col("n_docs")
+                        - F.lit(2.0) * F.col("df_docs")
+                        + F.lit(1.0)
+                    )
+                    / (F.lit(2.0) * F.col("df_docs") + F.lit(1.0))
+                )
+            ).alias("score"),
+        )
+    )
+    top = top_k_per_key(
+        scored,
+        ["id"],
+        [F.col("score").desc(), F.col("t").asc()],
+        k,
+        rank_col="rank",
+    )
+    r6 = lambda c: F.round(c * 1000000) / 1000000  # noqa: E731
+    return top.select(
+        F.col("id").alias(id_col),
+        F.col("t").alias("term"),
+        "tf",
+        "df_docs",
+        r6(F.col("score")).alias("score"),
+        "rank",
+    )

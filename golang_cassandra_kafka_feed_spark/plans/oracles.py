@@ -113,6 +113,26 @@ def _gram_stats_cte(n: int, tag: str) -> str:
             FROM p{tag} GROUP BY doc_id
         )"""
 
+def _distinct_gram_cte(n: int, src: str = "documents") -> str:
+    """CTEs ``toks8``/``sets8`` giving per-doc DISTINCT word n-grams with
+    the same extraction as dedup._shingles (q47 idiom) — the twin of
+    contamination._distinct_grams."""
+    return f"""
+        toks8 AS (
+            SELECT doc_id, {_TOKS} AS toks FROM {src}
+        ), sets8 AS (
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(toks) < {n}
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - {n - 2}),
+                               i -> array_to_string(
+                                      list_slice(toks, i, i + {n - 1}), ' '))
+                     END) AS sh
+            FROM toks8
+        )"""
+
+
 ORACLES: dict[str, str] = {
     "q01_scan_project": """
         SELECT c_custkey, c_name FROM customer ORDER BY c_custkey
@@ -818,6 +838,82 @@ ORACLES: dict[str, str] = {
                NOT (flag_repetitive OR flag_short OR flag_low_alpha
                     OR flag_weird_len) AS keep
         FROM flags ORDER BY doc_id
+    """,
+    # Duplicate-span twin: distinct 8-grams, corpus-wide document
+    # frequency, per-doc rollup — same join-back shape as the Spark plan.
+    "q62_duplicate_spans": f"""
+        WITH {_distinct_gram_cte(8)}, g AS (
+            SELECT doc_id, unnest(sh) AS g FROM sets8
+        ), gdf AS (
+            SELECT g, count(*) AS df_docs FROM g GROUP BY g
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_grams,
+               ROUND((sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END)
+                      / count(*)) * 1000000) / 1000000 AS dup_span_frac
+        FROM g JOIN gdf USING (g)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    # Decontamination twin: eval set = every 19th doc; training docs
+    # probe the DISTINCT eval gram set via a left join, same unrounded
+    # ratio-vs-threshold comparison as the Spark plan.
+    "q63_decontamination": f"""
+        WITH {_distinct_gram_cte(8)}, tg AS (
+            SELECT doc_id, unnest(sh) AS g FROM sets8
+            WHERE doc_id % 19 <> 0
+        ), bg AS (
+            SELECT DISTINCT unnest(sh) AS g FROM sets8
+            WHERE doc_id % 19 = 0
+        ), probed AS (
+            SELECT tg.doc_id,
+                   CASE WHEN bg.g IS NULL THEN 0 ELSE 1 END AS hit
+            FROM tg LEFT JOIN bg ON tg.g = bg.g
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(sum(hit) AS BIGINT) AS n_bench_grams,
+               ROUND((sum(hit) / count(*)) * 1000000) / 1000000
+                   AS overlap_frac,
+               (sum(hit) / count(*)) >= CAST(0.1 AS DOUBLE)
+                   AS contaminated
+        FROM probed GROUP BY doc_id ORDER BY doc_id
+    """,
+    # tf-idf twin: BM25 rational idf (2N-2df+1)/(2df+1) — a ratio of
+    # exact small integers, so the double score is bit-identical and the
+    # (score DESC, term) rank agrees across engines; round for display
+    # AFTER ranking, as the Spark plan does.
+    "q64_tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), terms AS (
+            SELECT doc_id, unnest(toks) AS t FROM toks
+        ), tf AS (
+            SELECT doc_id, t, count(*) AS tf FROM terms
+            GROUP BY doc_id, t
+        ), dfreq AS (
+            SELECT t, count(*) AS df_docs
+            FROM (SELECT DISTINCT doc_id, t FROM terms) GROUP BY t
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, t, tf, df_docs,
+                   tf * ((2.0 * n_docs - 2.0 * df_docs + 1.0)
+                         / (2.0 * df_docs + 1.0)) AS score
+            FROM tf JOIN dfreq USING (t) CROSS JOIN n
+        ), ranked AS (
+            SELECT doc_id, t, tf, df_docs, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, t ASC
+                   ) AS "rank"
+            FROM scored
+        )
+        SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
+               CAST(df_docs AS BIGINT) AS df_docs,
+               ROUND(score * 1000000) / 1000000 AS score, "rank"
+        FROM ranked WHERE "rank" <= 3
+        ORDER BY doc_id, "rank"
     """,
     "q43_pivot": """
         SELECT user_id,

@@ -1281,6 +1281,49 @@ def q61(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q62(spark, sf_dir):
+    """Cross-document duplicate n-gram spans (Lee et al. 2021 style,
+    span-level exact dedup signal): per document, how many of its
+    distinct 8-grams occur in >= 2 documents corpus-wide
+    (operators/contamination.py::duplicate_ngram_spans)."""
+    from golang_cassandra_kafka_feed_spark.operators.contamination import (
+        duplicate_ngram_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(d, n=8, min_docs=2).orderBy("doc_id")
+
+
+def q63(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style): every 19th
+    document plays the eval set; each remaining training document gets
+    its distinct-8-gram overlap fraction against the eval grams and a
+    contaminated verdict at 10%
+    (operators/contamination.py::benchmark_overlap)."""
+    from golang_cassandra_kafka_feed_spark.operators.contamination import (
+        benchmark_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    train = d.filter(F.col("doc_id") % 19 != 0)
+    return benchmark_overlap(train, bench, n=8, threshold=0.1).orderBy(
+        "doc_id"
+    )
+
+
+def q64(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf with the BM25
+    rational idf (bit-identical cross-engine — no transcendental log in
+    the rank comparison; operators/textstats.py::tfidf_top_terms)."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
 def q59(spark, sf_dir):
     """KMV distinct-count sketch battery — the oracle-checkable twin of
     q48's engine-internal HLL: deterministic md5-hash k-minimum-values
@@ -1359,6 +1402,9 @@ QUERIES = {
     "q48_sketch_stats": q48,
     "q60_repetition_stats": q60,
     "q61_quality_flags": q61,
+    "q62_duplicate_spans": q62,
+    "q63_decontamination": q63,
+    "q64_tfidf_top_terms": q64,
     "q49_bpe_token_count": q49,
     "q50_window_battery": q50,
     "q51_string_battery": q51,

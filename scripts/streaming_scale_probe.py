@@ -78,7 +78,14 @@ def main() -> int:
     users = events.select(F.col("user_id").cast("string")).distinct()
     n_users = users.count()
     n_posts = posts.count()
-    celeb = users.orderBy("user_id").first()[0]
+    # The celebrity is the MOST ACTIVE author — worst case for the
+    # skewed key: every one of their posts fans out to celeb_followers.
+    celeb, celeb_posts = (
+        posts.groupBy("author_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "author_id")
+        .first()
+    )
 
     def follows_for(mode: str):
         if mode == "celebrity":
@@ -96,8 +103,12 @@ def main() -> int:
                 ).alias("user_id"),
                 F.col("user_id").alias("followee_id"),
             ).unionByName(extra)
-        # uniform control sized to the same expected feed output
-        degree = 10 + args.celeb_followers // n_users
+        # uniform control sized to the same expected feed output:
+        # celebrity mode emits 10*n_posts + celeb_posts*celeb_followers
+        # feed rows, so degree*n_posts should match that total.
+        degree = 10 + round(
+            celeb_posts * args.celeb_followers / n_posts
+        )
         return users.crossJoin(
             F.broadcast(spark.range(1, degree + 1))
         ).select(
@@ -112,6 +123,21 @@ def main() -> int:
     try:
         env_dir = f"{work}/envelopes"
         posts_to_envelopes(posts).write.parquet(env_dir)
+        # Warmup epoch on 1% of the stream: JVM codegen, parquet
+        # footers, and the streaming machinery all warm up outside the
+        # timed runs, so the first timed mode is not penalized (a cold
+        # first run measured ~6x its warm self).
+        warm_dir = f"{work}/warm_envelopes"
+        posts_to_envelopes(posts.limit(n_posts // 100)).write.parquet(
+            warm_dir
+        )
+        wstore = FeedStore(spark, f"{work}/store_warm", feed_buckets=32)
+        wstore.create_follows(follows_for("uniform"))
+        run_fanout_pipeline(
+            read_stream_envelope_files(spark, warm_dir),
+            wstore,
+            f"{work}/ckpt_warm",
+        ).awaitTermination(600)
         for mode in args.modes.split(","):
             store = FeedStore(spark, f"{work}/store_{mode}", feed_buckets=32)
             store.create_follows(follows_for(mode))

@@ -1,0 +1,89 @@
+"""Hand-computed contracts for the span-duplication / decontamination
+operators (operators/contamination.py) and tf-idf top terms."""
+
+from golang_cassandra_kafka_feed_spark.operators.contamination import (
+    benchmark_overlap,
+    duplicate_ngram_spans,
+)
+from golang_cassandra_kafka_feed_spark.operators.textstats import (
+    tfidf_top_terms,
+)
+
+
+def test_duplicate_ngram_spans_hand_computed(spark):
+    # distinct 2-grams: d1 {a b, b c}, d2 {b c, c d}, d3 {x y};
+    # only "b c" crosses documents.
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in duplicate_ngram_spans(df, n=2, min_docs=2).collect()
+    }
+    assert (got[1].n_distinct_grams, got[1].n_dup_grams) == (2, 1)
+    assert got[1].dup_span_frac == 0.5
+    assert (got[2].n_distinct_grams, got[2].n_dup_grams) == (2, 1)
+    assert (got[3].n_distinct_grams, got[3].n_dup_grams) == (1, 0)
+    assert got[3].dup_span_frac == 0.0
+
+
+def test_duplicate_ngram_spans_short_doc_uses_fulltext_gram(spark):
+    # Documents below n words contribute their full text as the single
+    # gram (the _shingles fallback), so two identical short docs count
+    # as fully duplicated spans.
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in duplicate_ngram_spans(df, n=8, min_docs=2).collect()
+    }
+    assert got[1].dup_span_frac == 1.0
+    assert got[2].dup_span_frac == 1.0
+    assert got[3].dup_span_frac == 0.0
+
+
+def test_benchmark_overlap_hand_computed(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "p q r")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "b c z b")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in benchmark_overlap(
+            train, bench, n=2, threshold=0.5
+        ).collect()
+    }
+    # d1 grams {a b, b c}; bench grams {b c, c z, z b} -> 1 hit of 2.
+    assert (got[1].n_bench_grams, got[1].overlap_frac) == (1, 0.5)
+    assert got[1].contaminated is True
+    assert (got[2].n_bench_grams, got[2].overlap_frac) == (0, 0.0)
+    assert got[2].contaminated is False
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    # N=2; idf(df=1) = (4-2+1)/3 = 1.0, idf(df=2) = (4-4+1)/5 = 0.2.
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], "doc_id long, text string"
+    )
+    rows = tfidf_top_terms(df, k=2).collect()
+    got = {(r.doc_id, r.rank): r for r in rows}
+    assert (got[(1, 1)].term, got[(1, 1)].score) == ("x", 2.0)
+    assert (got[(1, 2)].term, got[(1, 2)].score) == ("y", 0.2)
+    assert (got[(2, 1)].term, got[(2, 1)].score) == ("z", 1.0)
+    assert (got[(2, 2)].term, got[(2, 2)].score) == ("y", 0.2)
+    assert got[(1, 1)].df_docs == 1 and got[(1, 2)].df_docs == 2
+
+
+def test_tfidf_tie_breaks_on_term(spark):
+    # Same tf and df for every term -> identical scores; ranking must
+    # fall back to the term string deterministically.
+    df = spark.createDataFrame(
+        [(1, "bb aa cc")], "doc_id long, text string"
+    )
+    rows = tfidf_top_terms(df, k=3).orderBy("rank").collect()
+    assert [r.term for r in rows] == ["aa", "bb", "cc"]
