@@ -26,9 +26,22 @@ def valid_length(col: str | Column, lo: int, hi: int) -> Column:
     return F.length(col).between(lo, hi)
 
 
+def ts_diff_ms(start: str | Column, end: str | Column) -> Column:
+    """Millisecond difference end - start for TIMESTAMP *or* TIMESTAMP_NTZ.
+
+    timestampdiff accepts both timestamp flavors; unix_millis rejects NTZ,
+    which is how parquet `timestamp[us]` (isAdjustedToUTC=false) files —
+    including the driver-generated testdata — read under Spark 4's NTZ
+    inference.  For plain TIMESTAMP the two forms are value-identical.
+    """
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    return F.timestamp_diff("MILLISECOND", s, e)
+
+
 def latency_ms(start: str | Column, end: str | Column) -> Column:
     """Delivery latency in ms = end - start (ref op #27, e2e_bench.go:212)."""
-    return F.unix_millis(end) - F.unix_millis(start)
+    return ts_diff_ms(start, end)
 
 
 def parse_int_with_default(col: str | Column, default: int) -> Column:

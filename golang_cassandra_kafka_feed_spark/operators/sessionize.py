@@ -13,6 +13,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from golang_cassandra_kafka_feed_spark.functions import scalars
+
 
 def sessionize(
     df: DataFrame,
@@ -29,7 +31,7 @@ def sessionize(
         F.when(
             F.lag(ts).over(w).isNull()
             | (
-                F.unix_millis(F.col(ts)) - F.unix_millis(F.lag(ts).over(w))
+                scalars.ts_diff_ms(F.lag(ts).over(w), F.col(ts))
                 > gap_seconds * 1000
             ),
             1,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from golang_cassandra_kafka_feed_spark.functions import scalars
 from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
 
 # Declared ANN query parameters — the DuckDB oracles (plans/oracles.py)
@@ -545,8 +546,7 @@ def q27(spark, sf_dir):
         "new_session",
         F.col("prev_ts").isNull()
         | (
-            (F.unix_millis("ts") - F.unix_millis("prev_ts"))
-            > 30 * 60 * 1000
+            (scalars.ts_diff_ms("prev_ts", "ts") > 30 * 60 * 1000)
         ),
     )
     return (

@@ -78,6 +78,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     not an opaque UDF.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet timestamp columns written without isAdjustedToUTC (plain
+    # `timestamp[us]`, how the driver-generated testdata is written) would
+    # otherwise read as TIMESTAMP_NTZ under Spark 4's inference.  Pin the
+    # legacy mapping so every table reads as plain TIMESTAMP: value-identical
+    # under the UTC session pin above, schema-stable for the oracle compare,
+    # and scan-native (no cast that would block predicate pushdown).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     key = (id(spark), sf_dir, name)
     cached = _READER_CACHE.get(key)
     if cached is not None:
