@@ -1,0 +1,198 @@
+"""Distributed k-means and SemDeDup-style semantic dedup over embeddings.
+
+The training-data curation step the similarity family was missing:
+cluster the corpus, then drop near-duplicate members *within* each
+cluster (SemDeDup, Abbas et al. 2023) — the scale path that avoids the
+all-pairs cosine join q35 runs on small inputs.
+
+Cross-engine exactness (the md5-idiom philosophy from the dedup/ANN
+families, applied to geometry): embeddings are floor-quantized onto an
+integer grid (``GRID`` steps per unit).  Every subsequent operation —
+squared distances via the dot-product identity, Lloyd centroid updates
+as floor(sum/count) — is integer arithmetic whose magnitudes stay far
+below 2^53, so double-precision engines (DuckDB's list_dot_product)
+compute the *same exact integers* as Spark's BIGINT fold, and cluster
+assignments reproduce bit-identically across engines.  floor() (not a
+cast) everywhere: SQL casts truncate toward zero, floor is unambiguous
+for negatives in both engines.
+
+100 TB posture: Lloyd's iteration is (a) one narrow pass per point
+against k broadcast centroids (no shuffle of the corpus), (b) a
+posexplode to (cluster, dim) partial-aggregated map-side down to
+k x dim rows per partition.  Points are never shuffled by cluster for
+assignment; the only corpus-wide shuffle is the final SemDeDup
+self-join on cluster_id, which the per-cluster width cap bounds (same
+guard pattern as minhash_lsh_candidates' bucket cap).  For real runs
+k scales as n / target_cluster_size, keeping intra-cluster pair
+enumeration linear-ish.
+
+Reference parity: the reference engine has no clustering surface; this
+extends SURVEY.md §2's LLM-pipeline family (brief: "embedding-cosine
+near-dup" scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Quantization grid: |x| <= ~1 embeddings land in [-GRID, GRID]; 64-dim
+# dot products then peak around 64 * GRID^2 ~ 6.4e11 << 2^53, keeping
+# double-engine arithmetic exact.
+GRID = 100_000
+DEFAULT_K = 8
+DEFAULT_ITERS = 2
+DEFAULT_SIM_THRESHOLD = 0.35
+DEFAULT_CLUSTER_CAP = 2000
+
+
+def quantize(vec_col: str | Column) -> Column:
+    """floor-quantize a float array onto the integer grid (BIGINT array)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * GRID).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product (sequential fold, same order both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = DEFAULT_K,
+    iters: int = DEFAULT_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantized Lloyd's k-means: returns (id, cluster_id, dist2).
+
+    Deterministic by construction: init centroids are the quantized
+    vectors of the k smallest ids; assignment ties break on cluster id
+    (min over (dist2, cluster_id) structs); centroid updates are exact
+    integer floor-averages.  A cluster that loses all members simply
+    drops out (no re-seeding), identically in the SQL twin.
+    """
+    pts = df.select(F.col(id_col).alias("__id"), quantize(vec_col).alias("__q"))
+    pts = pts.withColumn("__n2", _dot(F.col("__q"), F.col("__q")))
+
+    cents = (
+        pts.filter(F.col("__id") < k)
+        .select(F.col("__id").alias("__cid"), F.col("__q").alias("__cv"))
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        scored = pts.crossJoin(
+            F.broadcast(
+                centroids.withColumn("__cn2", _dot(F.col("__cv"), F.col("__cv")))
+            )
+        ).withColumn(
+            "__d2",
+            F.col("__n2") + F.col("__cn2") - 2 * _dot(F.col("__q"), F.col("__cv")),
+        )
+        return (
+            scored.groupBy("__id")
+            .agg(F.min(F.struct("__d2", "__cid")).alias("__best"))
+            .select(
+                "__id",
+                F.col("__best.__cid").alias("__cid"),
+                F.col("__best.__d2").alias("__d2"),
+            )
+        )
+
+    for _ in range(iters):
+        # Lloyd update: per-(cluster, dim) exact integer floor-average.
+        per_dim = (
+            _assign(cents).join(pts, "__id")
+            .select("__cid", F.posexplode("__q").alias("__pos", "__v"))
+        )
+        cents = (
+            per_dim.groupBy("__cid", "__pos")
+            .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__c"))
+            .withColumn(
+                "__cv_i",
+                F.floor(F.col("__s").cast("double") / F.col("__c")).cast("long"),
+            )
+            .groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__cv_i"))),
+                    lambda s: s["__cv_i"],
+                ).alias("__cv")
+            )
+        )
+
+    # Final assignment against the last updated centroids, so the
+    # returned dist2 matches the final geometry.
+    return _assign(cents).select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").alias("cluster_id"),
+        F.col("__d2").alias("dist2"),
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = DEFAULT_K,
+    iters: int = DEFAULT_ITERS,
+    threshold: float = DEFAULT_SIM_THRESHOLD,
+    cluster_cap: int = DEFAULT_CLUSTER_CAP,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: near-duplicate pairs *within* k-means clusters.
+
+    Returns (keep_id, drop_id, sim): pairs of same-cluster vectors with
+    quantized-cosine similarity above ``threshold``; keep_id is the
+    smaller id.  ``cluster_cap`` bounds pair enumeration per cluster
+    (members ranked by id — the LSH bucket-cap guard), so a degenerate
+    mega-cluster cannot go quadratic.
+
+    Cosine runs on the quantized integers: dot and norms are exact, the
+    final divide/sqrt is a deterministic IEEE op on identical inputs in
+    both engines, so the >threshold cut reproduces exactly.
+    """
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    pts = df.select(F.col(id_col).alias("__id"), quantize(vec_col).alias("__q"))
+    members = (
+        assigned.select(F.col(id_col).alias("__id"), "cluster_id")
+        .join(pts, "__id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy("__id")
+            ),
+        )
+        .filter(F.col("__rn") <= cluster_cap)
+        .drop("__rn")
+    )
+    a = members.select(
+        "cluster_id",
+        F.col("__id").alias("keep_id"),
+        F.col("__q").alias("__qa"),
+    )
+    b = members.select(
+        "cluster_id",
+        F.col("__id").alias("drop_id"),
+        F.col("__q").alias("__qb"),
+    )
+    pairs = a.join(b, "cluster_id").filter(F.col("keep_id") < F.col("drop_id"))
+    sim = _dot(F.col("__qa"), F.col("__qb")).cast("double") / (
+        F.sqrt(_dot(F.col("__qa"), F.col("__qa")).cast("double"))
+        * F.sqrt(_dot(F.col("__qb"), F.col("__qb")).cast("double"))
+    )
+    return (
+        pairs.withColumn("__sim", sim)
+        .filter(F.col("__sim") > threshold)
+        .select(
+            "keep_id",
+            "drop_id",
+            (F.round(F.col("__sim") * 10000) / 10000).alias("sim"),
+        )
+        .orderBy("keep_id", "drop_id")
+    )

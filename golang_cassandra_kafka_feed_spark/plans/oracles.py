@@ -1133,3 +1133,108 @@ ORACLES["q53_in_null_semantics"] = Q53_SQL
 from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_SQL  # noqa: E402
 
 ORACLES.update(TPCH_SQL)
+
+# ---------------------------------------------------------------------------
+# q65/q66: quantized k-means + SemDeDup.  The CTE chain is generated from
+# the SAME constants the Spark path uses (operators/clustering.py) so a
+# parameter drift cannot silently desync the twin (ADVICE r2 pattern).
+# All arithmetic is exact: integer grid, dot products < 2^53, so DuckDB's
+# double list_dot_product reproduces Spark's BIGINT fold bit-for-bit.
+from golang_cassandra_kafka_feed_spark.operators.clustering import (  # noqa: E402
+    DEFAULT_CLUSTER_CAP,
+    DEFAULT_ITERS,
+    DEFAULT_K,
+    DEFAULT_SIM_THRESHOLD,
+    GRID,
+)
+
+
+def _km_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_dot_product(CAST({a} AS DOUBLE[]), "
+        f"CAST({b} AS DOUBLE[])) AS BIGINT)"
+    )
+
+
+def _kmeans_ctes(iters: int = DEFAULT_ITERS, k: int = DEFAULT_K) -> str:
+    """WITH-chain ending in CTE ``af`` = (vec_id, cid, d2) final assignment."""
+    score = (
+        "SELECT p.vec_id, c.cid, p.n2 + {cn2} - 2 * {pc} AS d2 "
+        "FROM pn p, {cents} c"
+    )
+    pick = (
+        "SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2, row_number() "
+        "OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM {scored}) "
+        "WHERE rn = 1"
+    )
+    parts = [
+        (
+            "pts AS (SELECT vec_id, list_transform(CAST(embedding AS "
+            f"DOUBLE[]), x -> CAST(floor(x * {GRID}) AS BIGINT)) AS q "
+            "FROM embeddings)"
+        ),
+        f"pn AS (SELECT vec_id, q, {_km_dot('q', 'q')} AS n2 FROM pts)",
+        f"c0 AS (SELECT vec_id AS cid, q AS cv FROM pts WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        scored = score.format(
+            cn2=_km_dot("c.cv", "c.cv"), pc=_km_dot("p.q", "c.cv"), cents=prev
+        )
+        parts += [
+            f"x{i} AS ({scored})",
+            f"a{i} AS ({pick.format(scored=f'x{i}')})",
+            (
+                f"m{i} AS (SELECT a{i}.cid, generate_subscripts(p.q, 1) AS pos, "
+                f"unnest(p.q) AS v FROM a{i} JOIN pts p USING (vec_id))"
+            ),
+            (
+                f"u{i} AS (SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) "
+                f"/ count(*)) AS BIGINT) AS cv_i FROM m{i} GROUP BY cid, pos)"
+            ),
+            (
+                f"c{i} AS (SELECT cid, list(cv_i ORDER BY pos) AS cv "
+                f"FROM u{i} GROUP BY cid)"
+            ),
+        ]
+        prev = f"c{i}"
+    scored = score.format(
+        cn2=_km_dot("c.cv", "c.cv"), pc=_km_dot("p.q", "c.cv"), cents=prev
+    )
+    parts += [
+        f"xf AS ({scored})",
+        f"af AS ({pick.format(scored='xf')})",
+    ]
+    return "WITH " + ",\n".join(parts)
+
+
+ORACLES["q65_kmeans_assign"] = (
+    _kmeans_ctes()
+    + "\nSELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM af "
+    "ORDER BY vec_id"
+)
+
+ORACLES["q66_semantic_dedup"] = (
+    _kmeans_ctes()
+    + f""",
+members AS (
+    SELECT cid, vec_id, q FROM (
+        SELECT af.cid, af.vec_id, p.q,
+               row_number() OVER (PARTITION BY af.cid ORDER BY af.vec_id)
+                   AS rn
+        FROM af JOIN pts p USING (vec_id)
+    ) WHERE rn <= {DEFAULT_CLUSTER_CAP}
+),
+pairs AS (
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+           {_km_dot('a.q', 'b.q')}
+           / (sqrt({_km_dot('a.q', 'a.q')}) * sqrt({_km_dot('b.q', 'b.q')}))
+               AS sim
+    FROM members a JOIN members b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT keep_id, drop_id, ROUND(sim * 10000) / 10000 AS sim
+FROM pairs WHERE sim > {DEFAULT_SIM_THRESHOLD}
+ORDER BY keep_id, drop_id
+"""
+)

@@ -1348,6 +1348,34 @@ def q59(spark, sf_dir):
     return g.unionByName(p).orderBy("scope", "key")
 
 
+def q65(spark, sf_dir):
+    """Quantized k-means cluster assignment over the embeddings corpus
+    (operators/clustering.py::kmeans_assign): deterministic Lloyd's on
+    an integer grid — init = k smallest vec_ids, 2 exact integer
+    iterations — so assignments and squared distances hash bit-identically
+    against the unrolled SQL twin."""
+    from golang_cassandra_kafka_feed_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb).orderBy("vec_id")
+
+
+def q66(spark, sf_dir):
+    """SemDeDup semantic near-dup pairs: k-means partition, then exact
+    quantized-cosine pairs within each cluster above threshold
+    (operators/clustering.py::semantic_dedup_pairs).  The scale path for
+    embedding dedup — intra-cluster enumeration with a width cap instead
+    of q35's all-pairs join."""
+    from golang_cassandra_kafka_feed_spark.operators.clustering import (
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb)
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1416,6 +1444,8 @@ QUERIES = {
     "q57_sequence_pack": q57,
     "q58_moments_battery": q58,
     "q59_kmv_distinct": q59,
+    "q65_kmeans_assign": q65,
+    "q66_semantic_dedup": q66,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
