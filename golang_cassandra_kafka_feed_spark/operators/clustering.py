@@ -154,40 +154,50 @@ def semantic_dedup_pairs(
     Cosine runs on the quantized integers: dot and norms are exact, the
     final divide/sqrt is a deterministic IEEE op on identical inputs in
     both engines, so the >threshold cut reproduces exactly.
-    """
-    from pyspark.sql import Window
 
+    Structure (the lesson from minhash_lsh_candidates' r2 rewrite): pair
+    ids are enumerated by collecting ids per cluster and double-exploding
+    — NOT a self-join of the assignment, which would reference the whole
+    Lloyd pipeline twice with differently-aliased branches Catalyst
+    cannot exchange-reuse (measured ~2x the stage cost here too).  The
+    width cap is a slice of the sorted id array (same smallest-ids
+    semantics as a row_number cap, minus the window shuffle).  Vectors
+    are joined back per side from the raw quantized scan, with each
+    side's norm computed once per id, not once per pair.
+    """
     assigned = kmeans_assign(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
-    pts = df.select(F.col(id_col).alias("__id"), quantize(vec_col).alias("__q"))
-    members = (
-        assigned.select(F.col(id_col).alias("__id"), "cluster_id")
-        .join(pts, "__id")
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("cluster_id").orderBy("__id")
-            ),
+    pair_ids = (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.col(id_col))), 1, cluster_cap
+            ).alias("__ids")
         )
-        .filter(F.col("__rn") <= cluster_cap)
-        .drop("__rn")
+        .filter(F.size("__ids") > 1)
+        .select(F.explode("__ids").alias("keep_id"), "__ids")
+        .select("keep_id", F.explode("__ids").alias("drop_id"))
+        .filter(F.col("keep_id") < F.col("drop_id"))
     )
-    a = members.select(
-        "cluster_id",
+    pts = df.select(
+        F.col(id_col).alias("__id"), quantize(vec_col).alias("__q")
+    ).withColumn("__n", F.sqrt(_dot(F.col("__q"), F.col("__q")).cast("double")))
+    a = pts.select(
         F.col("__id").alias("keep_id"),
         F.col("__q").alias("__qa"),
+        F.col("__n").alias("__na"),
     )
-    b = members.select(
-        "cluster_id",
+    b = pts.select(
         F.col("__id").alias("drop_id"),
         F.col("__q").alias("__qb"),
+        F.col("__n").alias("__nb"),
     )
-    pairs = a.join(b, "cluster_id").filter(F.col("keep_id") < F.col("drop_id"))
     sim = _dot(F.col("__qa"), F.col("__qb")).cast("double") / (
-        F.sqrt(_dot(F.col("__qa"), F.col("__qa")).cast("double"))
-        * F.sqrt(_dot(F.col("__qb"), F.col("__qb")).cast("double"))
+        F.col("__na") * F.col("__nb")
     )
     return (
-        pairs.withColumn("__sim", sim)
+        pair_ids.join(a, "keep_id")
+        .join(b, "drop_id")
+        .withColumn("__sim", sim)
         .filter(F.col("__sim") > threshold)
         .select(
             "keep_id",
