@@ -46,6 +46,24 @@ DEFAULT_SIM_THRESHOLD = 0.35
 DEFAULT_CLUSTER_CAP = 2000
 
 
+DEFAULT_TARGET_CLUSTER_SIZE = 250
+
+
+def auto_k(df: DataFrame, target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE) -> int:
+    """k sized to the corpus: ceil(n / target_cluster_size), min DEFAULT_K.
+
+    SemDeDup pair enumeration is quadratic in min(cluster size, cap), so
+    a FIXED k saturates the width cap as the corpus grows and the probe
+    cost plateaus at cap^2 per cluster (measured: the sf1.0 replica
+    corpus runs 62.9x the sf0.1 time at k=8, but 5.3x — linear tier —
+    once k scales to n/250; PERFORMANCE.md round 3).  Costs one count()
+    of the input; call it once per corpus, not per query, and pass the
+    result as ``k``.
+    """
+    n = df.count()
+    return max(DEFAULT_K, -(-n // target_cluster_size))
+
+
 def quantize(vec_col: str | Column) -> Column:
     """floor-quantize a float array onto the integer grid (BIGINT array)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col

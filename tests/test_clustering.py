@@ -89,6 +89,19 @@ def test_mega_cluster_capped(spark):
     assert got > 0
 
 
+def test_auto_k_scales_with_corpus(spark, emb):
+    from golang_cassandra_kafka_feed_spark.operators.clustering import (
+        DEFAULT_TARGET_CLUSTER_SIZE,
+        auto_k,
+    )
+
+    n = emb.count()
+    k = auto_k(emb)
+    assert k == max(DEFAULT_K, -(-n // DEFAULT_TARGET_CLUSTER_SIZE))
+    assert auto_k(emb.limit(10)) == DEFAULT_K  # floor at the default
+    assert auto_k(emb, target_cluster_size=1) == max(DEFAULT_K, n)
+
+
 def test_quantize_floor_negative(spark):
     """floor (not truncation): -0.000006 grid-quantizes to -1, not 0."""
     df = spark.range(1).select(
