@@ -2,6 +2,7 @@ from golang_cassandra_kafka_feed_spark.streaming.fanout import (
     decode_post_events,
     deduped_post_stream,
     fanout_stream,
+    fanout_stream_stream,
     run_fanout_pipeline,
 )
 from golang_cassandra_kafka_feed_spark.streaming.stateful import (
@@ -16,6 +17,7 @@ __all__ = [
     "decode_post_events",
     "deduped_post_stream",
     "fanout_stream",
+    "fanout_stream_stream",
     "run_fanout_pipeline",
     "tumbling_counts_stream",
     "session_counts_stream",

@@ -108,6 +108,70 @@ def fanout_stream(
     )
 
 
+def fanout_stream_stream(
+    post_events: DataFrame,
+    follow_events: DataFrame,
+    post_watermark: str = "10 minutes",
+    follow_watermark: str = "1 hour",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM fan-out: posts join follow edges that arrived in
+    ``[created_at - lookback, created_at]`` — fan-out against a LIVE
+    follow graph instead of ``fanout_stream``'s static-per-batch table.
+
+    The reference has no streaming follow source (follows land via the
+    HTTP path, httphandlers.go:60-99; only posts flow through Kafka,
+    worker.go:55-66) — this is extension surface for the case where the
+    edge feed itself is a stream.
+
+    State-boundedness is the design constraint Spark imposes on
+    stream-stream inner joins: the equi key (followee_id = author_id)
+    plus the two-sided event-time range lets the state store evict —
+    follow edges age out once the post watermark passes
+    ``followed_at + lookback``, post rows once the follow watermark
+    passes ``created_at``.  An UNBOUNDED "all past followers" join
+    cannot evict the follow side; production composes this operator
+    (recent edges, live) with the batch/static fan-out over the stored
+    graph (fanout_stream) — the classic lambda split, and at 100 TB the
+    only shape whose state does not grow with the graph.
+
+    ``follow_events``: (user_id, followee_id, followed_at).
+    """
+    p = post_events.withWatermark("created_at", post_watermark)
+    f = follow_events.withWatermark("followed_at", follow_watermark)
+    return p.join(
+        f,
+        (p.author_id == f.followee_id)
+        & (f.followed_at <= p.created_at)
+        & (
+            f.followed_at
+            >= p.created_at - F.expr(f"INTERVAL {_as_interval(lookback)}")
+        ),
+        "inner",
+    ).select(
+        f.user_id.alias("user_id"),
+        "post_id",
+        "author_id",
+        "body",
+        "created_at",
+        "followed_at",
+    )
+
+
+def _as_interval(spec: str) -> str:
+    """Validate a '<n> <unit>' duration for safe INTERVAL interpolation."""
+    parts = spec.strip().split()
+    units = {
+        "second", "seconds", "minute", "minutes", "hour", "hours",
+        "day", "days",
+    }
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in units:
+        raise ValueError(
+            f"lookback must look like '30 minutes', got {spec!r}"
+        )
+    return f"{parts[0]} {parts[1]}"
+
+
 def run_fanout_pipeline(
     envelopes_stream: DataFrame,
     store,
