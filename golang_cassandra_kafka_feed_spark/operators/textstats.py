@@ -307,3 +307,124 @@ def tfidf_top_terms(
         r6(F.col("score")).alias("score"),
         "rank",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — pretraining prep that
+    turns long documents into model-sized pieces (the doc->sample step
+    before sequence_pack bins samples into token budgets).
+
+    Chunks start every ``stride = chunk_size - overlap`` tokens; a doc
+    yields greatest(1, ceil((n - overlap) / stride)) chunks, so even an
+    empty/short doc emits one (possibly short) chunk and consecutive
+    chunks share ``overlap`` tokens.  All arithmetic is small-integer
+    exact, and chunk text is rebuilt with single spaces from the shared
+    tokenizer, so the SQL twin reproduces rows bit-identically.
+
+    100 TB posture: one projection + one explode — no shuffle at all;
+    chunk rows inherit the input partitioning (CHUNKS of a doc stay in
+    its partition, which is what sequence packing wants downstream).
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError(
+            f"chunk_size={chunk_size} must exceed overlap={overlap}"
+        )
+    d = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+        F.size(tokens(text_col)).alias("__n"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.col("__n") - overlap + stride - 1) / stride).cast("long"),
+    )
+    return (
+        d.select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                "__toks", F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("__ct"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__ct").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__ct", " ").alias("chunk_text"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Corpus vocabulary + per-doc OOV rate: the tokenizer-training
+    health check (which fraction of each doc falls outside the top-V
+    corpus vocabulary).
+
+    Vocabulary = top ``vocab_size`` tokens by exact global count,
+    ties broken by token string — fully deterministic, so the SQL twin
+    selects the identical set.  Returns (id, n_tokens, n_oov, oov_rate)
+    with the cents rounding idiom.
+
+    100 TB posture: token counts partial-aggregate map-side; the vocab
+    (V rows) broadcasts back against the exploded corpus — the corpus
+    shuffles once on the token key for the count and once on the doc id
+    for the per-doc rollup; the vocab selection itself is a
+    TakeOrdered-style top-V, never a full sort of the type frequency
+    table.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.topk import (
+        top_k_per_key,
+    )
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__cnt"))
+    vocab = top_k_per_key(
+        counts.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("__cnt").desc(), F.col("__t").asc()],
+        vocab_size,
+    ).select("__t", F.lit(1).alias("__inv"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "__t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("__inv").isNull()).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            (
+                F.round(
+                    F.coalesce("n_oov", F.lit(0))
+                    / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1))
+                    * 100
+                )
+                / 100
+            ).alias("oov_rate"),
+        )
+    )

@@ -1238,3 +1238,58 @@ FROM pairs WHERE sim > {DEFAULT_SIM_THRESHOLD}
 ORDER BY keep_id, drop_id
 """
 )
+
+# q67/q68: chunking and vocabulary coverage — parameters derived from the
+# operator defaults so the twins cannot drift.
+from inspect import signature as _sig  # noqa: E402
+
+from golang_cassandra_kafka_feed_spark.operators import textstats as _ts  # noqa: E402
+
+_CHUNK = _sig(_ts.chunk_documents).parameters
+_CHUNK_SIZE = _CHUNK["chunk_size"].default
+_OVERLAP = _CHUNK["overlap"].default
+_STRIDE = _CHUNK_SIZE - _OVERLAP
+_VOCAB_SIZE = _sig(_ts.vocab_coverage).parameters["vocab_size"].default
+
+ORACLES["q67_doc_chunking"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, toks,
+                 greatest(1, CAST(floor((n - {_OVERLAP} + {_STRIDE - 1})
+                                        / {_STRIDE}) AS BIGINT)) AS n_chunks
+          FROM n),
+    e AS (SELECT doc_id, toks,
+                 unnest(range(0, n_chunks)) AS chunk_idx
+          FROM c)
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * {_STRIDE} + 1,
+                               chunk_idx * {_STRIDE} + {_CHUNK_SIZE}))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, chunk_idx * {_STRIDE} + 1,
+                                      chunk_idx * {_STRIDE} + {_CHUNK_SIZE}),
+                           ' ') AS chunk_text
+    FROM e ORDER BY doc_id, chunk_idx
+"""
+
+ORACLES["q68_vocab_coverage"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+    vocab AS (SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rn
+        FROM counts
+    ) WHERE rn <= {_VOCAB_SIZE}),
+    per_doc AS (
+        SELECT tok.doc_id, count(*) AS n_tokens,
+               count(*) FILTER (WHERE vocab.t IS NULL) AS n_oov
+        FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+        GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_oov, 0) AS n_oov,
+           ROUND(coalesce(n_oov, 0)
+                 / greatest(coalesce(n_tokens, 0), 1) * 100) / 100
+               AS oov_rate
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    ORDER BY d.doc_id
+"""

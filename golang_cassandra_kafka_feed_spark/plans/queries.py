@@ -1376,6 +1376,31 @@ def q66(spark, sf_dir):
     return semantic_dedup_pairs(emb)
 
 
+def q67(spark, sf_dir):
+    """Fixed-token-window document chunking with overlap (64-token
+    chunks, 16 shared) — the doc→sample pretraining prep step
+    (operators/textstats.py::chunk_documents).  Zero-shuffle explode;
+    chunk text rebuilt from the shared tokenizer so rows hash-match."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d).orderBy("doc_id", "chunk_idx")
+
+
+def q68(spark, sf_dir):
+    """Corpus top-500 vocabulary + per-doc OOV rate
+    (operators/textstats.py::vocab_coverage): exact global token counts,
+    deterministic tie-broken vocab selection, broadcast membership join."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1446,6 +1471,8 @@ QUERIES = {
     "q59_kmv_distinct": q59,
     "q65_kmeans_assign": q65,
     "q66_semantic_dedup": q66,
+    "q67_doc_chunking": q67,
+    "q68_vocab_coverage": q68,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

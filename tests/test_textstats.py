@@ -4,6 +4,7 @@ determinism."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.operators.textstats import (
@@ -116,3 +117,67 @@ def test_repetition_stats_hand_computed(spark):
     assert r.dup_2gram_frac == 0.25
     assert r.top_2gram_n == 2
     assert r.dup_3gram_frac == 0.0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    # letters-only words: the tokenizer splits on [^a-z]+, so a digit
+    # suffix would re-tokenize every word back to the same token
+    words = " ".join(
+        "w" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(150)
+    )
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_size=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 150 tokens, stride 48 -> ceil(134/48) = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in c1] == [64, 64, 54]
+    # consecutive chunks share exactly `overlap` tokens
+    t0, t1 = c1[0].chunk_text.split(), c1[1].chunk_text.split()
+    assert t0[-16:] == t1[:16]
+    # every token position is covered
+    covered = set(t0) | set(t1) | set(c1[2].chunk_text.split())
+    assert len(covered) == 150
+    # short and empty docs emit exactly one chunk
+    assert [r.n_chunk_tokens for r in by_doc[2]] == [2]
+    assert [r.n_chunk_tokens for r in by_doc[3]] == [0]
+    assert by_doc[3][0].chunk_text == ""
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=16, overlap=16)
+
+
+def test_vocab_coverage_known_answer(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),
+            (2, "aa bb zz zz"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    # vocab = {aa (4), bb (3)}; zz (2) and cc (1) are OOV
+    assert (out[1].n_tokens, out[1].n_oov) == (6, 1)
+    assert (out[2].n_tokens, out[2].n_oov) == (4, 2)
+    assert (out[3].n_tokens, out[3].n_oov, out[3].oov_rate) == (0, 0, 0.0)
+    assert out[2].oov_rate == 0.5
