@@ -1,6 +1,7 @@
 """Differential fuzzing of the relational surface: random queries from a
 bounded grammar over the Q01-Q24 operator set (filter/project, aggregate,
-join, distinct, order-limit, window top-k, IN-subquery, union), executed
+join, distinct, order-limit, window top-k, IN-subquery, union, correlated
+EXISTS/NOT EXISTS, scalar-subquery comparison, ROLLUP), executed
 as the SAME SQL text on Spark and DuckDB over the same in-memory tables.
 
 The 73 declared queries prove fixed points of the semantics; this suite
@@ -111,7 +112,7 @@ _AGGS = [
 
 
 def _gen_query(rng: random.Random) -> str:
-    kind = rng.randrange(8)
+    kind = rng.randrange(11)
     if kind == 0:  # filter + project
         return f"SELECT {_scalar_exprs(rng)} FROM f1 WHERE {_pred(rng)}"
     if kind == 1:  # aggregate
@@ -169,13 +170,43 @@ def _gen_query(rng: random.Random) -> str:
             f"UNION ALL SELECT c FROM f1 WHERE {_pred(rng)}"
             ") u GROUP BY c"
         )
-    # window top-k per key (deterministic: id tiebreak)
-    m = rng.randrange(1, 5)
+    if kind == 7:  # window top-k per key (deterministic: id tiebreak)
+        m = rng.randrange(1, 5)
+        return (
+            "SELECT id, k, v, rn FROM ("
+            "SELECT id, k, v, row_number() OVER ("
+            "PARTITION BY k ORDER BY v ASC NULLS FIRST, id) AS rn FROM f1"
+            f") x WHERE rn <= {m}"
+        )
+    if kind == 8:  # correlated EXISTS / NOT EXISTS (equality correlation
+        # only — the decorrelatable form both engines handle; the tpch_q21
+        # shape generalized)
+        neg = "NOT " if rng.random() < 0.4 else ""
+        return (
+            f"SELECT id, k, v FROM f1 a WHERE {neg}EXISTS ("
+            f"SELECT 1 FROM f2 b WHERE b.k = a.k "
+            f"AND b.w > {rng.randrange(100)}) AND ({_pred(rng, 'a')})"
+        )
+    if kind == 9:  # scalar-subquery comparison (exact MIN/MAX: no
+        # float-summation order dependence in the boundary value)
+        agg = rng.choice(["MIN(w)", "MAX(w)"])
+        return (
+            f"SELECT id, k, v FROM f1 WHERE v > ("
+            f"SELECT {agg} FROM f2 WHERE w {rng.choice(['>', '<='])} "
+            f"{rng.randrange(100)}) AND ({_pred(rng)})"
+        )
+    # ROLLUP: super-aggregate NULL group rows — where engines most often
+    # disagree on NULL-key grouping vs rollup-total rows.  FUZZER FINDING
+    # (round 3, seed 20260813 case 150): on EMPTY input DuckDB emits the
+    # grand-total () row per the SQL standard while Spark returns no rows
+    # at all; HAVING COUNT(*) > 0 is a no-op on every non-empty group and
+    # harmonizes the empty case, which is also the guidance for rollup
+    # queries under the oracle contract (COVERAGE.md).
+    aggs = ", ".join(rng.sample(_AGGS, rng.randrange(1, 3)))
+    where = f" WHERE {_pred(rng)}" if rng.random() < 0.5 else ""
     return (
-        "SELECT id, k, v, rn FROM ("
-        "SELECT id, k, v, row_number() OVER ("
-        "PARTITION BY k ORDER BY v ASC NULLS FIRST, id) AS rn FROM f1"
-        f") x WHERE rn <= {m}"
+        f"SELECT k, c, {aggs} FROM f1{where} "
+        "GROUP BY ROLLUP(k, c) HAVING COUNT(*) > 0"
     )
 
 
