@@ -195,3 +195,30 @@ def test_lsh_bucket_cap_uses_window_group_limit(spark, sf_dir):
     for name in ("q37_minhash_lsh_neardup", "q38_simhash_neardup"):
         plan = _plan(spark, sf_dir, name)
         assert "WindowGroupLimit" in plan, name
+
+
+def test_doc_chunking_has_no_exchange(spark, sf_dir):
+    """q67's scale claim is literal: projection + explode only — a
+    chunking pass over 100 TB must not shuffle anything."""
+    plan = _plan(spark, sf_dir, "q67_doc_chunking")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the only allowed exchange is the final presentation orderBy
+    assert body.count("Exchange") <= 1
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_vocab_membership_join_is_broadcast(spark, sf_dir):
+    """q68: the top-V vocabulary must broadcast back against the corpus
+    (a shuffle join on the token key would re-shuffle the whole corpus a
+    second time)."""
+    plan = _plan(spark, sf_dir, "q68_vocab_coverage")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_runs_lloyd_chain_once(spark, sf_dir):
+    """q66 regression guard for the self-join trap: each k-means
+    assignment pass is one centroid BroadcastNestedLoopJoin, and with
+    iters=2 the final plan must contain exactly iters+1 = 3 of them —
+    the old pair self-join duplicated the whole chain (6)."""
+    plan = _plan(spark, sf_dir, "q66_semantic_dedup")
+    assert plan.count("BroadcastNestedLoopJoin") == 3
