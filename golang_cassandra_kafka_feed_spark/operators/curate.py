@@ -48,9 +48,18 @@ def curate_corpus(
         ("val", 0.1),
         ("test", 0.1),
     ),
+    chunk_size: int | None = None,
+    chunk_overlap: int = 16,
 ) -> DataFrame:
     """Returns the curated corpus: input columns + ``lang`` (detected),
     ``n_tokens``, and ``split``.
+
+    With ``chunk_size`` set, a final doc→sample stage replaces each doc
+    row by its overlapping token-window chunks (chunk_idx /
+    n_chunk_tokens / chunk_text; the raw text column is dropped), with
+    source/lang/split metadata carried THROUGH the zero-shuffle explode
+    — chunking after split so all chunks of a doc land in the same
+    split (no train/val leakage from shared overlap tokens).
 
     Near-dup survivor rule: for every near-duplicate pair the LOWER id
     survives — deterministic and transitive-safe (dropping every id that
@@ -97,6 +106,23 @@ def curate_corpus(
             max_per_source,
         )
 
-    return hash_split(d, id_col, weights=split_weights).withColumnRenamed(
+    out = hash_split(d, id_col, weights=split_weights).withColumnRenamed(
         "__lang", "lang_detected"
     )
+    if chunk_size is not None:
+        from golang_cassandra_kafka_feed_spark.operators.textstats import (
+            chunk_documents,
+        )
+
+        carry = [
+            c for c in out.columns if c not in (id_col, text_col)
+        ]
+        out = chunk_documents(
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            chunk_size=chunk_size,
+            overlap=chunk_overlap,
+            carry_cols=carry,
+        )
+    return out

@@ -11,6 +11,8 @@ as ANSI SQL for the DuckDB oracle (plans/queries q31-q34).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -315,6 +317,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_size: int = 64,
     overlap: int = 16,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Fixed-token-window chunking with overlap — pretraining prep that
     turns long documents into model-sized pieces (the doc->sample step
@@ -330,14 +333,18 @@ def chunk_documents(
     100 TB posture: one projection + one explode — no shuffle at all;
     chunk rows inherit the input partitioning (CHUNKS of a doc stay in
     its partition, which is what sequence packing wants downstream).
+    ``carry_cols`` ride through the explode for exactly that reason: a
+    join-back of metadata would reintroduce the shuffle this avoids.
     """
     stride = chunk_size - overlap
     if stride <= 0:
         raise ValueError(
             f"chunk_size={chunk_size} must exceed overlap={overlap}"
         )
+    carry = list(carry_cols)
     d = df.select(
         F.col(id_col),
+        *carry,
         tokens(text_col).alias("__toks"),
         F.size(tokens(text_col)).alias("__n"),
     )
@@ -348,6 +355,7 @@ def chunk_documents(
     return (
         d.select(
             id_col,
+            *carry,
             "__toks",
             F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
                 "chunk_idx"
@@ -355,6 +363,7 @@ def chunk_documents(
         )
         .select(
             id_col,
+            *carry,
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.slice(
                 "__toks", F.col("chunk_idx") * stride + 1, chunk_size
@@ -362,6 +371,7 @@ def chunk_documents(
         )
         .select(
             id_col,
+            *carry,
             "chunk_idx",
             F.size("__ct").cast("long").alias("n_chunk_tokens"),
             F.array_join("__ct", " ").alias("chunk_text"),

@@ -47,3 +47,24 @@ def test_curate_respects_source_cap_and_split_labels(spark, sf_dir):
     assert all(r["count"] <= 200 for r in per_source)
     labels = {r.split for r in out.select("split").distinct().collect()}
     assert labels <= {"train", "val", "test"}
+
+
+def test_curate_with_chunking_stage(spark, sf_dir):
+    from golang_cassandra_kafka_feed_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_corpus(docs, chunk_size=32, chunk_overlap=8)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"chunk_idx", "n_chunk_tokens", "chunk_text", "split",
+            "lang_detected", "source"} <= set(out.columns)
+    assert "text" not in out.columns
+    # all chunks of one doc share its split (no leakage across splits)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_doc.values())
+    # chunk size respected
+    assert all(r.n_chunk_tokens <= 32 for r in rows)
