@@ -129,3 +129,78 @@ def per_key_cap(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Per-source keep rates for alpha=0.5 temperature resampling
+    (XLM-R-style: p_s ∝ sqrt(n_s), flattening the source distribution so
+    rare sources are upsampled relative to their share).
+
+    Returns (group, n_docs, rate): rate_s = min(1, target_frac * N *
+    (sqrt(n_s)/S) / n_s) with S = sum of sqrt(n_s).  alpha is FIXED at
+    0.5 because sqrt is IEEE-correctly-rounded — identical in every
+    engine — while pow(x, alpha) is not guaranteed to be, which would
+    put oracle parity at the mercy of libm ulps.  S is a sequential
+    left-fold over the sources in sorted name order (F.aggregate here,
+    list_reduce in the DuckDB twin), so even the double summation order
+    is pinned.
+
+    100 TB posture: one exact count per source (map-side partial agg),
+    a driver-size fold over the handful of sources, and the rate table
+    broadcasts back — the corpus itself is scanned once and never
+    shuffled.
+    """
+    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    folded = stats.select(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(group_col), F.col("n_docs")))
+        ).alias("gs"),
+        F.sum("n_docs").alias("total"),
+    ).select(
+        "gs",
+        "total",
+        F.aggregate(
+            F.transform("gs", lambda g: F.sqrt(g["n_docs"].cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s_sum"),
+    )
+    rates = folded.select(
+        F.explode("gs").alias("g"), "total", "s_sum"
+    ).select(
+        F.col("g")[group_col].alias(group_col),
+        F.col("g")["n_docs"].alias("n_docs"),
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("total").cast("double")
+            * (
+                F.sqrt(F.col("g")["n_docs"].cast("double")) / F.col("s_sum")
+            )
+            / F.col("g")["n_docs"].cast("double"),
+        ).alias("rate"),
+    )
+    return rates
+
+
+def temperature_downsample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Deterministic alpha=0.5 temperature resampling: each row survives
+    iff its md5 hash fraction is below its source's temperature rate
+    (temperature_mixture_rates).  Reproducible under repartitioning and
+    append — the same contract as hash_split / mixture_downsample."""
+    rates = temperature_mixture_rates(df, group_col, target_frac)
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .filter(hash_fraction(id_col, salt) < F.col("rate"))
+        .drop("rate")
+    )

@@ -1293,3 +1293,42 @@ ORACLES["q68_vocab_coverage"] = f"""
     FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
     ORDER BY d.doc_id
 """
+
+# q69: alpha=0.5 temperature resampling — target_frac derived from the
+# operator default; S folded with list_reduce over the source-sorted
+# sqrt list (the same sequential left-fold as the Spark F.aggregate, and
+# DuckDB's fold seeds with the first element: (0.0 + x1) == x1 exactly).
+from golang_cassandra_kafka_feed_spark.operators.sampling import (  # noqa: E402
+    temperature_mixture_rates as _tmr,
+)
+
+_TEMP_FRAC = _sig(_tmr).parameters["target_frac"].default
+
+ORACLES["q69_temperature_mixture"] = f"""
+    WITH stats AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+               list_reduce(
+                   list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                   (a, b) -> a + b
+               ) AS s_sum
+        FROM stats
+    ),
+    rates AS (
+        SELECT source,
+               least(1.0,
+                     {_TEMP_FRAC} * total
+                     * (sqrt(CAST(n_docs AS DOUBLE)) / s_sum)
+                     / CAST(n_docs AS DOUBLE)) AS rate
+        FROM stats, tot
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d
+    JOIN rates r USING (source)
+    WHERE CAST(('0x' || substring(
+              md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))
+              AS BIGINT) / 4294967296.0 < r.rate
+    ORDER BY d.doc_id
+"""

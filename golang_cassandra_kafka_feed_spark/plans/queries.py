@@ -1401,6 +1401,27 @@ def q68(spark, sf_dir):
     return vocab_coverage(d).orderBy("doc_id")
 
 
+def q69(spark, sf_dir):
+    """alpha=0.5 temperature resampling of the documents corpus by source
+    (operators/sampling.py::temperature_downsample): exact per-source
+    counts, sqrt-flattened mixture, md5-fraction survival — rates carried
+    in the output so the mechanism itself is hash-checked."""
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        temperature_downsample,
+        temperature_mixture_rates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(d, "source")
+    kept = temperature_downsample(d, "doc_id", "source")
+    return (
+        kept.select("doc_id", "source")
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .select("doc_id", "source", "rate")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1473,6 +1494,7 @@ QUERIES = {
     "q66_semantic_dedup": q66,
     "q67_doc_chunking": q67,
     "q68_vocab_coverage": q68,
+    "q69_temperature_mixture": q69,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

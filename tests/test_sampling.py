@@ -88,3 +88,36 @@ def test_per_key_cap_keeps_best(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_temperature_rates_flatten_mixture(spark):
+    """alpha=0.5 upsamples rare sources relative to abundant ones: the
+    effective kept-share of the rare source must exceed its input share,
+    and rates are capped at 1."""
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        temperature_downsample,
+        temperature_mixture_rates,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r.source: r.rate
+        for r in temperature_mixture_rates(df, "source").collect()
+    }
+    assert rates["small"] > rates["big"]
+    assert rates["small"] <= 1.0
+    kept = temperature_downsample(df, "doc_id", "source")
+    shares = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # input share of small = 10%; kept share must be strictly larger
+    kept_total = sum(shares.values())
+    assert shares["small"] / kept_total > 0.1
+    # deterministic under repartitioning
+    again = temperature_downsample(df.repartition(13), "doc_id", "source")
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in kept.collect()
+    )
