@@ -1156,8 +1156,12 @@ def _km_dot(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes(iters: int = DEFAULT_ITERS, k: int = DEFAULT_K) -> str:
-    """WITH-chain ending in CTE ``af`` = (vec_id, cid, d2) final assignment."""
+def _kmeans_ctes(
+    iters: int = DEFAULT_ITERS, k: int | str = DEFAULT_K
+) -> str:
+    """WITH-chain ending in CTE ``af`` = (vec_id, cid, d2) final
+    assignment.  ``k`` may be an int literal or a SQL scalar-subquery
+    string (q66's corpus-scaled auto_k twin)."""
     score = (
         "SELECT p.vec_id, c.cid, p.n2 + {cn2} - 2 * {pc} AS d2 "
         "FROM pn p, {cents} c"
@@ -1214,8 +1218,19 @@ ORACLES["q65_kmeans_assign"] = (
     "ORDER BY vec_id"
 )
 
+from golang_cassandra_kafka_feed_spark.operators.clustering import (  # noqa: E402
+    DEFAULT_TARGET_CLUSTER_SIZE as _KM_TARGET,
+)
+
+# auto_k twin: greatest(DEFAULT_K, ceil(n / target)) — exact integer
+# arithmetic, so the SQL value equals the Python-side auto_k() at any SF.
+_AUTO_K_SQL = (
+    f"(SELECT greatest({DEFAULT_K}, CAST(ceil(count(*) / {_KM_TARGET}.0) "
+    "AS BIGINT)) FROM embeddings)"
+)
+
 ORACLES["q66_semantic_dedup"] = (
-    _kmeans_ctes()
+    _kmeans_ctes(k=_AUTO_K_SQL)
     + f""",
 members AS (
     SELECT cid, vec_id, q FROM (

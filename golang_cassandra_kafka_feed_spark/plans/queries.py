@@ -1367,13 +1367,18 @@ def q66(spark, sf_dir):
     quantized-cosine pairs within each cluster above threshold
     (operators/clustering.py::semantic_dedup_pairs).  The scale path for
     embedding dedup — intra-cluster enumeration with a width cap instead
-    of q35's all-pairs join."""
+    of q35's all-pairs join.  k is corpus-scaled (auto_k ~ n/250, floor
+    DEFAULT_K): identical to fixed k=8 at the driver's gate SFs (n <=
+    2000) while keeping pair enumeration linear at 10x+ corpora instead
+    of plateauing at the width-cap quadratic (PERFORMANCE.md round 3);
+    the oracle derives the same k with a count subquery."""
     from golang_cassandra_kafka_feed_spark.operators.clustering import (
+        auto_k,
         semantic_dedup_pairs,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb)
+    return semantic_dedup_pairs(emb, k=auto_k(emb))
 
 
 def q67(spark, sf_dir):
