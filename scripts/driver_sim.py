@@ -1,0 +1,88 @@
+"""Driver simulation per .claude/skills/verify: vanilla session, smoke
+entry(), then full oracle hash-compare at sf0.01."""
+import hashlib
+import sys
+from collections import Counter
+from datetime import date, datetime
+
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.driver.memory", "8g")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry: {len(rows)} rows, schema={[f.name for f in df.schema]}")
+assert len(rows) >= 0
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+qs, osql = e.queries(), e.oracle_sql()
+failures = []
+for name in sorted(qs):
+    if name not in osql:
+        print(f"{name}: rows-only (no oracle)")
+        continue
+    try:
+        sdf = qs[name](spark, SF)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = con.sql(osql[name])
+        ocols = rel.columns
+        orows = rel.fetchall()
+        problems = []
+        if set(scols) != set(ocols):
+            problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if not problems and digest(scols, srows) != digest(ocols, orows):
+            problems.append("hash mismatch")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"{name}: FAIL {problems}")
+        else:
+            print(f"{name}: ok ({len(srows)} rows)")
+    except Exception as ex:
+        failures.append((name, str(ex).split(chr(10))[0][:200]))
+        print(f"{name}: ERROR {str(ex).splitlines()[0][:200]}")
+
+print()
+if failures:
+    print(f"FAILURES: {len(failures)}")
+    for n, p in failures:
+        print(" ", n, "-", p)
+    sys.exit(1)
+print("FAILURES: none")
+spark.stop()
