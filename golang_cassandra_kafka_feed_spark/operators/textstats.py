@@ -438,3 +438,65 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def bigram_typicality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LM-free perplexity proxy: how typical each doc's word bigrams are
+    of the corpus.  Returns (id, n_bigrams, mean_bigram_count) where
+    mean_bigram_count averages, over the doc's bigrams, the GLOBAL corpus
+    occurrence count of that bigram — garbled or out-of-domain text
+    scores low, boilerplate scores high.  The classic quality-filter
+    signal without a language model: all arithmetic is exact integer
+    counts (sum of longs is order-independent), so the score — unlike a
+    log-prob — is bit-identical cross-engine, keeping it inside the
+    oracle contract (no transcendental log; same reasoning as the BM25
+    rational idf in tfidf_top_terms).
+
+    100 TB posture: one explode + one count shuffle on the bigram key +
+    one join back (the count table is corpus-vocabulary-sized; Spark
+    picks broadcast vs shuffle by stats) + one rollup on the doc id.
+    """
+    toks = tokens(text_col)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    lambda x, i: F.concat_ws(
+                        " ", x, F.element_at(toks, i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__g"),
+    )
+    counts = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__cnt"))
+    per_doc = (
+        grams.join(counts, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__cnt").alias("__total"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (
+                F.round(
+                    F.coalesce("__total", F.lit(0))
+                    / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1))
+                    * 100
+                )
+                / 100
+            ).alias("mean_bigram_count"),
+        )
+    )

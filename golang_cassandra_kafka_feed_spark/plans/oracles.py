@@ -1347,3 +1347,26 @@ ORACLES["q69_temperature_mixture"] = f"""
               AS BIGINT) / 4294967296.0 < r.rate
     ORDER BY d.doc_id
 """
+
+ORACLES["q70_bigram_typicality"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    counts AS (SELECT bg, count(*) AS cnt FROM g GROUP BY bg),
+    per_doc AS (
+        SELECT g.doc_id, count(*) AS n_bigrams, sum(cnt) AS total
+        FROM g JOIN counts USING (bg) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           ROUND(coalesce(total, 0)
+                 / greatest(coalesce(n_bigrams, 0), 1) * 100) / 100
+               AS mean_bigram_count
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    ORDER BY d.doc_id
+"""

@@ -1427,6 +1427,18 @@ def q69(spark, sf_dir):
     )
 
 
+def q70(spark, sf_dir):
+    """Bigram typicality — LM-free perplexity proxy: per doc, the mean
+    global corpus count of its word bigrams (exact integer arithmetic,
+    no transcendental log; operators/textstats.py::bigram_typicality)."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        bigram_typicality,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_typicality(d).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1500,6 +1512,7 @@ QUERIES = {
     "q67_doc_chunking": q67,
     "q68_vocab_coverage": q68,
     "q69_temperature_mixture": q69,
+    "q70_bigram_typicality": q70,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

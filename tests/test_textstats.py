@@ -181,3 +181,25 @@ def test_vocab_coverage_known_answer(spark):
     assert (out[2].n_tokens, out[2].n_oov) == (4, 2)
     assert (out[3].n_tokens, out[3].n_oov, out[3].oov_rate) == (0, 0, 0.0)
     assert out[2].oov_rate == 0.5
+
+
+def test_bigram_typicality_known_answer(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        bigram_typicality,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),       # bigrams: "the cat", "cat sat"
+            (2, "the cat ran"),       # bigrams: "the cat", "cat ran"
+            (3, "zz qq"),             # bigram: "zz qq" (unique)
+            (4, "single"),            # no bigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_typicality(df).collect()}
+    # "the cat" occurs twice globally; "cat sat"/"cat ran" once each
+    assert out[1].n_bigrams == 2 and out[1].mean_bigram_count == 1.5
+    assert out[2].n_bigrams == 2 and out[2].mean_bigram_count == 1.5
+    assert out[3].n_bigrams == 1 and out[3].mean_bigram_count == 1.0
+    assert out[4].n_bigrams == 0 and out[4].mean_bigram_count == 0.0
