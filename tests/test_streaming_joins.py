@@ -88,3 +88,46 @@ def test_bad_lookback_rejected(spark):
     with pytest.raises(ValueError):
         _as_interval("soon")
     assert _as_interval(" 30  minutes ") == "30 minutes"
+
+
+def test_late_follow_edges_within_watermark_join_later_posts(spark, tmp_path):
+    """Two-batch run (maxFilesPerTrigger=1): a follow edge that ARRIVES
+    late (second micro-batch) but whose event time is within the post's
+    lookback window still joins posts from the first batch held in
+    state — the stream-stream state actually buffers across batches."""
+    pdir, fdir = str(tmp_path / "posts"), str(tmp_path / "follows")
+    posts = [("p1", "alice", "hi", _mins(0))]
+    spark.createDataFrame(posts, POST_SCHEMA).write.parquet(pdir)
+    # batch 1: one unrelated edge so the first trigger has follow input
+    spark.createDataFrame(
+        [("frank", "zoe", _mins(-5))], FOLLOW_SCHEMA
+    ).coalesce(1).write.parquet(fdir)
+    # batch 2 (arrives later, event time still in window): bob->alice
+    late = spark.createDataFrame(
+        [("bob", "alice", _mins(-5))], FOLLOW_SCHEMA
+    )
+    late.coalesce(1).write.mode("append").parquet(fdir)
+
+    ps = spark.readStream.schema(POST_SCHEMA).parquet(pdir)
+    fs = (
+        spark.readStream.schema(FOLLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fdir)
+    )
+    from golang_cassandra_kafka_feed_spark.streaming import (
+        fanout_stream_stream,
+    )
+
+    out = fanout_stream_stream(ps, fs, lookback="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_late_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ss_late_out").collect()
+    finally:
+        q.stop()
+    assert sorted(r.user_id for r in rows) == ["bob"]
