@@ -1370,3 +1370,46 @@ ORACLES["q70_bigram_typicality"] = f"""
     FROM documents d LEFT JOIN per_doc USING (doc_id)
     ORDER BY d.doc_id
 """
+
+# q71: duplicate groups = connected components of the q47 pair graph.
+# The recursive CTE computes full reachability (id -> every label in its
+# component); min(lab) per id is the component min — the same unique
+# fixpoint the Spark label-propagation loop converges to.
+ORACLES["q71_dup_components"] = f"""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(
+                                  list_slice(toks, i, i + 2), ' '))
+                 END) AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON r.id = s.u
+    ),
+    comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+    sizes AS (SELECT comp, count(*) AS group_size FROM comp GROUP BY comp)
+    SELECT c.id AS doc_id, c.comp, c.id = c.comp AS is_survivor,
+           s.group_size
+    FROM comp c JOIN sizes s USING (comp)
+    ORDER BY doc_id
+"""

@@ -1439,6 +1439,31 @@ def q70(spark, sf_dir):
     return bigram_typicality(d).orderBy("doc_id")
 
 
+def q71(spark, sf_dir):
+    """Duplicate GROUPS from near-dup pairs: connected components of the
+    q47 3-gram-Jaccard pair graph, labeling every doc with the min id
+    reachable through the graph (the canonical survivor) plus group size
+    (operators/graph.py).  The fixpoint — not the iteration schedule —
+    is the contract, so the Spark label-propagation loop and the DuckDB
+    recursive-CTE closure hash-match."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        duplicate_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return (
+        duplicate_groups(pairs)
+        .select(
+            F.col("id").alias("doc_id"), "comp", "is_survivor", "group_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1513,6 +1538,7 @@ QUERIES = {
     "q68_vocab_coverage": q68,
     "q69_temperature_mixture": q69,
     "q70_bigram_typicality": q70,
+    "q71_dup_components": q71,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -1,0 +1,46 @@
+"""Connected-components / duplicate-groups unit tests
+(operators/graph.py) on hand-built topologies."""
+
+from __future__ import annotations
+
+from golang_cassandra_kafka_feed_spark.operators.graph import (
+    connected_components,
+    duplicate_groups,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_chain_collapses_to_one_component(spark):
+    """1-2, 2-3, 3-4: transitivity the pair-drop policy misses — all
+    four nodes must share component 1."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r.id: r.comp for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_and_survivors(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)])
+    rows = {r.id: r for r in duplicate_groups(e).collect()}
+    assert {i: rows[i].comp for i in rows} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20,
+    }
+    assert {i for i in rows if rows[i].is_survivor} == {1, 10, 20}
+    assert rows[2].group_size == 3 and rows[11].group_size == 2
+
+
+def test_long_path_converges_past_naive_rounds(spark):
+    """A 12-node path needs ~diameter rounds of propagation — the
+    fixpoint loop must keep iterating until converged, not stop after
+    a fixed small number."""
+    n = 12
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    got = {r.id: r.comp for r in connected_components(e).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_empty_edges_yield_empty_components(spark):
+    e = _edges(spark, []).filter("id_a IS NOT NULL")
+    assert connected_components(e).count() == 0
