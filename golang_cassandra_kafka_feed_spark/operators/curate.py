@@ -61,10 +61,12 @@ def curate_corpus(
     — chunking after split so all chunks of a doc land in the same
     split (no train/val leakage from shared overlap tokens).
 
-    Near-dup survivor rule: for every near-duplicate pair the LOWER id
-    survives — deterministic and transitive-safe (dropping every id that
-    appears as the greater side removes one element of every remaining
-    pair; re-running the detector on the output finds no pair).
+    Near-dup survivor rule: duplicate GROUPS (connected components of
+    the pair graph, operators/graph.py) keep exactly their min-id member
+    — deterministic, transitive-safe (re-running the detector on the
+    output finds no pair), and minimal (a chain a~b~c keeps a, dropping
+    b and c; the old drop-greater-of-each-pair policy also dropped one
+    of a pair's docs even when it was another pair's survivor).
     """
     d = docs.withColumn("n_tokens", token_count(text_col)).withColumn(
         "__alpha", alpha_ratio(text_col)
@@ -95,7 +97,21 @@ def curate_corpus(
     pairs = minhash_near_duplicates(
         d, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # Component-based survivors (operators/graph.py): label every doc in
+    # the pair graph with its component's min id and keep only the
+    # survivors.  Dropping "the greater id of each pair" is safe (no
+    # remaining pair) but over-drops on chains a~b~c (b AND c go); the
+    # component policy keeps exactly one doc per duplicate group — the
+    # minimal transitive-safe drop set.
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        duplicate_groups,
+    )
+
+    losers = (
+        duplicate_groups(pairs, "id_a", "id_b")
+        .filter(~F.col("is_survivor"))
+        .select(F.col("id").alias(id_col))
+    )
     d = d.join(losers, id_col, "left_anti")
 
     if max_per_source is not None:
