@@ -40,10 +40,17 @@ def connected_components(
     (change-count action per round); ``max_iters`` is a runaway bound,
     not a semantic knob — raise it for graphs with huge diameters.
     """
+    # Checkpoint the edge list BEFORE symmetrizing: the union references
+    # `edges` twice, and an expensive upstream pair pipeline (LSH,
+    # jaccard) would otherwise execute once per branch (the
+    # exchange-reuse aliasing trap, again).
+    edges_ck = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges_ck.union(edges_ck.select(F.col("v"), F.col("u")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("id")).distinct()
