@@ -500,3 +500,49 @@ def bigram_typicality(
             ).alias("mean_bigram_count"),
         )
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    size_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Log2-bucketed size histogram per group — the corpus length-
+    distribution profile (what a curation run reads before choosing
+    min/max length cutoffs).
+
+    Bucket = floor(log2(max(size, 1))), computed EXACTLY as
+    ``length(bin(n)) - 1`` (binary digit count): no transcendental log,
+    so boundary values (1024 -> bucket 10, not 9.9999...) bucket
+    identically in every engine.  Returns (group, bucket, lo, hi,
+    n_docs, share) with share = docs in bucket / docs in group, cents
+    idiom.
+
+    100 TB posture: one map-side-combined groupBy on (group, bucket) —
+    output is groups x ~40 rows no matter the corpus size — plus a tiny
+    window for the per-group share.
+    """
+    from pyspark.sql import Window
+
+    b = (
+        F.length(F.bin(F.greatest(F.col(size_col), F.lit(1)))) - 1
+    ).cast("long")
+    hist = (
+        df.groupBy(F.col(group_col), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy(group_col)
+    return hist.select(
+        group_col,
+        "bucket",
+        F.expr("CAST(shiftleft(1, CAST(bucket AS INT)) AS BIGINT)").alias(
+            "lo"
+        ),
+        F.expr(
+            "CAST(shiftleft(1, CAST(bucket AS INT) + 1) - 1 AS BIGINT)"
+        ).alias("hi"),
+        "n_docs",
+        (
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w) * 100) / 100
+        ).alias("share"),
+    )

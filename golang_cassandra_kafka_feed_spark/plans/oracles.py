@@ -1413,3 +1413,22 @@ ORACLES["q71_dup_components"] = f"""
     FROM comp c JOIN sizes s USING (comp)
     ORDER BY doc_id
 """
+
+ORACLES["q72_length_histogram"] = """
+    WITH h AS (
+        SELECT source,
+               CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT)
+                   AS bucket,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY source, CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT)
+    )
+    SELECT source, bucket,
+           CAST(1 << CAST(bucket AS INTEGER) AS BIGINT) AS lo,
+           CAST((1 << (CAST(bucket AS INTEGER) + 1)) - 1 AS BIGINT) AS hi,
+           n_docs,
+           ROUND(n_docs / (SUM(n_docs) OVER (PARTITION BY source)) * 100)
+               / 100 AS share
+    FROM h
+    ORDER BY source, bucket
+"""

@@ -1464,6 +1464,19 @@ def q71(spark, sf_dir):
     )
 
 
+def q72(spark, sf_dir):
+    """Per-source log2-bucketed length histogram — the corpus
+    length-distribution profile (textstats.py::length_histogram).
+    Bucketing is exact binary-digit-count arithmetic, no transcendental
+    log, so boundary sizes bucket identically cross-engine."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        length_histogram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return length_histogram(d).orderBy("source", "bucket")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1539,6 +1552,7 @@ QUERIES = {
     "q69_temperature_mixture": q69,
     "q70_bigram_typicality": q70,
     "q71_dup_components": q71,
+    "q72_length_histogram": q72,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
