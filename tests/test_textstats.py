@@ -203,3 +203,37 @@ def test_bigram_typicality_known_answer(spark):
     assert out[2].n_bigrams == 2 and out[2].mean_bigram_count == 1.5
     assert out[3].n_bigrams == 1 and out[3].mean_bigram_count == 1.0
     assert out[4].n_bigrams == 0 and out[4].mean_bigram_count == 0.0
+
+
+def test_chunking_composes_with_sequence_packing(spark, sf_dir):
+    """The doc→sample→batch pipeline: chunk_documents feeds
+    sequence_pack, and every bin respects the token budget (except the
+    mandatory single-oversize-chunk bins, which cannot exist here since
+    chunk_size < budget)."""
+    from pyspark.sql import functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        sequence_pack,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    chunks = chunk_documents(docs, chunk_size=64, overlap=16)
+    packed = sequence_pack(
+        chunks.withColumn("__shard", F.pmod(F.col("doc_id"), F.lit(4))),
+        ["__shard"],
+        [F.asc("doc_id"), F.asc("chunk_idx")],
+        "n_chunk_tokens",
+        budget=256,
+    )
+    sizes = (
+        packed.groupBy("__shard", "bin_id")
+        .agg(F.sum("n_chunk_tokens").alias("total"))
+        .collect()
+    )
+    assert len(sizes) > 1
+    # greedy cumsum packing: a bin may exceed the budget only by the
+    # final chunk that crossed it, i.e. total < budget + chunk_size
+    assert all(r.total < 256 + 64 for r in sizes)
