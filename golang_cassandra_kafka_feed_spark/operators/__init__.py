@@ -35,6 +35,14 @@ from golang_cassandra_kafka_feed_spark.operators.sketches import (
     approx_percentiles,
     bloom_semi_filter,
 )
+from golang_cassandra_kafka_feed_spark.operators.dedup import line_dedup
+from golang_cassandra_kafka_feed_spark.operators.selection import (
+    dsir_importance,
+    weighted_bottomk,
+)
+from golang_cassandra_kafka_feed_spark.operators.textstats import (
+    typicality_buckets,
+)
 
 __all__ = [
     "top_k_global",
@@ -62,4 +70,8 @@ __all__ = [
     "approx_distinct",
     "approx_percentiles",
     "bloom_semi_filter",
+    "line_dedup",
+    "dsir_importance",
+    "weighted_bottomk",
+    "typicality_buckets",
 ]

@@ -633,3 +633,87 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    keep: str = "none",
+    min_count: int = 2,
+) -> DataFrame:
+    """Line-level (paragraph-level) exact dedup across the corpus —
+    the CCNet / RefinedWeb curation step that exact document dedup
+    cannot do: boilerplate lines (nav chrome, license headers, cookie
+    banners) repeat across otherwise-distinct pages, and removing the
+    *line* everywhere both dedups and strips boilerplate.
+
+    Every document is split on ``line_sep`` (a Java regex); a line's
+    identity is the md5 of its trimmed text.  A line is "duplicated"
+    when its identity occurs >= ``min_count`` times corpus-wide.
+
+    keep='none' (CCNet 2020 §3.1: duplicated paragraphs are removed
+    wherever they occur) drops every copy of a duplicated line;
+    keep='first' (RefinedWeb-style) retains the single canonical copy
+    with the smallest (id, line_idx).
+
+    Returns one row per input document: (id, n_lines, n_kept, text_kept)
+    with text_kept the surviving lines re-joined in original order.
+    When ``line_sep`` is a non-trivial regex the rejoin uses the pattern
+    string literally — pass texts pre-normalized to a literal separator
+    if byte-exact reconstruction matters.
+
+    100 TB posture: posexplode is narrow (lines stay in the doc's
+    partition); ONE shuffle on the line hash computes both the global
+    count and (for keep='first') the canonical rank in a single window
+    pass; ONE shuffle regroups survivors by document.  Hot lines (the
+    empty line, "Home", …) make wide hash partitions but the window
+    computes only count/row_number — no pair enumeration, so there is
+    no quadratic mega-bucket hazard to cap (contrast
+    minhash_lsh_candidates).
+    """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    join_sep = "\n" if line_sep == "\n" else line_sep
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "line_idx", "line"
+        ),
+    ).withColumn("__h", F.md5(F.trim(F.col("line"))))
+    w = Window.partitionBy("__h")
+    counted = lines.withColumn("__cnt", F.count(F.lit(1)).over(w))
+    if keep == "first":
+        wr = Window.partitionBy("__h").orderBy(id_col, "line_idx")
+        counted = counted.withColumn("__rn", F.row_number().over(wr))
+        kept = counted.filter(
+            (F.col("__cnt") < min_count) | (F.col("__rn") == 1)
+        )
+    else:
+        kept = counted.filter(F.col("__cnt") < min_count)
+    survivors = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_idx", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            join_sep,
+        ).alias("text_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        (F.size(F.split(F.col(text_col), line_sep))).alias("n_lines"),
+    )
+    return (
+        totals.join(survivors, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )

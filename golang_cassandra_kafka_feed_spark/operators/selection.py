@@ -1,0 +1,252 @@
+"""Model-free data selection for pretraining corpora.
+
+Two public-literature selection operators the reference has no analog for
+(extension surface mandated by BASELINE.json, same family as
+operators/sampling.py):
+
+- ``dsir_importance`` — DSIR-style importance weights (Xie et al. 2023,
+  "Data Selection for Language Models via Importance Resampling"):
+  score every raw document by how much more likely its hashed-bigram
+  features are under a *target* subcorpus' feature distribution than
+  under the raw corpus' distribution.  High-scoring raw documents "look
+  like" the target domain and are kept / upsampled.
+- ``weighted_bottomk`` — deterministic weighted bottom-k sampling
+  (Cohen & Kaplan 2007 bottom-k sketches): rank = hash-fraction / weight;
+  the k smallest ranks form a weighted sample that is mergeable
+  (bottom-k of a union = bottom-k of the parts' bottom-ks) and stable
+  under repartitioning and append.
+
+Everything is JVM-side expression work (md5 hashing, higher-order
+functions) — no Python UDFs — and every declared output obeys the
+cross-engine determinism rules (exact integer counts, correctly-rounded
+int/int double divisions, sorted sequential folds for double sums; see
+plans/queries.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.sampling import (
+    hash_fraction,
+)
+from golang_cassandra_kafka_feed_spark.operators.textstats import (
+    bigram_array,
+)
+
+# Feature-hash buckets for DSIR.  The paper uses 10k buckets over
+# unigram+bigram features; 256 keeps the bucket-count table trivially
+# broadcastable while leaving collisions rare at testdata vocabulary
+# size.  The DuckDB oracle interpolates this same constant.
+DSIR_N_BUCKETS = 256
+DSIR_SALT = "dsir"
+
+
+def _bucket(gram: Column, n_buckets: int, salt: str) -> Column:
+    """Feature bucket = first-8-hex-digits-of-md5 mod n_buckets — the
+    repo-wide portable hash idiom (identical in DuckDB as
+    CAST(('0x' || substring(md5(...), 1, 8)) AS BIGINT) % n)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(gram, F.lit(":" + salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    return h % n_buckets
+
+
+def dsir_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_N_BUCKETS,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """(id, bucket) — one row per word-bigram instance, hashed into
+    ``n_buckets`` feature buckets.  The q70/q73 shared tokenizer feeds
+    the bigram stream (textstats.bigram_array)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(bigram_array(text_col)).alias("__bg"),
+    ).select(
+        id_col, _bucket(F.col("__bg"), n_buckets, salt).alias("bucket")
+    )
+
+
+def dsir_bucket_ratios(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_N_BUCKETS,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """Per-bucket likelihood ratio table (bucket, t_cnt, r_cnt, ratio).
+
+    ratio_b = p_b / q_b with add-one smoothing:
+        p_b = (t_b + 1) / (T + B)   (target feature distribution)
+        q_b = (r_b + 1) / (R + B)   (raw corpus feature distribution)
+
+    Cross-engine determinism: t_b/r_b/T/R are exact integer counts and
+    each division is a correctly-rounded double of exact inputs, applied
+    in a pinned order (p, then q, then p/q) that the DuckDB twin spells
+    identically — no transcendental log anywhere (the true DSIR
+    log-weight is the non-declared ``score='log_sum'`` path of
+    dsir_importance).
+
+    100 TB posture: ONE pass over the corpus (explode + map-side-combined
+    groupBy on the bucket key — at most ``n_buckets`` rows after partial
+    aggregation per task), plus a single-row total.  The output is
+    n_buckets rows: always broadcastable.
+    """
+    insts = df.select(
+        target.alias("__target"),
+        F.explode(bigram_array(text_col)).alias("__bg"),
+    ).select(
+        "__target", _bucket(F.col("__bg"), n_buckets, salt).alias("bucket")
+    )
+    counts = insts.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.count_if(F.col("__target")).alias("t_cnt"),
+    )
+    totals = counts.select(
+        F.sum("r_cnt").alias("__r_tot"), F.sum("t_cnt").alias("__t_tot")
+    )
+    b = F.lit(n_buckets).cast("double")
+    p = (F.col("t_cnt") + 1).cast("double") / (
+        F.col("__t_tot").cast("double") + b
+    )
+    q = (F.col("r_cnt") + 1).cast("double") / (
+        F.col("__r_tot").cast("double") + b
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("bucket", "t_cnt", "r_cnt", (p / q).alias("ratio"))
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_N_BUCKETS,
+    salt: str = DSIR_SALT,
+    score: str = "mean_ratio",
+) -> DataFrame:
+    """DSIR importance score per document: (id, n_grams, n_boost, score).
+
+    ``score='mean_ratio'`` (declared, oracle-checked): the arithmetic
+    mean over the doc's bigram instances of the bucket likelihood ratio
+    — a monotone "looks like the target" signal kept inside the exact
+    cross-engine arithmetic contract.  The per-doc double sum folds over
+    the ratio multiset in ascending sorted order (array_sort +
+    aggregate = DuckDB list_sort + list_reduce), so even summation
+    order is pinned.  ``n_boost`` counts instances with ratio > 1
+    (features more target-typical than raw-typical) — pure integers.
+
+    ``score='log_sum'`` (interactive utility, NOT oracle-declared): the
+    paper's actual log importance weight sum(log ratio_b) — floats
+    through libm log, so it stays outside the declared surface, same
+    split as HLL vs the declared KMV sketch (operators/sketches.py).
+
+    100 TB posture: the corpus is scanned twice (once for bucket counts,
+    once for scoring) and NEVER shuffled on the doc side: the ratio
+    table collapses to a single broadcast map row (map_from_entries),
+    and per-doc scoring is a zero-shuffle array fold inside the doc's
+    own partition — no explode-regroup of bigram instances.  At 10%
+    target fraction the paper keeps top-k by score; compose with
+    weighted_bottomk or top_k_global for the resample step.
+    """
+    if score not in ("mean_ratio", "log_sum"):
+        raise ValueError(
+            f"score must be 'mean_ratio' or 'log_sum', got {score!r}"
+        )
+    ratios = dsir_bucket_ratios(
+        df, target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, salt=salt,
+    )
+    ratio_map = ratios.select(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "ratio"))
+            )
+        ).alias("__rmap")
+    )
+    grams = bigram_array(text_col)
+    doc_ratios = F.array_sort(
+        F.transform(
+            grams,
+            lambda g: F.element_at(
+                F.col("__rmap"), _bucket(g, n_buckets, salt)
+            ),
+        )
+    )
+    folded = (
+        F.aggregate(
+            F.transform("__ratios", lambda r: F.log(r)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if score == "log_sum"
+        else F.aggregate(
+            F.col("__ratios"), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    n = F.size("__ratios")
+    final = (
+        F.round(folded / F.greatest(n, F.lit(1)).cast("double") * 10000)
+        / 10000
+        if score == "mean_ratio"
+        else folded
+    )
+    return (
+        df.crossJoin(F.broadcast(ratio_map))
+        .withColumn("__ratios", doc_ratios)
+        .select(
+            F.col(id_col),
+            n.alias("n_grams"),
+            F.size(
+                F.filter(F.col("__ratios"), lambda r: r > 1.0)
+            ).alias("n_boost"),
+            final.alias("dsir_score"),
+        )
+    )
+
+
+def weighted_bottomk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted bottom-k sample: priority = u / w with
+    u = the md5 hash-fraction of the id (operators/sampling.py) and
+    w = the row's weight (must be > 0); keep the k smallest priorities.
+
+    This is the bottom-k sketch of Cohen & Kaplan 2007 with rank
+    function u/w (sequential Poisson / priority sampling family):
+    inclusion probability grows with weight, the sample of a union is
+    computable from per-part samples (mergeable), and — because u is a
+    pure hash, not an RNG — the sample is reproducible under
+    repartitioning, retries, and incremental append, the same contract
+    as hash_split.
+
+    Determinism: u is (8 hex md5 digits)/2^32 (exact int / power of
+    two) and u/w is one correctly-rounded double division — bit-identical
+    cross-engine; ties broken by id.
+
+    100 TB posture: no shuffle of the corpus — ORDER BY priority LIMIT k
+    plans as TakeOrderedAndProject (per-partition k-heaps, then a
+    driver-side merge of num_partitions * k rows).  Mergeability is the
+    distributed story: per-shard bottom-k unions re-reduce to global
+    bottom-k.
+    """
+    pri = hash_fraction(F.col(id_col), salt) / F.col(weight_col).cast(
+        "double"
+    )
+    return (
+        df.withColumn(priority_col, pri)
+        .orderBy(priority_col, id_col)
+        .limit(k)
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic marker sets: a tiny, fixed per-language stopword inventory.
@@ -440,6 +440,21 @@ def vocab_coverage(
     )
 
 
+def bigram_array(col: str | Column) -> Column:
+    """Word-bigram array ("tok_i tok_i+1") of the Q29 tokenizer's output;
+    empty array for texts with fewer than two tokens.  Shared by
+    bigram_typicality (q70) and the DSIR feature hasher
+    (operators/selection.py) so both score the identical feature stream."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bigram_typicality(
     df: DataFrame,
     text_col: str = "text",
@@ -460,20 +475,9 @@ def bigram_typicality(
     one join back (the count table is corpus-vocabulary-sized; Spark
     picks broadcast vs shuffle by stats) + one rollup on the doc id.
     """
-    toks = tokens(text_col)
     grams = df.select(
         F.col(id_col),
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    lambda x, i: F.concat_ws(
-                        " ", x, F.element_at(toks, i + 2)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("__g"),
+        F.explode(bigram_array(text_col)).alias("__g"),
     )
     counts = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__cnt"))
     per_doc = (
@@ -498,6 +502,53 @@ def bigram_typicality(
                 )
                 / 100
             ).alias("mean_bigram_count"),
+        )
+    )
+
+
+TYPICALITY_BUCKETS = ("head", "middle", "tail")
+
+
+def typicality_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style quality bucketing: within each language, rank documents
+    by bigram typicality (the LM-free perplexity proxy of q70 —
+    bigram_typicality) and split them into equal thirds: ``head`` (most
+    typical ≈ lowest perplexity), ``middle``, ``tail``.  CCNet (Wenzek et
+    al. 2020) buckets Common Crawl by per-language LM perplexity exactly
+    this way and trains on head/middle; the proxy keeps the mechanism —
+    per-group ranked tertiles — inside the exact-arithmetic oracle
+    contract (no language model, no transcendental log).
+
+    Determinism: the rank order is (score DESC, id ASC); the score is the
+    q70 rounded mean (bit-identical cross-engine), so NTILE boundaries
+    match DuckDB's exactly.
+
+    100 TB posture: typicality costs one bigram-count shuffle + one doc
+    rollup (see bigram_typicality); the bucketing itself is one window
+    shuffle on the language key.  Per-language NTILE sorts within the
+    language partition — at corpus scale swap the exact tertile for
+    percentile thresholds (percent_rank is the same plan shape) if a
+    single language dominates; boundaries drift only at ties.
+    """
+    scores = bigram_typicality(df, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("mean_bigram_count"), F.col(id_col)
+    )
+    labels = F.array(*[F.lit(b) for b in TYPICALITY_BUCKETS])
+    return (
+        df.select(id_col, group_col)
+        .join(scores, id_col)
+        .withColumn("__t", F.ntile(len(TYPICALITY_BUCKETS)).over(w))
+        .select(
+            id_col,
+            group_col,
+            "mean_bigram_count",
+            F.element_at(labels, F.col("__t")).alias("bucket"),
         )
     )
 

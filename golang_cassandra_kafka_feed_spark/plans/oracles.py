@@ -1432,3 +1432,147 @@ ORACLES["q72_length_histogram"] = """
     FROM h
     ORDER BY source, bucket
 """
+
+# q73: DSIR importance — full mechanism twin: same md5 feature hash,
+# same add-one-smoothed ratio arithmetic in the same operation order
+# (p, then q, then p/q), same ascending-sorted sequential fold per doc.
+from golang_cassandra_kafka_feed_spark.operators.selection import (  # noqa: E402
+    DSIR_N_BUCKETS as _DSIR_B,
+    DSIR_SALT as _DSIR_SALT,
+)
+
+ORACLES["q73_dsir_weights"] = f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               {_h32(f"bg || ':{_DSIR_SALT}'")} % {_DSIR_B} AS bucket
+        FROM g
+    ),
+    counts AS (
+        SELECT bucket, count(*) AS r_cnt,
+               count(*) FILTER (WHERE lang = 'en') AS t_cnt
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM counts),
+    ratio AS (
+        SELECT bucket,
+               (CAST(t_cnt + 1 AS DOUBLE)
+                / (CAST(t_tot AS DOUBLE) + {_DSIR_B}.0))
+               / (CAST(r_cnt + 1 AS DOUBLE)
+                  / (CAST(r_tot AS DOUBLE) + {_DSIR_B}.0)) AS ratio
+        FROM counts, tot
+    ),
+    per_doc AS (
+        SELECT b.doc_id, count(*) AS n_grams,
+               len(list_filter(list(ratio), r -> r > 1.0)) AS n_boost,
+               list_reduce(list_sort(list(ratio)), (a, x) -> a + x) AS s
+        FROM b JOIN ratio USING (bucket) GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_boost, 0) AS n_boost,
+           ROUND(coalesce(s, 0.0)
+                 / greatest(coalesce(n_grams, 0), 1) * 10000) / 10000
+               AS dsir_score
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+# q74: CCNet tertile buckets over the q70 typicality score.  The score
+# entering the window is the ROUNDED cents value (bit-identical cross-
+# engine, q70), so NTILE boundaries cannot drift; ties break on doc_id.
+ORACLES["q74_typicality_buckets"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    counts AS (SELECT bg, count(*) AS cnt FROM g GROUP BY bg),
+    per_doc AS (
+        SELECT g.doc_id, count(*) AS n_bigrams, sum(cnt) AS total
+        FROM g JOIN counts USING (bg) GROUP BY g.doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               coalesce(n_bigrams, 0) AS n_bigrams,
+               ROUND(coalesce(total, 0)
+                     / greatest(coalesce(n_bigrams, 0), 1) * 100) / 100
+                   AS mean_bigram_count
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, lang, mean_bigram_count,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY mean_bigram_count DESC, doc_id)
+                   AS nt
+        FROM scored
+    )
+    SELECT doc_id, lang, mean_bigram_count,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM ranked
+    ORDER BY doc_id
+"""
+
+# q75: CCNet line-level dedup, keep='none': a line (md5 of trimmed text)
+# occurring >= 2 times corpus-wide is dropped everywhere; the rebuilt
+# text joins survivors in original line order.
+ORACLES["q75_line_dedup"] = """
+    WITH t AS (
+        SELECT doc_id, str_split(text, chr(10)) AS ls FROM documents
+    ),
+    e AS (
+        SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM t
+    ),
+    l AS (
+        SELECT doc_id, i - 1 AS line_idx, ls[i] AS line,
+               md5(trim(ls[i])) AS h
+        FROM e
+    ),
+    c AS (
+        SELECT *, count(*) OVER (PARTITION BY h) AS cnt FROM l
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY line_idx) AS text_kept
+        FROM c WHERE cnt < 2 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(str_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           coalesce(n_kept, 0) AS n_kept,
+           CAST(coalesce(length(text_kept), 0) AS INTEGER)
+               AS n_chars_kept,
+           md5(coalesce(text_kept, '')) AS kept_fp
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+# q76: weighted bottom-k sample — priority = (md5 fraction) / weight,
+# both single correctly-rounded double operations on exact inputs; the
+# LIMIT boundary is decided on the unrounded double in both engines.
+from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
+    WEIGHTED_SAMPLE_K as _WS_K,
+)
+
+ORACLES["q76_weighted_sample"] = f"""
+    SELECT doc_id, n_chars AS weight,
+           ROUND(pri * 1000000) / 1000000 AS priority
+    FROM (
+        SELECT doc_id, n_chars,
+               ({_h32("CAST(doc_id AS VARCHAR) || ':wsample'")}
+                / 4294967296.0) / CAST(n_chars AS DOUBLE) AS pri
+        FROM documents
+    )
+    ORDER BY pri, doc_id
+    LIMIT {_WS_K}
+"""

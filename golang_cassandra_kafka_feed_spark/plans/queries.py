@@ -1477,6 +1477,86 @@ def q72(spark, sf_dir):
     return length_histogram(d).orderBy("source", "bucket")
 
 
+def q73(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023;
+    operators/selection.py::dsir_importance): hashed-bigram likelihood
+    ratios of the lang='en' target subcorpus vs the full raw corpus,
+    folded per doc in sorted order (exact-arithmetic mean-ratio form;
+    the paper's log-sum is the non-declared utility path)."""
+    from golang_cassandra_kafka_feed_spark.operators.selection import (
+        dsir_importance,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, F.col("lang") == "en").orderBy("doc_id")
+
+
+def q74(spark, sf_dir):
+    """CCNet-style head/middle/tail quality buckets per language
+    (textstats.py::typicality_buckets): per-lang NTILE(3) over the q70
+    bigram-typicality score, most-typical first — the CCNet perplexity
+    bucketing with the LM-free proxy."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        typicality_buckets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return typicality_buckets(d).orderBy("doc_id")
+
+
+def q75(spark, sf_dir):
+    """Line-level exact dedup, CCNet keep='none' policy
+    (operators/dedup.py::line_dedup): every copy of a corpus-duplicated
+    line is dropped; per-doc survival stats + md5 of the rebuilt text.
+    On this newline-free corpus each doc is one line, so exact-dup
+    groups lose all copies — the multi-line mechanics (boilerplate
+    stripping, keep='first', order-preserving rebuild) are pinned by
+    test_dedup.py."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        line_dedup(d)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            F.length("text_kept").alias("n_chars_kept"),
+            F.md5("text_kept").alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def q76(spark, sf_dir):
+    """Deterministic weighted bottom-k sample (Cohen-Kaplan bottom-k,
+    operators/selection.py::weighted_bottomk): priority = md5-fraction /
+    n_chars, k=50 smallest — longer docs proportionally likelier; plans
+    as TakeOrderedAndProject, and the sample is mergeable + stable
+    under repartition/append."""
+    from golang_cassandra_kafka_feed_spark.operators.selection import (
+        weighted_bottomk,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        weighted_bottomk(d, "n_chars", WEIGHTED_SAMPLE_K)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            (F.round(F.col("priority") * 1000000) / 1000000).alias(
+                "priority"
+            ),
+        )
+        .orderBy("priority", "doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1553,6 +1633,10 @@ QUERIES = {
     "q70_bigram_typicality": q70,
     "q71_dup_components": q71,
     "q72_length_histogram": q72,
+    "q73_dsir_weights": q73,
+    "q74_typicality_buckets": q74,
+    "q75_line_dedup": q75,
+    "q76_weighted_sample": q76,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

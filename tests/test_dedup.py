@@ -197,3 +197,95 @@ def test_cap_keeps_smallest_ids_and_default_changes_nothing(corpus):
         ).collect()
     }
     assert base == huge
+
+
+# ---------------------------------------------------------------------------
+# line_dedup — CCNet/RefinedWeb line-level dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lined(spark):
+    """Three pages sharing a boilerplate header/footer, one unique page,
+    and an exact-duplicate pair."""
+    rows = [
+        (1, "COOKIE BANNER\npage one body text\nfooter fine print"),
+        (2, "COOKIE BANNER\npage two body text\nfooter fine print"),
+        (3, "COOKIE BANNER\npage three body text\nfooter fine print"),
+        (4, "a fully unique page\nwith only unique lines"),
+        (5, "twin page body"),
+        (6, "twin page body"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_strips_boilerplate_everywhere(lined):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import line_dedup
+
+    out = {r["doc_id"]: r for r in line_dedup(lined).collect()}
+    # CCNet keep='none': every copy of the banner and footer is gone.
+    for d in (1, 2, 3):
+        assert out[d]["n_lines"] == 3
+        assert out[d]["n_kept"] == 1
+        assert "body text" in out[d]["text_kept"]
+        assert "COOKIE" not in out[d]["text_kept"]
+        assert "footer" not in out[d]["text_kept"]
+    # Unique lines untouched, original order and separator preserved.
+    assert out[4]["text_kept"] == "a fully unique page\nwith only unique lines"
+    # Exact-duplicate docs lose their only line entirely.
+    assert out[5]["n_kept"] == 0 and out[5]["text_kept"] == ""
+    assert out[6]["n_kept"] == 0
+
+
+def test_line_dedup_keep_first_retains_canonical_copy(lined):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import line_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(lined, keep="first").collect()
+    }
+    # The smallest (doc_id, line_idx) copy survives: doc 1 keeps all 3
+    # lines, docs 2-3 keep only their unique body.
+    assert out[1]["n_kept"] == 3
+    assert out[1]["text_kept"].startswith("COOKIE BANNER\n")
+    assert out[2]["n_kept"] == 1 and out[3]["n_kept"] == 1
+    assert out[5]["n_kept"] == 1 and out[6]["n_kept"] == 0
+
+
+def test_line_dedup_trims_before_hashing(spark):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "  padded line  \nunique a"), (2, "padded line\nunique b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # Whitespace-variant copies collapse to one identity and both drop.
+    assert out[1]["n_kept"] == 1 and "unique a" in out[1]["text_kept"]
+    assert out[2]["n_kept"] == 1 and "unique b" in out[2]["text_kept"]
+
+
+def test_line_dedup_min_count_threshold(lined):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import line_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(lined, min_count=4).collect()
+    }
+    # Banner/footer occur 3x < 4: everything survives.
+    assert all(out[d]["n_kept"] == out[d]["n_lines"] for d in out)
+
+
+def test_line_dedup_rejects_bad_keep(lined):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import line_dedup
+
+    with pytest.raises(ValueError, match="keep"):
+        line_dedup(lined, keep="last")
+
+
+def test_line_dedup_stable_under_repartition(lined):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import line_dedup
+
+    a = sorted(map(tuple, line_dedup(lined).collect()))
+    b = sorted(map(tuple, line_dedup(lined.repartition(5)).collect()))
+    assert a == b

@@ -222,3 +222,22 @@ def test_semantic_dedup_runs_lloyd_chain_once(spark, sf_dir):
     the old pair self-join duplicated the whole chain (6)."""
     plan = _plan(spark, sf_dir, "q66_semantic_dedup")
     assert plan.count("BroadcastNestedLoopJoin") == 3
+
+
+def test_dsir_scoring_never_shuffles_the_doc_side(spark, sf_dir):
+    """q73: the bucket-ratio table collapses to ONE broadcast map row
+    (crossJoin(broadcast) -> BroadcastNestedLoopJoin); per-doc scoring is
+    an in-partition array fold.  A SortMergeJoin would mean the corpus is
+    being shuffled against its own feature stream — the explode-regroup
+    anti-pattern the operator exists to avoid."""
+    plan = _plan(spark, sf_dir, "q73_dsir_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """q76: ORDER BY priority LIMIT k must plan as TakeOrderedAndProject
+    (per-partition k-heaps) — a global Sort would be the non-mergeable,
+    non-scalable shape."""
+    plan = _plan(spark, sf_dir, "q76_weighted_sample")
+    assert "TakeOrderedAndProject" in plan

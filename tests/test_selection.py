@@ -1,0 +1,146 @@
+"""operators/selection.py — DSIR importance weights and weighted
+bottom-k sampling.  Oracle parity for the declared q73/q76 runs in
+test_queries_oracle.py; these tests pin the operator semantics on
+hand-built corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.selection import (
+    dsir_bucket_ratios,
+    dsir_importance,
+    weighted_bottomk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # Target docs (is_target=True) speak "spark shuffle" language;
+    # raw-only docs speak "goat cheese" language; doc 5 is a raw doc
+    # written in target language, doc 6 a raw doc in off-domain language.
+    rows = [
+        (1, "spark shuffle spark shuffle spark shuffle", True),
+        (2, "spark shuffle partition spark shuffle partition", True),
+        (3, "goat cheese goat cheese goat cheese", False),
+        (4, "goat cheese wheel goat cheese wheel", False),
+        (5, "spark shuffle spark shuffle partition", False),
+        (6, "goat cheese goat cheese wheel", False),
+        (7, "", False),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+
+
+def test_dsir_scores_target_like_docs_higher(corpus):
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(corpus, F.col("is_target")).collect()
+    }
+    # Doc 5 (target-language raw doc) must outscore doc 6 (off-domain).
+    assert out[5]["dsir_score"] > out[6]["dsir_score"]
+    # Every target-language doc outscores every off-domain doc.  (With
+    # add-one smoothing over 256 buckets and a toy corpus the absolute
+    # scale sits below 1; the *ordering* is the contract.)
+    lo = max(out[d]["dsir_score"] for d in (3, 4, 6))
+    hi = min(out[d]["dsir_score"] for d in (1, 2, 5))
+    assert hi > lo
+    assert out[6]["n_boost"] == 0 <= out[5]["n_boost"]
+    # Empty doc: zero features, neutral score.
+    assert out[7]["n_grams"] == 0 and out[7]["dsir_score"] == 0.0
+
+
+def test_dsir_log_sum_agrees_in_direction(corpus):
+    log_out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance(
+            corpus, F.col("is_target"), score="log_sum"
+        ).collect()
+    }
+    assert log_out[5] > log_out[6]
+    assert log_out[1] > log_out[3]
+
+
+def test_dsir_rejects_unknown_score(corpus):
+    with pytest.raises(ValueError, match="mean_ratio"):
+        dsir_importance(corpus, F.col("is_target"), score="geometric")
+
+
+def test_dsir_bucket_ratio_table_is_smoothed_and_complete(corpus):
+    ratios = dsir_bucket_ratios(corpus, F.col("is_target")).collect()
+    # Only buckets with instances appear; all ratios positive/finite.
+    assert all(r["ratio"] > 0 for r in ratios)
+    assert all(r["r_cnt"] >= r["t_cnt"] for r in ratios)
+    n_grams_total = sum(r["r_cnt"] for r in ratios)
+    # 6 non-empty docs with n_tokens-1 bigrams each.
+    assert n_grams_total == (5 + 5 + 5 + 5 + 4 + 4)
+
+
+def test_dsir_stable_under_repartition(corpus):
+    a = sorted(
+        dsir_importance(corpus, F.col("is_target")).collect()
+    )
+    b = sorted(
+        dsir_importance(
+            corpus.repartition(7), F.col("is_target")
+        ).collect()
+    )
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    return spark.createDataFrame(
+        [(i, 1 + (i % 10)) for i in range(200)], "doc_id long, w long"
+    )
+
+
+def test_bottomk_is_deterministic_and_sized(weighted):
+    s1 = weighted_bottomk(weighted, "w", 20).collect()
+    s2 = weighted_bottomk(weighted.repartition(11), "w", 20).collect()
+    assert len(s1) == 20
+    assert sorted(r["doc_id"] for r in s1) == sorted(
+        r["doc_id"] for r in s2
+    )
+
+
+def test_bottomk_is_mergeable(weighted):
+    """bottom-k of the union == bottom-k of the parts' bottom-ks."""
+    left = weighted.filter(F.col("doc_id") < 100)
+    right = weighted.filter(F.col("doc_id") >= 100)
+    whole = {
+        r["doc_id"] for r in weighted_bottomk(weighted, "w", 15).collect()
+    }
+    merged_parts = weighted_bottomk(left, "w", 15).unionByName(
+        weighted_bottomk(right, "w", 15)
+    )
+    remerged = {
+        r["doc_id"]
+        for r in merged_parts.orderBy("priority", "doc_id")
+        .limit(15)
+        .collect()
+    }
+    assert whole == remerged
+
+
+def test_bottomk_prefers_heavier_rows(spark):
+    """With weights 1 vs 1000 on the same hash stream, heavy rows must
+    dominate the sample."""
+    df = spark.createDataFrame(
+        [(i, 1000 if i % 2 == 0 else 1) for i in range(1000)],
+        "doc_id long, w long",
+    )
+    sample = weighted_bottomk(df, "w", 100).collect()
+    heavy = sum(1 for r in sample if r["w"] == 1000)
+    assert heavy > 90
+
+
+def test_bottomk_salt_draws_independent_sample(weighted):
+    a = {r["doc_id"] for r in weighted_bottomk(weighted, "w", 20).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_bottomk(
+            weighted, "w", 20, salt="other"
+        ).collect()
+    }
+    assert a != b

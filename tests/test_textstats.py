@@ -237,3 +237,49 @@ def test_chunking_composes_with_sequence_packing(spark, sf_dir):
     # greedy cumsum packing: a bin may exceed the budget only by the
     # final chunk that crossed it, i.e. total < budget + chunk_size
     assert all(r.total < 256 + 64 for r in sizes)
+
+
+# ---------------------------------------------------------------------------
+# typicality_buckets — CCNet-style head/middle/tail
+# ---------------------------------------------------------------------------
+
+
+def test_typicality_buckets_rank_repeated_text_as_head(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        typicality_buckets,
+    )
+
+    # Six docs, one language: three share the same bigrams (typical),
+    # three are pairwise-disjoint word salads (atypical).
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "the quick brown fox sleeps", "en"),
+        (3, "the quick brown fox eats", "en"),
+        (4, "zebra xylophone quartz vortex", "en"),
+        (5, "glacier nimbus oboe parsec", "en"),
+        (6, "marmot keel dirge fathom", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in typicality_buckets(df).collect()}
+    assert {out[d]["bucket"] for d in (1, 2, 3)} == {"head", "middle"}
+    assert {out[d]["bucket"] for d in (4, 5, 6)} <= {"middle", "tail"}
+    # Tertiles are balanced: 2 docs per bucket.
+    from collections import Counter
+
+    c = Counter(r["bucket"] for r in out.values())
+    assert c == {"head": 2, "middle": 2, "tail": 2}
+
+
+def test_typicality_buckets_partition_by_language(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        typicality_buckets,
+    )
+
+    rows = [(i, "shared common phrase here", "en") for i in range(3)] + [
+        (10 + i, "frase comun compartida aqui", "es") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = typicality_buckets(df).collect()
+    for lang in ("en", "es"):
+        labels = sorted(r["bucket"] for r in out if r["lang"] == lang)
+        assert labels == ["head", "middle", "tail"]
