@@ -1,7 +1,8 @@
 """Differential fuzzing of the relational surface: random queries from a
 bounded grammar over the Q01-Q24 operator set (filter/project, aggregate,
 join, distinct, order-limit, window top-k, IN-subquery, union, correlated
-EXISTS/NOT EXISTS, scalar-subquery comparison, ROLLUP), executed
+EXISTS/NOT EXISTS, scalar-subquery comparison, ROLLUP, window analytics
+(LAG/LEAD, frame aggregates, the rank family), INTERSECT/EXCEPT), executed
 as the SAME SQL text on Spark and DuckDB over the same in-memory tables.
 
 The 73 declared queries prove fixed points of the semantics; this suite
@@ -112,7 +113,7 @@ _AGGS = [
 
 
 def _gen_query(rng: random.Random) -> str:
-    kind = rng.randrange(11)
+    kind = rng.randrange(15)
     if kind == 0:  # filter + project
         return f"SELECT {_scalar_exprs(rng)} FROM f1 WHERE {_pred(rng)}"
     if kind == 1:  # aggregate
@@ -194,6 +195,60 @@ def _gen_query(rng: random.Random) -> str:
             f"SELECT id, k, v FROM f1 WHERE v > ("
             f"SELECT {agg} FROM f2 WHERE w {rng.choice(['>', '<='])} "
             f"{rng.randrange(100)}) AND ({_pred(rng)})"
+        )
+    if kind == 11:  # window analytic: LAG/LEAD over a total order
+        fn = rng.choice(
+            ["LAG(v)", "LEAD(v)", "LAG(v, 2)", "LAG(v, 1, 0)", "LEAD(s)"]
+        )
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.5 else ""
+        return (
+            f"SELECT id, k, v, {fn} OVER (PARTITION BY k "
+            "ORDER BY v ASC NULLS FIRST, id) AS w_val "
+            f"FROM f1{where}"
+        )
+    if kind == 12:  # window frame aggregate (decimal sum: exact under
+        # any accumulation order; frame pinned by the (v, id) total order)
+        frame = rng.choice(
+            [
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+            ]
+        )
+        agg = rng.choice(
+            [
+                "CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)",
+                "MIN(v) OVER w",
+                "MAX(v) OVER w",
+                "COUNT(v) OVER w",
+            ]
+        )
+        return (
+            f"SELECT id, k, v, {agg} AS w_agg FROM f1 "
+            "WINDOW w AS (PARTITION BY k "
+            f"ORDER BY v ASC NULLS FIRST, id {frame})"
+        )
+    if kind == 13:  # rank family: ties are deterministic for rank/
+        # dense_rank/percent_rank (equal inputs get equal output); ntile
+        # needs the id tiebreak to pin assignment within ties
+        fn = rng.choice(
+            [
+                "rank() OVER (PARTITION BY c ORDER BY v ASC NULLS FIRST)",
+                "dense_rank() OVER (PARTITION BY c "
+                "ORDER BY v DESC NULLS LAST)",
+                "percent_rank() OVER (PARTITION BY c "
+                "ORDER BY v ASC NULLS FIRST)",
+                f"ntile({rng.randrange(2, 6)}) OVER (PARTITION BY c "
+                "ORDER BY v ASC NULLS FIRST, id)",
+            ]
+        )
+        return f"SELECT id, c, v, {fn} AS w_rank FROM f1"
+    if kind == 14:  # set ops (distinct semantics on both engines)
+        op = rng.choice(["INTERSECT", "EXCEPT"])
+        cols = rng.choice(["k", "c", "k, c"])
+        return (
+            f"SELECT {cols} FROM f1 WHERE {_pred(rng)} "
+            f"{op} SELECT {cols} FROM f1 WHERE {_pred(rng)}"
         )
     # ROLLUP: super-aggregate NULL group rows — where engines most often
     # disagree on NULL-key grouping vs rollup-total rows.  FUZZER FINDING
