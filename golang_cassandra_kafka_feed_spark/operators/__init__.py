@@ -38,6 +38,7 @@ from golang_cassandra_kafka_feed_spark.operators.sketches import (
 from golang_cassandra_kafka_feed_spark.operators.dedup import line_dedup
 from golang_cassandra_kafka_feed_spark.operators.selection import (
     dsir_importance,
+    dsir_resample,
     weighted_bottomk,
 )
 from golang_cassandra_kafka_feed_spark.operators.textstats import (
@@ -72,6 +73,7 @@ __all__ = [
     "bloom_semi_filter",
     "line_dedup",
     "dsir_importance",
+    "dsir_resample",
     "weighted_bottomk",
     "typicality_buckets",
 ]

@@ -307,7 +307,11 @@ def minhash_lsh_candidates(
       its smallest ids BEFORE the bucket list is collected — see
       ``MAX_BUCKET_WIDTH`` / ``_cap_bucket_width``.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"bands ({bands}) — each band hashes num_hashes/bands rows"
+        )
     r = num_hashes // bands
     mh = _minhash_per_seed(df, text_col, id_col, num_hashes, shingle_size, hasher)
     grouped = mh.groupBy(

@@ -212,6 +212,39 @@ def dsir_importance(
     )
 
 
+def dsir_resample(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_N_BUCKETS,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """The full DSIR pipeline: importance-weight every raw document
+    against the target subcorpus (dsir_importance), then draw k docs
+    with probability proportional to weight via the deterministic
+    weighted bottom-k sampler — the paper's importance-resampling step
+    (it uses Gumbel top-k; bottom-k with rank u/w is the same
+    weight-proportional family, hash-seeded so the sample is
+    reproducible and mergeable).
+
+    Zero-weight guard: docs with no features score 0 and are excluded
+    before sampling (u/0 would be +inf, i.e. never sampled — the filter
+    just makes that explicit).
+
+    100 TB posture: two corpus scans (ratio build + scoring, neither
+    shuffles the doc side — see dsir_importance) and a
+    TakeOrderedAndProject for the draw."""
+    scored = dsir_importance(
+        df, target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, salt=salt,
+    ).filter(F.col("dsir_score") > 0)
+    return weighted_bottomk(
+        scored, "dsir_score", k, id_col=id_col, salt=salt + ":resample"
+    )
+
+
 def weighted_bottomk(
     df: DataFrame,
     weight_col: str,
