@@ -33,6 +33,8 @@ from golang_cassandra_kafka_feed_spark.operators.sampling import (
 )
 from golang_cassandra_kafka_feed_spark.operators.textstats import (
     bigram_array,
+    bigram_array_from_tokens,
+    tokens,
 )
 
 # Feature-hash buckets for DSIR.  The paper uses 10k buckets over
@@ -43,10 +45,19 @@ DSIR_N_BUCKETS = 256
 DSIR_SALT = "dsir"
 
 
-def _bucket(gram: Column, n_buckets: int, salt: str) -> Column:
-    """Feature bucket = first-8-hex-digits-of-md5 mod n_buckets — the
-    repo-wide portable hash idiom (identical in DuckDB as
-    CAST(('0x' || substring(md5(...), 1, 8)) AS BIGINT) % n)."""
+def _bucket(
+    gram: Column, n_buckets: int, salt: str, hasher: str = "md5"
+) -> Column:
+    """Feature bucket.  hasher='md5': first-8-hex-digits-of-md5 mod
+    n_buckets — the repo-wide portable idiom (identical in DuckDB as
+    CAST(('0x' || substring(md5(...), 1, 8)) AS BIGINT) % n), used by
+    the declared q73.  hasher='xxhash': xxhash64, the fast JVM-only
+    path for interactive corpus work (same split as minhash_signatures'
+    hasher parameter)."""
+    if hasher == "xxhash":
+        return F.pmod(F.xxhash64(gram, F.lit(salt)), F.lit(n_buckets))
+    if hasher != "md5":
+        raise ValueError(f"hasher must be 'md5' or 'xxhash', got {hasher!r}")
     h = F.conv(
         F.substring(F.md5(F.concat(gram, F.lit(":" + salt))), 1, 8), 16, 10
     ).cast("bigint")
@@ -59,6 +70,7 @@ def dsir_features(
     id_col: str = "doc_id",
     n_buckets: int = DSIR_N_BUCKETS,
     salt: str = DSIR_SALT,
+    hasher: str = "md5",
 ) -> DataFrame:
     """(id, bucket) — one row per word-bigram instance, hashed into
     ``n_buckets`` feature buckets.  The q70/q73 shared tokenizer feeds
@@ -67,7 +79,8 @@ def dsir_features(
         F.col(id_col),
         F.explode(bigram_array(text_col)).alias("__bg"),
     ).select(
-        id_col, _bucket(F.col("__bg"), n_buckets, salt).alias("bucket")
+        id_col,
+        _bucket(F.col("__bg"), n_buckets, salt, hasher).alias("bucket"),
     )
 
 
@@ -78,6 +91,7 @@ def dsir_bucket_ratios(
     id_col: str = "doc_id",
     n_buckets: int = DSIR_N_BUCKETS,
     salt: str = DSIR_SALT,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Per-bucket likelihood ratio table (bucket, t_cnt, r_cnt, ratio).
 
@@ -101,7 +115,8 @@ def dsir_bucket_ratios(
         target.alias("__target"),
         F.explode(bigram_array(text_col)).alias("__bg"),
     ).select(
-        "__target", _bucket(F.col("__bg"), n_buckets, salt).alias("bucket")
+        "__target",
+        _bucket(F.col("__bg"), n_buckets, salt, hasher).alias("bucket"),
     )
     counts = insts.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("r_cnt"),
@@ -131,6 +146,7 @@ def dsir_importance(
     n_buckets: int = DSIR_N_BUCKETS,
     salt: str = DSIR_SALT,
     score: str = "mean_ratio",
+    hasher: str = "md5",
 ) -> DataFrame:
     """DSIR importance score per document: (id, n_grams, n_boost, score).
 
@@ -162,7 +178,7 @@ def dsir_importance(
         )
     ratios = dsir_bucket_ratios(
         df, target, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, salt=salt,
+        n_buckets=n_buckets, salt=salt, hasher=hasher,
     )
     ratio_map = ratios.select(
         F.map_from_entries(
@@ -171,12 +187,11 @@ def dsir_importance(
             )
         ).alias("__rmap")
     )
-    grams = bigram_array(text_col)
     doc_ratios = F.array_sort(
         F.transform(
-            grams,
+            F.col("__grams"),
             lambda g: F.element_at(
-                F.col("__rmap"), _bucket(g, n_buckets, salt)
+                F.col("__rmap"), _bucket(g, n_buckets, salt, hasher)
             ),
         )
     )
@@ -200,6 +215,14 @@ def dsir_importance(
     )
     return (
         df.crossJoin(F.broadcast(ratio_map))
+        # staged projections: __toks is referenced four times building
+        # __grams and __ratios three times downstream — staging stops
+        # CollapseProject from re-inlining the tokenization / hashing
+        # work (same discipline as winnowing_fingerprints).
+        .withColumn("__toks", tokens(text_col))
+        .withColumn(
+            "__grams", bigram_array_from_tokens(F.col("__toks"))
+        )
         .withColumn("__ratios", doc_ratios)
         .select(
             F.col(id_col),

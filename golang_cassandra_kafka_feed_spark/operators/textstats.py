@@ -440,19 +440,34 @@ def vocab_coverage(
     )
 
 
+def bigram_array_from_tokens(toks: Column) -> Column:
+    """Word-bigram array from an already-tokenized array column.
+
+    Built as zip_with over two shifted slices — NOT transform with an
+    element_at(toks, i+2) inner lambda: higher-order functions run
+    interpreted (no codegen, no common-subexpression elimination), so a
+    lambda body that references the token array re-derives it PER
+    ELEMENT — O(n^2) per document when the tokens come from a
+    split+filter expression (the same interpreted-HOF trap as the
+    round-2 marker-count finding).  zip_with evaluates each array
+    argument once per row."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bigram_array(col: str | Column) -> Column:
     """Word-bigram array ("tok_i tok_i+1") of the Q29 tokenizer's output;
     empty array for texts with fewer than two tokens.  Shared by
     bigram_typicality (q70) and the DSIR feature hasher
     (operators/selection.py) so both score the identical feature stream."""
-    toks = tokens(col)
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.slice(toks, 1, F.size(toks) - 1),
-            lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return bigram_array_from_tokens(tokens(col))
 
 
 def bigram_typicality(

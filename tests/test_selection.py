@@ -174,3 +174,31 @@ def test_dsir_resample_draws_target_like_docs(spark):
     assert len(sample) == 30
     target_like = sum(1 for r in sample if r["doc_id"] < 50)
     assert target_like >= 25
+
+
+def test_dsir_xxhash_fast_path_preserves_ordering(corpus):
+    """hasher='xxhash' (JVM fast path, not oracle-declared) must agree
+    with the md5 path on the doc ordering contract."""
+    from golang_cassandra_kafka_feed_spark.operators.selection import (
+        dsir_importance,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            corpus, F.col("is_target"), hasher="xxhash"
+        ).collect()
+    }
+    assert out[5]["dsir_score"] > out[6]["dsir_score"]
+    assert out[7]["n_grams"] == 0
+
+
+def test_dsir_rejects_unknown_hasher(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.selection import (
+        dsir_importance,
+    )
+
+    with pytest.raises(ValueError, match="hasher"):
+        dsir_importance(
+            corpus, F.col("is_target"), hasher="sha99"
+        ).collect()
