@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.operators.dedup import (
@@ -50,9 +50,26 @@ def curate_corpus(
     ),
     chunk_size: int | None = None,
     chunk_overlap: int = 16,
+    line_dedup_min_count: int | None = None,
+    dsir_target: Column | None = None,
+    dsir_keep: int | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: input columns + ``lang`` (detected),
     ``n_tokens``, and ``split``.
+
+    With ``line_dedup_min_count`` set, a RefinedWeb/CCNet line-level
+    dedup runs FIRST (before the quality gates, as RefinedWeb orders
+    it): corpus-duplicated lines are stripped from every document, the
+    text column is replaced by the surviving lines, and documents left
+    empty are dropped — so boilerplate neither survives into training
+    nor props up a document's token count through the quality gate.
+
+    With ``dsir_target`` + ``dsir_keep`` set, a DSIR selection stage
+    runs after dedup (select from the deduplicated pool, per the
+    paper): documents are importance-weighted against the target
+    predicate and ``dsir_keep`` are drawn weight-proportionally
+    (operators/selection.py::dsir_resample), before the per-source cap
+    and split.
 
     With ``chunk_size`` set, a final doc→sample stage replaces each doc
     row by its overlapping token-window chunks (chunk_idx /
@@ -68,6 +85,25 @@ def curate_corpus(
     b and c; the old drop-greater-of-each-pair policy also dropped one
     of a pair's docs even when it was another pair's survivor).
     """
+    if dsir_keep is not None and dsir_target is None:
+        raise ValueError("dsir_keep requires dsir_target")
+    if line_dedup_min_count is not None:
+        from golang_cassandra_kafka_feed_spark.operators.dedup import (
+            line_dedup,
+        )
+
+        ld = line_dedup(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            min_count=line_dedup_min_count,
+        )
+        docs = docs.drop(text_col).join(
+            ld.filter(F.col("n_kept") > 0).select(
+                id_col, F.col("text_kept").alias(text_col)
+            ),
+            id_col,
+        )
     d = docs.withColumn("n_tokens", token_count(text_col)).withColumn(
         "__alpha", alpha_ratio(text_col)
     )
@@ -113,6 +149,16 @@ def curate_corpus(
         .select(F.col("id").alias(id_col))
     )
     d = d.join(losers, id_col, "left_anti")
+
+    if dsir_keep is not None:
+        from golang_cassandra_kafka_feed_spark.operators.selection import (
+            dsir_resample,
+        )
+
+        keep_ids = dsir_resample(
+            d, dsir_target, dsir_keep, text_col=text_col, id_col=id_col
+        ).select(id_col)
+        d = d.join(keep_ids, id_col, "left_semi")
 
     if max_per_source is not None:
         d = per_key_cap(

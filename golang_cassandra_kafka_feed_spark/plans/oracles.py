@@ -1576,3 +1576,11 @@ ORACLES["q76_weighted_sample"] = f"""
     ORDER BY pri, doc_id
     LIMIT {_WS_K}
 """
+
+# q77: shared-SQL — the oracle IS the Spark query string (tpch.py
+# pattern), so dialect drift is impossible by construction.
+from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
+    Q77_SQL as _Q77_SQL,
+)
+
+ORACLES["q77_lateral_topk"] = _Q77_SQL

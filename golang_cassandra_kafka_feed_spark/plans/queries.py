@@ -1557,6 +1557,37 @@ def q76(spark, sf_dir):
     )
 
 
+# Shared-SQL (the same string runs verbatim on Spark and DuckDB — the
+# tpch.py / q53 pattern): correlated LATERAL derived table with per-row
+# ORDER BY + LIMIT — the "top-k related rows per driving row" shape that
+# window functions express less directly when the inner query needs its
+# own complex body.  Spark plans the decorrelated form as a ranked
+# window join; DuckDB executes the lateral directly — same rows.
+Q77_SQL = """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n JOIN LATERAL (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) c ON true
+    ORDER BY n.n_name, c.c_custkey
+"""
+
+
+def q77(spark, sf_dir):
+    """Correlated LATERAL top-k per driving row (see Q77_SQL) — the
+    GetFeed-per-entity shape (reference feed.go:143-171) generalized to
+    an arbitrary correlated subquery body."""
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q77_SQL)
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1637,6 +1668,7 @@ QUERIES = {
     "q74_typicality_buckets": q74,
     "q75_line_dedup": q75,
     "q76_weighted_sample": q76,
+    "q77_lateral_topk": q77,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -68,3 +68,75 @@ def test_curate_with_chunking_stage(spark, sf_dir):
     assert all(len(s) == 1 for s in by_doc.values())
     # chunk size respected
     assert all(r.n_chunk_tokens <= 32 for r in rows)
+
+
+def test_curate_line_dedup_stage_strips_boilerplate_first(spark):
+    """RefinedWeb ordering: line dedup runs BEFORE the quality gates, so
+    boilerplate lines neither survive nor pad a doc past min_tokens."""
+    from golang_cassandra_kafka_feed_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    banner = "accept all cookies to continue reading this site"
+    rows = [
+        (1, banner + "\nthe first real article body with many fine words", "s1"),
+        (2, banner + "\nthe second real article body with many fine words", "s1"),
+        (3, banner + "\nthe third real article body with many fine words", "s2"),
+        # doc 4 is ONLY boilerplate: line dedup must empty and drop it
+        (4, banner, "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(
+        docs,
+        min_tokens=3,
+        near_dup_threshold=0.95,
+        line_dedup_min_count=2,
+    )
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert 4 not in kept
+    for d in (1, 2, 3):
+        assert d in kept
+        assert "cookies" not in kept[d]["text"]
+        assert "article body" in kept[d]["text"]
+
+
+def test_curate_dsir_stage_selects_target_like_docs(spark):
+    from golang_cassandra_kafka_feed_spark.operators.curate import (
+        curate_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    # letters-only per-doc tags: digit-bearing tags re-tokenize into the
+    # same word and the docs would collapse as near-dups before DSIR runs
+    rows = []
+    for i in range(20):
+        tag = chr(97 + i) * 3
+        rows.append((i, f"the quick brown fox {tag} jumps very high", "wiki"))
+    for i in range(20, 40):
+        tag = chr(97 + i - 20) * 4
+        rows.append((i, f"goat cheese wheel dairy {tag} farm pasture barn", "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(
+        docs,
+        min_tokens=3,
+        near_dup_threshold=0.99,
+        dsir_target=F.col("source") == "wiki",
+        dsir_keep=10,
+    )
+    kept = [r["doc_id"] for r in out.collect()]
+    assert len(kept) == 10
+    assert sum(1 for d in kept if d < 20) >= 8
+
+
+def test_curate_dsir_keep_requires_target(spark):
+    import pytest as _pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "s")], "doc_id long, text string, source string"
+    )
+    with _pytest.raises(ValueError, match="dsir_target"):
+        curate_corpus(docs, dsir_keep=5)
