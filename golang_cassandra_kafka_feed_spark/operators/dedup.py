@@ -405,6 +405,85 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_accuracy_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+) -> DataFrame:
+    """Sketch-accuracy audit of the MinHash mechanism itself: for every
+    LSH-candidate pair, the signature-agreement Jaccard ESTIMATE
+    (fraction of the k seeded minhashes that agree — E[est] = J, the
+    MinHash identity) next to the exact shingle-set Jaccard, plus the
+    absolute error.  This is the query a 100 TB deployment runs on a
+    sample before trusting `minhash_near_duplicates`' threshold on the
+    full corpus — the same audit shape as q48's KMV-vs-exact-distinct
+    (the reference's only accuracy loop is its bench polling,
+    e2e_bench.go:188-228; this is its sketch-era analog).
+
+    Uses the md5 hasher path so a DuckDB oracle reproduces estimate AND
+    exact bit-identically (est = m/k is an exact binary rational; exact
+    Jaccard is a small-integer ratio; their difference is one IEEE
+    subtraction of identical doubles).  No threshold filter: banding
+    false positives are exactly what the audit needs to surface.
+
+    Plan note: candidates and signatures both aggregate from the same
+    `_minhash_per_seed` subtree; its first exchange (the (id, seed)
+    partial-aggregate shuffle) is identical in both branches, so
+    Catalyst's ReuseExchange serves the scan + base-hash work once.
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_size,
+        "md5", max_bucket_width,
+    )
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, "md5"
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
+    )
+    joined = (
+        cands.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return joined.select(
+        "id_a",
+        "id_b",
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        (F.round(F.abs(est - exact) * 1000000) / 1000000).alias("abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

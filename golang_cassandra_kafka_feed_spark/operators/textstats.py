@@ -109,6 +109,46 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity profile with NO transcendental
+    functions: type-token ratio, hapax fraction, and Simpson diversity
+    ``1 - sum((cnt/n)^2)`` (the probability two random tokens differ —
+    the log-free stand-in for Shannon entropy, same reason
+    `bigram_typicality` avoids log: cross-engine log2 ulps drift, exact
+    integer ratios do not).  Low diversity = templated/repetitive text;
+    the Gopher-style quality-filter companion to `repetition_stats`.
+
+    Shape: explode tokens -> (doc, token) count -> per-doc aggregate.
+    Both aggregations are map-side-combinable; the token exchange is the
+    only shuffle and is keyed on (doc_id, tok) so hot vocabulary words
+    do not skew (unlike a token-global groupBy).  Docs with zero alpha
+    tokens drop out (explode of an empty array), mirrored by the
+    oracle's unnest.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("__sum_sq"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types") / F.col("n_tokens")).alias("ttr"),
+        (F.col("n_hapax") / F.col("n_types")).alias("hapax_ratio"),
+        (
+            F.lit(1.0)
+            - F.col("__sum_sq") / (F.col("n_tokens") * F.col("n_tokens"))
+        ).alias("simpson"),
+    )
+
+
 def lang_id(col: str | Column) -> Column:
     """Deterministic marker-count argmax with fixed tie-break order
     (en > de > fr > es > unknown); a real system would use a trained

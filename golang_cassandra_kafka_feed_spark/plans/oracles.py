@@ -1584,3 +1584,136 @@ from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
 )
 
 ORACLES["q77_lateral_topk"] = _Q77_SQL
+
+# q78: MinHash sketch-accuracy audit — the q37 mechanism twin (md5 base
+# hash + affine seeded family + 16x4 banding + bucket-width cap), but
+# keeping EVERY candidate pair (no threshold: banding false positives
+# are the audit's subject) and emitting the signature-agreement estimate
+# next to the exact shingle Jaccard.  est = m/64 is an exact binary
+# rational, exact Jaccard a small-integer ratio; abs diff is one IEEE
+# subtraction of identical doubles.  Literals derive from the same
+# constants as the Spark path (MINHASH_A/B/P, MAX_BUCKET_WIDTH).
+_Q78_K = 64
+_Q78_BANDS = 16
+_Q78_R = _Q78_K // _Q78_BANDS
+ORACLES["q78_minhash_accuracy"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sets AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(
+                                  list_slice(toks, i, i + 2), ' '))
+                 END) AS sh
+        FROM toks
+    ), shingles AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM sets
+    ), hv AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)
+                 % {MINHASH_P} AS hb
+        FROM shingles
+    ), hashed AS (
+        SELECT doc_id, s.seed AS seed,
+               min(({_MH_A}[s.seed + 1] * hb
+                    + {_MH_B}[s.seed + 1])
+                   % {MINHASH_P}) AS mh
+        FROM hv, range(0, {_Q78_K}) s(seed)
+        GROUP BY doc_id, s.seed
+    ), sig AS (
+        SELECT doc_id, list(mh ORDER BY seed) AS sig
+        FROM hashed GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, b.band AS band,
+               array_to_string(
+                   list_slice(sig, b.band * {_Q78_R} + 1,
+                              b.band * {_Q78_R} + {_Q78_R}),
+                   ',') AS bucket
+        FROM sig, range(0, {_Q78_BANDS}) b(band)
+    ), kept AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY band, bucket ORDER BY doc_id) AS brn
+            FROM banded
+        ) WHERE brn <= {MAX_BUCKET_WIDTH}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_j AS est_jaccard, exact_j AS exact_jaccard,
+           ROUND(abs(est_j - exact_j) * 1000000) / 1000000 AS abs_err
+    FROM (
+        SELECT id_a, id_b,
+               len(list_filter(range(1, {_Q78_K + 1}),
+                               i -> sa.sig[i] = sb.sig[i]))
+                 / {_Q78_K} AS est_j,
+               len(list_intersect(xa.sh, xb.sh))
+                 / (len(xa.sh) + len(xb.sh)
+                    - len(list_intersect(xa.sh, xb.sh))) AS exact_j
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        JOIN sets xa ON xa.doc_id = id_a
+        JOIN sets xb ON xb.doc_id = id_b
+    )
+    ORDER BY id_a, id_b
+"""
+
+# q79: lexical diversity — all exact integer-ratio arithmetic (the
+# log-free entropy stand-in; see textstats.token_diversity).  Sums are
+# cast back to BIGINT (DuckDB widens integer SUM to HUGEINT).
+ORACLES["q79_token_diversity"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), e AS (
+        SELECT doc_id, unnest(toks) AS tok FROM t
+    ), c AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM e GROUP BY doc_id, tok
+    ), a AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           n_types / n_tokens AS ttr,
+           n_hapax / n_types AS hapax_ratio,
+           1.0 - sum_sq / (n_tokens * n_tokens) AS simpson
+    FROM a ORDER BY doc_id
+"""
+
+# q80: per-source length z-score outliers — q58's exact-decimal power
+# sums drive mean/stddev, so the derived doubles, the IEEE z arithmetic,
+# and the |z| >= 2 boundary are bit-identical cross-engine.
+ORACLES["q80_length_zscore"] = """
+    WITH s AS (
+        SELECT source, count(*) AS n,
+               sum(CAST(n_chars AS DECIMAL(18,6))) AS s1,
+               sum(CAST(n_chars AS DECIMAL(18,6))
+                   * CAST(n_chars AS DECIMAL(18,6))) AS s2
+        FROM documents GROUP BY source
+    ), st AS (
+        SELECT source,
+               CAST(s1 AS DOUBLE) / n AS m,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                    / (n - 1)) AS sd
+        FROM s
+    )
+    SELECT source, doc_id, n_chars, z
+    FROM (
+        SELECT d.source AS source, doc_id, n_chars,
+               ROUND((n_chars - m) / sd * 1000000) / 1000000 AS z
+        FROM documents d JOIN st ON d.source = st.source
+    )
+    WHERE abs(z) >= 2
+    ORDER BY doc_id
+"""

@@ -1588,6 +1588,68 @@ def q77(spark, sf_dir):
     return spark.sql(Q77_SQL)
 
 
+def q78(spark, sf_dir):
+    """MinHash sketch-accuracy audit: signature-agreement Jaccard
+    estimate vs exact shingle Jaccard for every LSH-candidate pair, with
+    the absolute error (operators/dedup.py::minhash_accuracy_audit) —
+    the sample-first accuracy loop a deployment runs before trusting the
+    near-dup threshold at 100 TB.  The q48 audit shape applied to the
+    q37 mechanism; fully oracle-checked via the md5 affine family."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        minhash_accuracy_audit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_accuracy_audit(d).orderBy("id_a", "id_b")
+
+
+def q79(spark, sf_dir):
+    """Per-document lexical diversity: type-token ratio, hapax fraction,
+    Simpson diversity (operators/textstats.py::token_diversity).  The
+    log-free entropy stand-in — all exact integer-ratio arithmetic, so
+    the doubles are bit-identical cross-engine."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        token_diversity,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return token_diversity(d).orderBy("doc_id")
+
+
+def q80(spark, sf_dir):
+    """Per-source length outliers: z-score of n_chars against the
+    source's mean/stddev derived from exact decimal power sums (the q58
+    idiom — associative-exact partials, so the derived doubles and the
+    |z| >= 2 boundary are bit-identical cross-engine).  The
+    distribution-drift guard a corpus ingest runs per batch: a source
+    whose outlier fraction jumps is misparsing.
+
+    Scale shape: one map-side-combinable aggregate over documents, the
+    per-source stats broadcast back (tiny dim), no second shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(18,6)")
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / F.col("n")
+    var = (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+    stats = stats.select(
+        "source", mean.alias("__mean"), F.sqrt(var).alias("__std")
+    )
+    z = (F.col("n_chars") - F.col("__mean")) / F.col("__std")
+    return (
+        d.join(F.broadcast(stats), "source")
+        .withColumn("z", F.round(z * 1000000) / 1000000)
+        .filter(F.abs(F.col("z")) >= 2)
+        .select("source", "doc_id", "n_chars", "z")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1669,6 +1731,9 @@ QUERIES = {
     "q75_line_dedup": q75,
     "q76_weighted_sample": q76,
     "q77_lateral_topk": q77,
+    "q78_minhash_accuracy": q78,
+    "q79_token_diversity": q79,
+    "q80_length_zscore": q80,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -289,3 +289,23 @@ def test_line_dedup_stable_under_repartition(lined):
     a = sorted(map(tuple, line_dedup(lined).collect()))
     b = sorted(map(tuple, line_dedup(lined.repartition(5)).collect()))
     assert a == b
+
+
+def test_minhash_accuracy_audit_estimates_jaccard(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        minhash_accuracy_audit,
+    )
+
+    rows = minhash_accuracy_audit(corpus).collect()
+    assert rows, "audit found no candidate pairs on the planted corpus"
+    planted = {(i, i + 10_000) for i in range(20)}
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert len(got & planted) / len(planted) >= 0.9
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(abs(r.est_jaccard - r.exact_jaccard) - r.abs_err) < 1e-6
+    # E[est] = J: with k=64 hashes the mean absolute error over the
+    # (high-J) planted pairs must be well inside one std (1/sqrt(64)).
+    errs = [r.abs_err for r in rows if (r.id_a, r.id_b) in planted]
+    assert sum(errs) / len(errs) <= 0.125

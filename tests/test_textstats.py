@@ -283,3 +283,27 @@ def test_typicality_buckets_partition_by_language(spark):
     for lang in ("en", "es"):
         labels = sorted(r["bucket"] for r in out if r["lang"] == lang)
         assert labels == ["head", "middle", "tail"]
+
+
+def test_token_diversity_known_answer(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        token_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),      # counts a:2 b:2 c:1
+            (2, "x x x x"),        # single type, 4 tokens
+            (3, "!!! 123"),        # no alpha tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_diversity(df).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_types, r1.ttr) == (5, 3, 3 / 5)
+    assert r1.hapax_ratio == 1 / 3
+    assert r1.simpson == 1.0 - (4 + 4 + 1) / 25
+    r2 = out[2]
+    assert (r2.n_tokens, r2.n_types) == (4, 1)
+    assert r2.hapax_ratio == 0.0 and r2.simpson == 0.0
