@@ -430,39 +430,71 @@ def minhash_accuracy_audit(
     subtraction of identical doubles).  No threshold filter: banding
     false positives are exactly what the audit needs to surface.
 
-    Plan note: candidates and signatures both aggregate from the same
-    `_minhash_per_seed` subtree; its first exchange (the (id, seed)
-    partial-aggregate shuffle) is identical in both branches, so
-    Catalyst's ReuseExchange serves the scan + base-hash work once.
+    Plan note: the expensive signature pipeline (shingle regex + md5 +
+    k-fanout + two shuffles) runs ONCE.  Band buckets are sliced out of
+    the one aggregated `sig` array (past the aggregate boundary `sig`
+    is a physical attribute, so the per-band slice cannot re-inline the
+    pipeline — the CollapseProject hazard), and the signature rides
+    along through the bucket grouping so the pair enumeration emits
+    (sig_a, sig_b) directly — no sig self-join.  Composing
+    `minhash_lsh_candidates` + 2x `minhash_signatures` joins instead
+    runs the pipeline three times: separately-constructed (or
+    self-join-dealiased) subtrees carry distinct lambda-variable
+    expression ids, which defeats ReuseExchange's canonicalized-plan
+    match (the round-2 banded self-join finding; re-verified here — 0
+    ReusedExchange nodes in that shape).  Cost of the carry: the band
+    shuffle moves k longs per (doc, band) instead of the r-value bucket
+    string — linear, and cheaper than one extra pipeline pass.
     """
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_size,
-        "md5", max_bucket_width,
-    )
+    r = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, "md5"
+    )
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.array_join(
+            F.transform(
+                F.slice("sig", b * r + F.lit(1), r),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ),
+    )
+    banded = _cap_bucket_width(
+        sigs.select(
+            "id", "sig", F.posexplode(band_arr).alias("band", "bucket")
+        ),
+        ["band", "bucket"],
+        "id",
+        max_bucket_width,
+        None,
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(
+            F.first("a.sig").alias("sig_a"), F.first("b.sig").alias("sig_b")
+        )
     )
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
     )
-    joined = (
-        cands.join(
-            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
-            "id_a",
-        )
-        .join(
-            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-            "id_b",
-        )
-        .join(
-            sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
-        )
+    joined = pairs.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     est = (
         F.size(
