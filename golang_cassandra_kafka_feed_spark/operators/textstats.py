@@ -351,6 +351,111 @@ def tfidf_top_terms(
     )
 
 
+# BM25 constants (Robertson et al.): k1 saturates term frequency, b
+# scales the length normalization.  Exported so the DuckDB oracle embeds
+# the same literals.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    df: DataFrame,
+    queries_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Full-text top-k retrieval: BM25 score of every query in
+    ``queries_df`` (columns ``query_id``, ``query_text``) against the
+    corpus, top ``k`` docs per query — the lexical half of a retrieval
+    stack next to the embedding ANN family (similarity.py).
+
+    Scoring uses the rational idf of `tfidf_top_terms` ((2N-2df+1) /
+    (2df+1) — idf-order-preserving, no transcendental ln) and the
+    standard BM25 tf saturation/length normalization; the per-(query,
+    doc) sum over matched terms folds an ascending-sorted score array
+    (the DSIR idiom), so the double is independent of aggregation
+    arrival order and bit-identical cross-engine.
+
+    Scale shape: the query-term broadcast join sits in the SAME stage as
+    the token explode (scan-side filter), so only query-term occurrences
+    ever reach a shuffle, and the corpus tokenizes ONCE: tf and document
+    frequency come out of the same (id, t) aggregate — df as a count
+    window over the tiny post-shuffle table, NOT a second aggregation
+    from the explode subtree (Catalyst would recompute it: lambda
+    expression ids defeat ReuseExchange); doc length is a second narrow
+    scan (one codegen'd regexp_count, no explode, no shuffle); corpus
+    stats ride in as a broadcast 1-row aggregate (no driver
+    ``.count()``).  Final top-k is WindowGroupLimit.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.topk import (
+        top_k_per_key,
+    )
+
+    qterms = queries_df.select(
+        "query_id", F.explode(tokens("query_text")).alias("t")
+    ).distinct()
+    matched = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).join(F.broadcast(qterms), "t")
+    tfq = matched.groupBy("id", "t").agg(
+        F.count("*").alias("tf"),
+        F.collect_set("query_id").alias("qids"),
+    )
+    tf = tfq.withColumn(
+        "df_docs", F.count("*").over(Window.partitionBy("t"))
+    ).select(
+        F.explode("qids").alias("query_id"), "id", "t", "tf", "df_docs"
+    )
+    dl = df.select(
+        F.col(id_col).alias("id"), token_count(text_col).alias("dl")
+    )
+    stats = df.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("double").alias("tot_tokens"),
+    )
+    idf = (
+        F.lit(2.0) * F.col("n_docs")
+        - F.lit(2.0) * F.col("df_docs")
+        + F.lit(1.0)
+    ) / (F.lit(2.0) * F.col("df_docs") + F.lit(1.0))
+    num = F.col("tf") * F.lit(k1 + 1.0)
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / (F.col("tot_tokens") / F.col("n_docs"))
+    )
+    scored = (
+        tf.join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "id", (idf * (num / den)).alias("s")
+        )
+    )
+    agg = scored.groupBy("query_id", "id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score"),
+    )
+    top = top_k_per_key(
+        agg,
+        ["query_id"],
+        [F.col("score").desc(), F.col("id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return top.select(
+        "query_id",
+        F.col("id").alias(id_col),
+        "n_terms_matched",
+        (F.round(F.col("score") * 1000000) / 1000000).alias("score"),
+        "rank",
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

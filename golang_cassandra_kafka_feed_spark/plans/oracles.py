@@ -1717,3 +1717,75 @@ ORACLES["q80_length_zscore"] = """
     WHERE abs(z) >= 2
     ORDER BY doc_id
 """
+
+# q81: BM25 retrieval — rational idf (tfidf_top_terms form), standard
+# tf saturation + length normalization, per-(query, doc) score as an
+# ascending-sorted list_reduce fold (the DSIR idiom: independent of
+# aggregation arrival order).  Query set / k1 / b literals derive from
+# the same constants as the Spark path.
+from golang_cassandra_kafka_feed_spark.operators.textstats import (  # noqa: E402
+    BM25_B as _BM25_B,
+    BM25_K1 as _BM25_K1,
+)
+from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
+    Q81_QUERIES as _Q81_QUERIES,
+)
+
+_Q81_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _Q81_QUERIES)
+ORACLES["q81_bm25_search"] = f"""
+    WITH q(query_id, query_text) AS (VALUES {_Q81_VALUES}),
+    qt AS (
+        SELECT DISTINCT query_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(query_text), '[^a-z]+'),
+                   t -> length(t) > 0)) AS t
+        FROM q
+    ),
+    terms AS (
+        SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM terms GROUP BY doc_id, t
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(len({_TOKS})) AS DOUBLE) AS tot_tokens
+        FROM documents
+    ),
+    dfq AS (
+        SELECT t, count(*) AS df_docs FROM (
+            SELECT DISTINCT doc_id, t FROM terms
+            WHERE t IN (SELECT DISTINCT t FROM qt)
+        ) GROUP BY t
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               ((2.0 * n_docs - 2.0 * df_docs + 1.0)
+                / (2.0 * df_docs + 1.0))
+               * ((tf * {_BM25_K1 + 1.0})
+                  / (tf + {_BM25_K1} * ({1.0 - _BM25_B}
+                       + {_BM25_B} * dl / (tot_tokens / n_docs)))) AS s
+        FROM tf
+        JOIN qt USING (t)
+        JOIN dfq USING (t)
+        JOIN dl USING (doc_id),
+        stats
+    ),
+    agg AS (
+        SELECT query_id, doc_id, count(*) AS n_terms_matched,
+               list_reduce(list_sort(list(s)), (a, x) -> a + x) AS score
+        FROM scored GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM agg
+    )
+    SELECT query_id, doc_id, n_terms_matched,
+           ROUND(score * 1000000) / 1000000 AS score, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+"""

@@ -1650,6 +1650,32 @@ def q80(spark, sf_dir):
     )
 
 
+# q81's fixed query set — module-level so the DuckDB oracle embeds the
+# SAME literals (no drift between engine and twin).
+Q81_QUERIES = [
+    (1, "table scan filter"),
+    (2, "stream window agg"),
+    (3, "hash join merge"),
+]
+
+
+def q81(spark, sf_dir):
+    """BM25 full-text top-10 retrieval for a fixed 3-query set
+    (operators/textstats.py::bm25_search) — the lexical retrieval
+    companion to the embedding ANN queries (q30/q36/q39/q42).  Rational
+    idf + sorted-fold score sum keep the doubles bit-identical
+    cross-engine."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        bm25_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        Q81_QUERIES, "query_id int, query_text string"
+    )
+    return bm25_search(d, qdf, k=10).orderBy("query_id", "rank")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1734,6 +1760,7 @@ QUERIES = {
     "q78_minhash_accuracy": q78,
     "q79_token_diversity": q79,
     "q80_length_zscore": q80,
+    "q81_bm25_search": q81,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -307,3 +307,35 @@ def test_token_diversity_known_answer(spark):
     r2 = out[2]
     assert (r2.n_tokens, r2.n_types) == (4, 1)
     assert r2.hapax_ratio == 0.0 and r2.simpson == 0.0
+
+
+def test_bm25_search_ranks_by_relevance(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),          # all three query terms
+            (2, "apple banana banana plum"),     # two terms
+            (3, "apple plum plum plum"),         # one (common) term
+            (4, "plum fig grape kiwi melon"),    # zero terms
+            (5, "apple apple apple apple"),      # common term, repeated
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple banana cherry")], "query_id int, query_text string"
+    )
+    rows = bm25_search(docs, queries, k=10).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert 4 not in by_doc, "doc with no query terms must not be retrieved"
+    assert by_doc[1].rank == 1, "doc matching all terms (incl. rare) wins"
+    assert by_doc[1].n_terms_matched == 3
+    assert by_doc[2].score > by_doc[3].score
+    # rank follows score desc with doc_id tiebreak
+    ranked = sorted(rows, key=lambda r: r.rank)
+    assert all(
+        a.score > b.score or (a.score == b.score and a.doc_id < b.doc_id)
+        for a, b in zip(ranked, ranked[1:])
+    )
