@@ -275,6 +275,71 @@ def ivf_topk(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+# RRF dampening constant (Cormack/Clarke/Buettcher 2009's k=60).
+RRF_K = 60
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of several (query_id, id, rank) rankings:
+    score(d) = sum over rankers of 1/(rrf_k + rank_r(d)), items missing
+    from a ranker contribute 0 — the standard ensemble-retrieval merge
+    (fuse an ANN index with a lexical ranker, or two ANN indexes with
+    different recall failure modes).
+
+    Exactly engine-portable by construction: ranks are exact integers,
+    each reciprocal is one correctly-rounded IEEE division, and the
+    fixed ranker order makes the sum a static expression tree (no
+    aggregation-order dependence — nothing to sort-fold).
+
+    Scale shape: each input ranking is already top-k-per-query (tiny);
+    the fusion is a full-outer equi-join on (query, id) plus one
+    WindowGroupLimit — negligible next to the rankers themselves.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.topk import (
+        top_k_per_key,
+    )
+
+    fused = None
+    keys = [query_id_col, id_col]
+    for label, r in rankings:
+        ri = r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("rank").alias(f"rank_{label}"),
+        )
+        fused = (
+            ri if fused is None else fused.join(ri, keys, "full_outer")
+        )
+    score = None
+    for label, _ in rankings:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{label}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    scored = fused.withColumn("rrf", score)
+    top = top_k_per_key(
+        scored,
+        [query_id_col],
+        [F.desc("rrf"), F.asc(id_col)],
+        k,
+        rank_col="rank",
+    )
+    return top.select(
+        query_id_col,
+        id_col,
+        *[F.col(f"rank_{label}") for label, _ in rankings],
+        (F.round(F.col("rrf") * 1000000) / 1000000).alias("rrf_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.9,

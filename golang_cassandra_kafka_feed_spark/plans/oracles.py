@@ -1789,3 +1789,39 @@ ORACLES["q81_bm25_search"] = f"""
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank
 """
+
+# q82: ANN ensemble via reciprocal-rank fusion — the twin is composed
+# VERBATIM from the q39/q42 oracle strings (no re-derived mechanism to
+# drift), then one full-outer merge + static reciprocal sum.
+from golang_cassandra_kafka_feed_spark.operators.similarity import (  # noqa: E402
+    RRF_K as _RRF_K,
+)
+from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
+    ANN_K as _ANN_K,
+)
+
+ORACLES["q82_ann_rrf_fusion"] = f"""
+    WITH lsh AS ({ORACLES["q39_ann_lsh_topk"]}),
+    ivf AS ({ORACLES["q42_ann_ivf_topk"]}),
+    f AS (
+        SELECT coalesce(l.query_id, i.query_id) AS query_id,
+               coalesce(l.vec_id, i.vec_id) AS vec_id,
+               l."rank" AS rank_lsh, i."rank" AS rank_ivf
+        FROM lsh l FULL OUTER JOIN ivf i
+          ON l.query_id = i.query_id AND l.vec_id = i.vec_id
+    ),
+    s AS (
+        SELECT query_id, vec_id, rank_lsh, rank_ivf,
+               coalesce(1.0 / ({_RRF_K} + rank_lsh), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + rank_ivf), 0.0) AS rrf
+        FROM f
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS "rank"
+        FROM s
+    )
+    SELECT query_id, vec_id, rank_lsh, rank_ivf,
+           ROUND(rrf * 1000000) / 1000000 AS rrf_score, "rank"
+    FROM r WHERE "rank" <= {_ANN_K} ORDER BY query_id, "rank"
+"""

@@ -1676,6 +1676,33 @@ def q81(spark, sf_dir):
     return bm25_search(d, qdf, k=10).orderBy("query_id", "rank")
 
 
+def q82(spark, sf_dir):
+    """Ensemble ANN via reciprocal-rank fusion: the q39 LSH and q42 IVF
+    rankings merged with RRF (operators/similarity.py::rrf_fuse) — the
+    two indexes have different recall failure modes (plane-sign buckets
+    vs Voronoi cells), and the fusion recovers neighbors either one
+    misses alone.  Exact integer ranks -> static reciprocal-sum
+    expression, so the DuckDB twin (composed verbatim from the q39/q42
+    oracle strings) hash-matches."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucketed_topk,
+        rrf_fuse,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = lsh_bucketed_topk(emb, queries_df, k=ANN_K)
+    ivf = ivf_topk(
+        emb, queries_df, k=ANN_K, n_cells=IVF_N_CELLS, n_probe=IVF_N_PROBE
+    )
+    return rrf_fuse([("lsh", lsh), ("ivf", ivf)], k=ANN_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1761,6 +1788,7 @@ QUERIES = {
     "q79_token_diversity": q79,
     "q80_length_zscore": q80,
     "q81_bm25_search": q81,
+    "q82_ann_rrf_fusion": q82,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -228,3 +228,27 @@ def test_sessionize_matches_q27_counts(spark, sf_dir):
         for r in QUERIES["q27_session_window"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rrf_fusion_merges_and_recovers(spark):
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    lsh = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, vec_id long, rank long",
+    )
+    ivf = spark.createDataFrame(
+        [(0, 10, 1), (0, 13, 2), (0, 11, 3)],
+        "query_id long, vec_id long, rank long",
+    )
+    out = {r.vec_id: r for r in rrf_fuse([("lsh", lsh), ("ivf", ivf)], k=4).collect()}
+    # agreed-on top item wins; one-sided items still fuse in
+    assert out[10].rank == 1
+    assert out[10].rrf_score == round((1 / 61 + 1 / 61) * 1e6) / 1e6
+    assert out[13].rank_lsh is None and out[13].rank_ivf == 2
+    # item ranked by both beats items seen by only one ranker at
+    # comparable depth
+    assert out[11].rank < out[13].rank
+    assert set(out) == {10, 11, 12, 13}
