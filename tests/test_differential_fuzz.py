@@ -113,7 +113,25 @@ _AGGS = [
 
 
 def _gen_query(rng: random.Random) -> str:
-    kind = rng.randrange(15)
+    kind = rng.randrange(17)
+    if kind == 15:  # full outer join — null-extended rows on both sides
+        where = (
+            f" WHERE b.w IS NULL OR {_pred(rng, 'a')}"
+            if rng.random() < 0.5
+            else ""
+        )
+        return (
+            "SELECT coalesce(a.k, b.k) AS k, a.id, a.v, b.name, b.w "
+            f"FROM f1 a FULL JOIN f2 b ON a.k = b.k{where}"
+        )
+    if kind == 16:  # grouping sets (same empty-input harmonization as
+        # the ROLLUP fallback below: HAVING COUNT(*) > 0)
+        aggs = ", ".join(rng.sample(_AGGS, rng.randrange(1, 3)))
+        sets = rng.choice(["((k), (c))", "((k), (c), ())", "((k, c), ())"])
+        return (
+            f"SELECT k, c, {aggs} FROM f1 "
+            f"GROUP BY GROUPING SETS {sets} HAVING COUNT(*) > 0"
+        )
     if kind == 0:  # filter + project
         return f"SELECT {_scalar_exprs(rng)} FROM f1 WHERE {_pred(rng)}"
     if kind == 1:  # aggregate
