@@ -101,3 +101,91 @@ def duplicate_groups(
             "group_size",
         )
     )
+
+
+# PageRank damping (Brin & Page 1998's 0.85), exported so the DuckDB
+# oracle embeds the same literal.
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping: float = PAGERANK_DAMPING,
+    symmetrize: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: r_{t+1}(n) =
+    (1-d)/N + d * sum over in-neighbors m of r_t(m)/outdeg(m).  The
+    simplified no-dangling-redistribution variant — on graphs where
+    every node has outdegree >= 1 (e.g. a symmetrized graph) it is the
+    textbook recurrence exactly.
+
+    Engine-portable determinism: each node's in-contribution sum folds
+    an ascending-sorted array (the DSIR idiom), so the double is
+    independent of shuffle arrival order and a DuckDB twin with the
+    iterations unrolled as CTEs reproduces every rank bit-identically
+    (same contract style as kmeans_assign's unrolled Lloyd twin).
+
+    100 TB posture: per iteration ONE join-shuffle of the edge list by
+    source and ONE partial-aggregated shuffle by destination; rank state
+    is a single (node, r) row per node.  Edges and nodes are
+    ``localCheckpoint``ed once up front so the (possibly expensive)
+    edge-derivation pipeline runs once, not once per branch per
+    iteration (the exchange-reuse aliasing trap), and the plan does not
+    grow with the unrolled iterations.  For web-scale graphs swap in
+    Pregel/GraphFrames; for the analytics-query weight class this is
+    the right shape.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if symmetrize:
+        # Symmetrize AFTER the checkpoint (connected_components'
+        # documented pattern): the union references the edge list twice,
+        # and symmetrizing in the caller would run the edge-derivation
+        # pipeline once per branch before it ever reaches the
+        # checkpoint.  Reading checkpoint blocks twice is free.
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(outdeg, "u")
+            .join(ranks.select(F.col("node").alias("u"), "r"), "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("r") / F.col("outdeg")).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks

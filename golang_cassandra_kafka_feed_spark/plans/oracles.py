@@ -1825,3 +1825,66 @@ ORACLES["q82_ann_rrf_fusion"] = f"""
            ROUND(rrf * 1000000) / 1000000 AS rrf_score, "rank"
     FROM r WHERE "rank" <= {_ANN_K} ORDER BY query_id, "rank"
 """
+
+# q83: PageRank, 2 unrolled iterations — kmeans-style unrolled-CTE twin.
+# Contribution sums are ascending-sorted list_reduce folds (the DSIR
+# idiom), matching the Spark operator's array_sort+aggregate, so every
+# rank double is bit-identical.  (1 - damping) is rendered as the
+# COMPUTED double, matching Spark's constant folding of
+# lit(1.0) - lit(damping) — the decimal literal 0.15 is a different
+# double than 1.0 - 0.85.
+from golang_cassandra_kafka_feed_spark.operators.graph import (  # noqa: E402
+    PAGERANK_DAMPING as _PR_D,
+)
+from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
+    PAGERANK_TOP_N as _PR_TOP,
+)
+
+ORACLES["q83_pagerank"] = f"""
+    WITH e AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ), sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT u AS node FROM sym UNION ALL SELECT v AS node FROM sym
+        )
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes
+    ), outdeg AS (
+        SELECT u, count(*) AS outdeg FROM sym GROUP BY u
+    ), r0 AS (
+        SELECT node, 1.0 / n_nodes AS r FROM nodes, nn
+    ), c1 AS (
+        SELECT s.v AS node, r0.r / od.outdeg AS c
+        FROM sym s JOIN outdeg od ON s.u = od.u
+        JOIN r0 ON r0.node = s.u
+    ), s1 AS (
+        SELECT node, list_reduce(list_sort(list(c)), (a, x) -> a + x) AS s
+        FROM c1 GROUP BY node
+    ), r1 AS (
+        SELECT nodes.node,
+               {1.0 - _PR_D} / n_nodes
+               + {_PR_D} * coalesce(s, 0.0) AS r
+        FROM nodes LEFT JOIN s1 USING (node), nn
+    ), c2 AS (
+        SELECT s.v AS node, r1.r / od.outdeg AS c
+        FROM sym s JOIN outdeg od ON s.u = od.u
+        JOIN r1 ON r1.node = s.u
+    ), s2 AS (
+        SELECT node, list_reduce(list_sort(list(c)), (a, x) -> a + x) AS s
+        FROM c2 GROUP BY node
+    ), r2 AS (
+        SELECT nodes.node,
+               {1.0 - _PR_D} / n_nodes
+               + {_PR_D} * coalesce(s, 0.0) AS r
+        FROM nodes LEFT JOIN s2 USING (node), nn
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node >> 1 AS VARCHAR)
+                ELSE 's' || CAST(node >> 1 AS VARCHAR) END AS node,
+           ROUND(r * 1000000000) / 1000000000 AS pr
+    FROM r2 ORDER BY r DESC, node LIMIT {_PR_TOP}
+"""

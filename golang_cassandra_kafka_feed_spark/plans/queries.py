@@ -1703,6 +1703,58 @@ def q82(spark, sf_dir):
     )
 
 
+PAGERANK_TOP_N = 20
+
+
+def q83(spark, sf_dir):
+    """PageRank over the customer-supplier purchase graph: distinct
+    (custkey, suppkey) edges from orders x lineitem, symmetrized (an
+    undirected random walk on the bipartite graph — every node has
+    outdegree >= 1, so the no-dangling variant is exact), 2 unrolled
+    iterations (operators/graph.py::pagerank), top-20 by rank.  The
+    reference's follower graph (cql:11-21) generalized to the analytics
+    question it cannot ask: which entities sit at the center of the
+    interaction graph.  Scoped to one order year (pushed-down date
+    predicate) — the graph-analytics twin of q03's range scan; the
+    operator itself is corpus-size-agnostic.  Sorted-fold contribution sums keep every rank
+    double bit-identical to the unrolled DuckDB CTE twin.
+
+    Node ids stay INTEGER through the whole computation (customer =
+    2*custkey, supplier = 2*suppkey+1 — disjoint by parity) and become
+    'c<key>'/'s<key>' labels only in the final 20-row projection:
+    string node ids made every shuffle/distinct hash text and doubled
+    the edge-build cost.  The single distinct lives inside pagerank
+    (its checkpoint boundary) — no caller-side duplicate pass."""
+    from golang_cassandra_kafka_feed_spark.operators.graph import pagerank
+    from golang_cassandra_kafka_feed_spark.operators.topk import (
+        top_k_global,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    e = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    pr = pagerank(e, iterations=2, symmetrize=True)
+    top = top_k_global(
+        pr, [F.col("r").desc(), F.col("node").asc()], PAGERANK_TOP_N
+    )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.shiftright("node", 1).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), F.shiftright("node", 1).cast("string"))
+    )
+    return top.select(
+        label.alias("node"),
+        (F.round(F.col("r") * 1000000000) / 1000000000).alias("pr"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1789,6 +1841,7 @@ QUERIES = {
     "q80_length_zscore": q80,
     "q81_bm25_search": q81,
     "q82_ann_rrf_fusion": q82,
+    "q83_pagerank": q83,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -44,3 +44,28 @@ def test_long_path_converges_past_naive_rounds(spark):
 def test_empty_edges_yield_empty_components(spark):
     e = _edges(spark, []).filter("id_a IS NOT NULL")
     assert connected_components(e).count() == 0
+
+
+def test_pagerank_hub_and_mass(spark):
+    from golang_cassandra_kafka_feed_spark.operators.graph import pagerank
+
+    # undirected star: hub a <-> {b, c}
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    out = {r.node: r.r for r in pagerank(edges, iterations=2).collect()}
+    assert set(out) == {"a", "b", "c"}
+    # replicate the recurrence in plain python (same op order)
+    n = 3.0
+    d = 0.85
+    base = (1.0 - d) / n
+    r0 = 1.0 / n
+    r1a = base + d * (r0 + r0)          # b and c each contribute r0/1
+    r1bc = base + d * (r0 / 2.0)        # a splits over outdeg 2
+    r2a = base + d * (r1bc + r1bc)
+    r2bc = base + d * (r1a / 2.0)
+    assert out["a"] == r2a and out["b"] == r2bc and out["c"] == r2bc
+    assert out["a"] > out["b"]
+    # rank mass conserved (no dangling nodes in a symmetrized graph)
+    assert abs(sum(out.values()) - 1.0) < 1e-12
