@@ -387,3 +387,145 @@ def embedding_near_duplicates(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# Product-quantization defaults: PQ_M subspaces over the 64-dim vectors,
+# PQ_K codes per subspace.  Exported so the DuckDB oracle embeds the
+# same literals.
+PQ_M = 8
+PQ_K = 16
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as an index-order fold (deterministic; the
+    DuckDB twin folds the same order with a 0.0 seed)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_adc_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = DEFAULT_DIM,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization ADC accuracy audit: per (query, doc), the
+    asymmetric-distance estimate (sum over subspaces of
+    dot(query_sub, codeword(doc_code))) next to the exact full dot
+    product, with the absolute error — for the true top-``k`` docs per
+    query (by exact dot, so the audit reports how ADC would distort the
+    answers that matter).  Completes the sketch-accuracy family: q48
+    audits KMV-vs-exact-distinct, q78 minhash-vs-exact-Jaccard, this
+    audits PQ-vs-exact-dot.
+
+    Codebooks are the IVF centroid recipe applied per subspace: vectors
+    hash into ``n_codes`` md5-cells and each cell's min-hash member
+    subvector is the codeword — deterministic, no training state, and a
+    DuckDB oracle selects identical codewords.  Assignment is argmin
+    squared-L2 over the (broadcast) codebook with a code-id tie-break;
+    every distance/dot is an index-order fold, so doubles are
+    bit-identical cross-engine.
+
+    Scale shape: codebooks and query slices are broadcast tables; the
+    corpus is touched by two narrow passes (subspace explode + exact
+    scoring) and shuffles only at the (vec, subspace) -> vec code
+    rollup; the ADC estimate for the audit set rides on the top-k join
+    output, never all pairs x all subspaces.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.dedup import _md5_32
+    from golang_cassandra_kafka_feed_spark.operators.topk import (
+        top_k_per_key,
+    )
+    from pyspark.sql import Window
+
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
+    d_sub = dim // m
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    sub = c.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "e",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice("e", F.col("s") * d_sub + F.lit(1), d_sub).alias("sv"),
+    )
+    hh = _md5_32(
+        F.concat(
+            F.col("vec_id").cast("string"), F.lit(":"), F.col("s").cast("string")
+        )
+    )
+    cells = sub.select(
+        "vec_id", "s", "sv", hh.alias("hh"),
+        F.pmod(hh, F.lit(n_codes)).cast("int").alias("code"),
+    )
+    books = cells.groupBy("s", "code").agg(F.min_by("sv", "hh").alias("cw"))
+
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
+    assigned = (
+        cells.select("vec_id", "s", "sv")
+        .join(F.broadcast(books), "s")
+        .withColumn("dist", _l2sq(F.col("sv"), F.col("cw")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "s", "cw")
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qe")
+    )
+    exact = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", _dot(F.col("qe"), F.col("e")).alias("exact_dot")
+    )
+    top = top_k_per_key(
+        exact,
+        ["query_id"],
+        [F.desc("exact_dot"), F.asc("vec_id")],
+        k,
+        rank_col="rank",
+    )
+
+    q_sub = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "qe",
+    ).select(
+        "query_id",
+        "s",
+        F.slice("qe", F.col("s") * d_sub + F.lit(1), d_sub).alias("qsv"),
+    )
+    adc_terms = assigned.join(F.broadcast(q_sub), "s").select(
+        "query_id", "vec_id", "s",
+        _dot(F.col("qsv"), F.col("cw")).alias("d"),
+    )
+    adc = adc_terms.groupBy("query_id", "vec_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "d"))),
+                lambda x: x["d"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dot")
+    )
+    r6 = lambda col: F.round(col * 1000000) / 1000000  # noqa: E731
+    return top.join(adc, ["query_id", "vec_id"]).select(
+        "query_id",
+        "vec_id",
+        r6(F.col("exact_dot")).alias("exact_dot"),
+        r6(F.col("adc_dot")).alias("adc_dot"),
+        r6(F.abs(F.col("exact_dot") - F.col("adc_dot"))).alias("abs_err"),
+        F.col("rank").cast("long").alias("rank"),
+    )

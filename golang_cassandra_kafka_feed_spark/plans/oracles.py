@@ -1888,3 +1888,84 @@ ORACLES["q83_pagerank"] = f"""
            ROUND(r * 1000000000) / 1000000000 AS pr
     FROM r2 ORDER BY r DESC, node LIMIT {_PR_TOP}
 """
+
+# q84: PQ-ADC audit — codebooks are the q42 arg_min(sv, md5-hash) recipe
+# per subspace; every distance/dot is an index-order fold with a 0.0
+# seed (list_dot_product equivalence to Spark's aggregate fold is the
+# q30-proven property).  Literals derive from the Spark-side constants.
+from golang_cassandra_kafka_feed_spark.operators.similarity import (  # noqa: E402
+    DEFAULT_DIM as _PQ_DIM,
+    PQ_K as _PQ_K,
+    PQ_M as _PQ_M,
+)
+from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
+    ANN_N_QUERIES as _ANN_NQ,
+    PQ_AUDIT_K as _PQ_AK,
+)
+
+_PQ_DS = _PQ_DIM // _PQ_M
+ORACLES["q84_pq_adc_audit"] = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < {_ANN_NQ}
+    ), sub AS (
+        SELECT vec_id, s.s AS s,
+               list_slice(e, s.s * {_PQ_DS} + 1,
+                          s.s * {_PQ_DS} + {_PQ_DS}) AS sv,
+               CAST(('0x' || substring(md5(
+                   CAST(vec_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)
+               ), 1, 8)) AS BIGINT) AS hh
+        FROM c, range(0, {_PQ_M}) s(s)
+    ), cells AS (
+        SELECT vec_id, s, sv, hh, CAST(hh % {_PQ_K} AS INT) AS code
+        FROM sub
+    ), books AS (
+        SELECT s, code, arg_min(sv, hh) AS cw FROM cells GROUP BY s, code
+    ), dists AS (
+        SELECT cl.vec_id, cl.s, b.code, b.cw,
+               list_reduce(list_prepend(0.0,
+                   list_transform(range(1, {_PQ_DS + 1}),
+                       i -> (cl.sv[i] - b.cw[i]) * (cl.sv[i] - b.cw[i]))),
+                   (a, x) -> a + x) AS dist
+        FROM cells cl JOIN books b USING (s)
+    ), assigned AS (
+        SELECT vec_id, s, cw FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ), exact AS (
+        SELECT q.query_id, c.vec_id,
+               list_dot_product(q.qe, c.e) AS exact_dot
+        FROM c, q
+    ), topk AS (
+        SELECT query_id, vec_id, exact_dot, "rank" FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY exact_dot DESC, vec_id) AS "rank"
+            FROM exact
+        ) WHERE "rank" <= {_PQ_AK}
+    ), qsub AS (
+        SELECT query_id, s.s AS s,
+               list_slice(qe, s.s * {_PQ_DS} + 1,
+                          s.s * {_PQ_DS} + {_PQ_DS}) AS qsv
+        FROM q, range(0, {_PQ_M}) s(s)
+    ), terms AS (
+        SELECT qs.query_id, a.vec_id, a.s,
+               list_dot_product(qs.qsv, a.cw) AS d
+        FROM assigned a JOIN qsub qs USING (s)
+    ), adc AS (
+        SELECT query_id, vec_id,
+               list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+                           (a, x) -> a + x) AS adc_dot
+        FROM terms GROUP BY query_id, vec_id
+    )
+    SELECT t.query_id, t.vec_id,
+           ROUND(exact_dot * 1000000) / 1000000 AS exact_dot,
+           ROUND(adc_dot * 1000000) / 1000000 AS adc_dot,
+           ROUND(abs(exact_dot - adc_dot) * 1000000) / 1000000 AS abs_err,
+           "rank"
+    FROM topk t JOIN adc USING (query_id, vec_id)
+    ORDER BY query_id, "rank"
+"""

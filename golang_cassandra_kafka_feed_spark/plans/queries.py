@@ -1755,6 +1755,30 @@ def q83(spark, sf_dir):
     )
 
 
+PQ_AUDIT_K = 10
+
+
+def q84(spark, sf_dir):
+    """Product-quantization ADC accuracy audit
+    (operators/similarity.py::pq_adc_audit): for each query's true
+    top-10 by exact dot product, the PQ asymmetric-distance estimate
+    and its absolute error — completes the sketch-accuracy family
+    (q48 KMV, q78 minhash, here PQ).  Codebooks via the md5-cell
+    arg-min recipe and index-order folds keep every double
+    bit-identical to the DuckDB twin."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        pq_adc_audit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_audit(emb, queries_df, k=PQ_AUDIT_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1842,6 +1866,7 @@ QUERIES = {
     "q81_bm25_search": q81,
     "q82_ann_rrf_fusion": q82,
     "q83_pagerank": q83,
+    "q84_pq_adc_audit": q84,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -252,3 +252,38 @@ def test_rrf_fusion_merges_and_recovers(spark):
     # comparable depth
     assert out[11].rank < out[13].rank
     assert set(out) == {10, 11, 12, 13}
+
+
+def test_pq_adc_exact_when_vector_is_its_own_codeword(spark):
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        pq_adc_audit,
+    )
+
+    # single-vector corpus: every subspace cell has one member, so the
+    # codebook IS the vector's own subvectors and ADC must equal the
+    # exact dot product bit-for-bit.
+    vec = [float(i % 7) - 3.0 for i in range(64)]
+    corpus = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(0, vec)], "query_id long, embedding array<float>"
+    )
+    rows = pq_adc_audit(corpus, queries, k=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.exact_dot == r.adc_dot and r.abs_err == 0.0
+
+
+def test_pq_adc_rejects_nondividing_subspaces(spark):
+    import pytest as _pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        pq_adc_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="subspaces"):
+        pq_adc_audit(df, df.select(F.col("vec_id").alias("query_id"), "embedding"), m=7)
