@@ -1,8 +1,9 @@
 """End-to-end corpus curation: the operators of this package composed into
 the standard training-data preparation pipeline.
 
-    quality gate -> language gate -> exact dedup -> near-dup removal
-    (MinHash-LSH) -> per-source cap -> deterministic train/val/test split
+    quality gate -> language gate -> diversity gate (optional) ->
+    exact dedup -> near-dup removal (MinHash-LSH) -> per-source cap ->
+    deterministic train/val/test split
 
 Everything stays declarative DataFrame work: Catalyst sees the whole
 pipeline as one plan, so filters merge into the scan, the dedup/cap
@@ -42,6 +43,7 @@ def curate_corpus(
     min_alpha_ratio: float = 0.6,
     langs: Sequence[str] | None = None,
     near_dup_threshold: float = 0.8,
+    min_simpson: float | None = None,
     max_per_source: int | None = None,
     split_weights: Sequence[tuple[str, float]] = (
         ("train", 0.8),
@@ -114,6 +116,24 @@ def curate_corpus(
     d = d.withColumn("__lang", lang_id(text_col))
     if langs is not None:
         d = d.filter(F.col("__lang").isin(list(langs)))
+
+    if min_simpson is not None:
+        # Lexical-diversity gate (textstats.token_diversity): Simpson
+        # diversity below the threshold means templated/repetitive text
+        # (the Gopher-style repetition signal as a probability).  This
+        # is a corpus-stat gate, not a row-local filter — it costs the
+        # token_diversity aggregation plus a semi join, so it sits with
+        # the other aggregation stages, after the cheap scan-merged
+        # gates have shrunk the corpus.
+        from golang_cassandra_kafka_feed_spark.operators.textstats import (
+            token_diversity,
+        )
+
+        tdiv = token_diversity(d, text_col=text_col, id_col=id_col)
+        keep = tdiv.filter(F.col("simpson") >= min_simpson).select(
+            F.col("doc_id").alias(id_col)
+        )
+        d = d.join(keep, id_col, "left_semi")
 
     # exact dedup on normalized text, lowest id survives
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))

@@ -140,3 +140,23 @@ def test_curate_dsir_keep_requires_target(spark):
     )
     with _pytest.raises(ValueError, match="dsir_target"):
         curate_corpus(docs, dsir_keep=5)
+
+
+def test_curate_diversity_gate_drops_repetitive_docs(spark):
+    from golang_cassandra_kafka_feed_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy sleeping dog", "a"),
+            (2, "spam spam spam spam spam spam spam spam spam spam", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(docs, min_tokens=5, min_alpha_ratio=0.0, min_simpson=0.5)
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 in ids and 2 not in ids
+    # without the gate both survive
+    out2 = curate_corpus(docs, min_tokens=5, min_alpha_ratio=0.0)
+    assert {r.doc_id for r in out2.collect()} == {1, 2}
