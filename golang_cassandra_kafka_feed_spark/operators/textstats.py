@@ -757,3 +757,68 @@ def length_histogram(
             F.round(F.col("n_docs") / F.sum("n_docs").over(w) * 100) / 100
         ).alias("share"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation extraction: adjacent word pairs ranked by lift —
+    ``N * c(w1 w2) / (c(w1) * c(w2))``, pointwise mutual information
+    without the log (same ordering, and an exact-arithmetic expression:
+    each operand is an exact integer-valued double and each of the
+    three ops is one correctly-rounded IEEE operation, so the score is
+    bit-identical cross-engine).  ``min_count`` keeps only bigrams with
+    real support (lift is noisy at count 1).
+
+    Scale shape: one tokenize pass exploded to bigrams (zero shuffle
+    until the count), one (bigram) count shuffle + one (token) count
+    shuffle, unigram counts joined back (vocabulary-sized — Zipf keeps
+    it tiny relative to the corpus; AQE broadcasts it), total-token
+    count as a second narrow regexp_count scan (no explode).  Top-k is
+    TakeOrderedAndProject on the (tiny) surviving bigram set.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.topk import (
+        top_k_global,
+    )
+
+    bg = (
+        df.select(F.explode(bigram_array(text_col)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_bg"))
+        .filter(F.col("c_bg") >= min_count)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_bg",
+        )
+    )
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tok = df.agg(
+        F.sum(token_count(text_col)).cast("double").alias("n_tokens")
+    )
+    lift = (F.col("c_bg").cast("double") * F.col("n_tokens")) / (
+        F.col("c1").cast("double") * F.col("c2")
+    )
+    scored = (
+        bg.join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1", "w2", "c_bg", "c1", "c2", lift.alias("__lift")
+        )
+    )
+    top = top_k_global(
+        scored, [F.desc("__lift"), F.asc("w1"), F.asc("w2")], k
+    )
+    return top.select(
+        "w1", "w2", "c_bg", "c1", "c2",
+        (F.round(F.col("__lift") * 1000000) / 1000000).alias("lift"),
+    )

@@ -1969,3 +1969,42 @@ ORACLES["q84_pq_adc_audit"] = f"""
     FROM topk t JOIN adc USING (query_id, vec_id)
     ORDER BY query_id, "rank"
 """
+
+# q85: collocations by lift — bigram twin is the q70/q73 idiom; lift is
+# (c_bg * N) / (c1 * c2) with each operand an exact-integer double and
+# each op one correctly-rounded IEEE operation.
+from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
+    COLLOC_K as _CO_K,
+    COLLOC_MIN_COUNT as _CO_MIN,
+)
+
+ORACLES["q85_collocations"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), bg AS (
+        SELECT w1, w2, count(*) AS c_bg FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i + 1])) AS w2
+            FROM t WHERE len(toks) >= 2
+        ) GROUP BY w1, w2 HAVING count(*) >= {_CO_MIN}
+    ), uni AS (
+        SELECT t2.t AS t, count(*) AS c FROM (
+            SELECT unnest(toks) AS t FROM t
+        ) t2 GROUP BY t2.t
+    ), nt AS (
+        SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_tokens FROM t
+    ), scored AS (
+        SELECT w1, w2, c_bg, u1.c AS c1, u2.c AS c2,
+               (CAST(c_bg AS DOUBLE) * n_tokens)
+               / (CAST(u1.c AS DOUBLE) * u2.c) AS lift_raw
+        FROM bg
+        JOIN uni u1 ON u1.t = w1
+        JOIN uni u2 ON u2.t = w2, nt
+    )
+    SELECT w1, w2, c_bg, c1, c2,
+           ROUND(lift_raw * 1000000) / 1000000 AS lift
+    FROM scored
+    ORDER BY lift_raw DESC, w1, w2 LIMIT {_CO_K}
+"""

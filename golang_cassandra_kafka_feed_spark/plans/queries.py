@@ -1779,6 +1779,26 @@ def q84(spark, sf_dir):
     )
 
 
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 20
+
+
+def q85(spark, sf_dir):
+    """Collocation extraction: top-20 adjacent word pairs by lift —
+    PMI's ordering without its log, an exact integer-ratio expression
+    (operators/textstats.py::collocations).  The corpus-statistics
+    companion to q70's bigram typicality: typicality scores documents
+    by their bigrams, this surfaces the bigrams themselves."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        collocations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations(
+        d, min_count=COLLOC_MIN_COUNT, k=COLLOC_K
+    ).orderBy(F.col("lift").desc(), "w1", "w2")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1867,6 +1887,7 @@ QUERIES = {
     "q82_ann_rrf_fusion": q82,
     "q83_pagerank": q83,
     "q84_pq_adc_audit": q84,
+    "q85_collocations": q85,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

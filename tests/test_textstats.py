@@ -339,3 +339,28 @@ def test_bm25_search_ranks_by_relevance(spark):
         a.score > b.score or (a.score == b.score and a.doc_id < b.doc_id)
         for a, b in zip(ranked, ranked[1:])
     )
+
+
+def test_collocations_lift_ranks_exclusive_pairs_first(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        collocations,
+    )
+
+    # "strong tea" appears 3x and its words appear nowhere else (lift =
+    # N*3/(3*3)); "of the" appears 3x but both words are everywhere.
+    docs = spark.createDataFrame(
+        [
+            (1, "strong tea of the day of the men strong tea"),
+            (2, "strong tea of the rest the of men"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = collocations(docs, min_count=3, k=5).collect()
+    pairs = [(r.w1, r.w2) for r in rows]
+    assert pairs[0] == ("strong", "tea")
+    st = rows[0]
+    n_tokens = 10 + 8
+    assert st.c_bg == 3 and st.c1 == 3 and st.c2 == 3
+    assert st.lift == round(3 * n_tokens / (3 * 3) * 1e6) / 1e6
+    if ("of", "the") in pairs:
+        assert pairs.index(("of", "the")) > 0
