@@ -40,3 +40,36 @@ def write_parquet(
 
 def write_json_lines(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table writer — the co-located-join layout for repeated
+    big joins at 100 TB: two tables bucketed by the same key into the
+    same bucket count sort-merge-join with NO Exchange on either side
+    (Spark matches HashPartitioning(bucket_cols, n_buckets) against the
+    join's required distribution), and with ``sort_cols`` == join keys
+    the per-bucket sort is elided too — the shuffle cost is paid once at
+    write time and amortized over every subsequent join/aggregation on
+    that key (asserted mechanically in
+    test_physical_plans.py::test_bucketed_join_elides_exchange).
+
+    Registered as an EXTERNAL table at ``path`` (bucket metadata lives
+    in the session catalog; the default in-memory catalog needs no Hive
+    metastore).  The Cassandra analog is the reference's
+    partition-key-shaped tables (cql:1-37): layout chosen once, at
+    design time, so reads never reshuffle.
+    """
+    w = df.write.mode(mode).option("path", path).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -241,3 +241,55 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     non-scalable shape."""
     plan = _plan(spark, sf_dir, "q76_weighted_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed by the join key into the same bucket count
+    must sort-merge-join with NO Exchange (the write-once-join-forever
+    layout; SURVEY.md §4 row 1's design-time optimization, Spark-style).
+    """
+    from golang_cassandra_kafka_feed_spark.sources.sinks import (
+        write_bucketed,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        load_table,
+    )
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        "b_orders",
+        str(tmp_path / "b_orders"),
+        ["o_custkey"],
+        n_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer"),
+        "b_customer",
+        str(tmp_path / "b_customer"),
+        ["c_custkey"],
+        n_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    try:
+        o = spark.table("b_orders")
+        c = spark.table("b_customer")
+        joined = o.join(
+            c.hint("merge"), o.o_custkey == c.c_custkey
+        ).select("o_orderkey", "c_name")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SelectedBucketsCount" in plan
+        # results identical to the plain-parquet join
+        po = load_table(spark, sf_dir, "orders")
+        pc = load_table(spark, sf_dir, "customer")
+        plain = po.join(
+            pc, po.o_custkey == pc.c_custkey
+        ).select("o_orderkey", "c_name")
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
