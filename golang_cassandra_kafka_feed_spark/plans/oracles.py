@@ -2008,3 +2008,35 @@ ORACLES["q85_collocations"] = f"""
     FROM scored
     ORDER BY lift_raw DESC, w1, w2 LIMIT {_CO_K}
 """
+
+# q86: nearest-in-time join — declarative argmin-over-join twin of the
+# union-and-carry asof_nearest (checks the RESULT; mechanism is Spark's).
+# Tie policy mirrored: equidistant prefers backward (fwd flag sorts 0
+# first); equal-ts right rows prefer greatest key backward / smallest
+# forward (the signed-key trick).
+ORACLES["q86_asof_nearest"] = """
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), o AS (
+        SELECT o_custkey AS user_id,
+               CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+               o_orderkey, o_orderdate
+        FROM orders
+    ), j AS (
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+               abs(epoch_us(o.o_ts) - epoch_us(e.ts)) AS dist,
+               CASE WHEN o.o_ts > e.ts THEN 1 ELSE 0 END AS fwd
+        FROM e LEFT JOIN o ON o.user_id = e.user_id
+    ), r AS (
+        SELECT event_id, o_orderkey, o_orderdate,
+               row_number() OVER (
+                   PARTITION BY event_id
+                   ORDER BY dist, fwd,
+                            CASE WHEN fwd = 1 THEN o_orderkey
+                                 ELSE -o_orderkey END) AS rn
+        FROM j
+    )
+    SELECT event_id, o_orderkey AS nearest_orderkey,
+           CAST(o_orderdate AS DATE) AS nearest_orderdate
+    FROM r WHERE rn = 1 ORDER BY event_id
+"""

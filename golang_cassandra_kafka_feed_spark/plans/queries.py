@@ -1799,6 +1799,41 @@ def q85(spark, sf_dir):
     ).orderBy(F.col("lift").desc(), "w1", "w2")
 
 
+def q86(spark, sf_dir):
+    """Nearest-in-time join (operators/asof.py::asof_nearest): each
+    event matched to the closest order by |o_orderdate - ts| per
+    user-as-custkey, equidistant candidates preferring the backward
+    row — q10's as-of generalized to bidirectional nearest, same
+    one-shuffle union-and-carry shape.  The oracle keeps the
+    declarative argmin-over-join form (exact semantics, so it checks
+    the RESULT, not the mechanism)."""
+    from golang_cassandra_kafka_feed_spark.operators.asof import (
+        asof_nearest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    out = asof_nearest(
+        ev.select("event_id", "user_id", "ts"),
+        o,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_ts",
+        value_cols=["o_orderkey", "o_orderdate"],
+        right_tie_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey_nearest").alias("nearest_orderkey"),
+        F.col("o_orderdate_nearest").cast("date").alias("nearest_orderdate"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1888,6 +1923,7 @@ QUERIES = {
     "q83_pagerank": q83,
     "q84_pq_adc_audit": q84,
     "q85_collocations": q85,
+    "q86_asof_nearest": q86,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

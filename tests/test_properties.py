@@ -179,3 +179,47 @@ def test_top_k_per_key_matches_python(spark, rows, k):
         items.sort(key=lambda iv: (-iv[1], iv[0]))
         want |= {(key, i) for i, _ in items[:k]}
     assert got == want
+
+
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=30
+    ),
+    right_ts=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=30
+    ),
+)
+@_SETTINGS
+def test_asof_nearest_minimizes_distance(spark, left_ts, right_ts):
+    import pyspark.sql.functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.asof import (
+        asof_nearest,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rts = sorted(set(right_ts))
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=t)) for i, t in enumerate(left_ts)],
+        "lid long, ts timestamp",
+    ).withColumn("key", F.lit(0))
+    right = spark.createDataFrame(
+        [(j, base + dt.timedelta(seconds=t)) for j, t in enumerate(rts)],
+        "rid long, rts timestamp",
+    ).withColumn("key", F.lit(0))
+
+    got = {
+        r.lid: r.rid_nearest
+        for r in asof_nearest(
+            left, right, on=["key"], left_ts="ts", right_ts="rts",
+            value_cols=["rid"],
+        ).collect()
+    }
+    assert set(got) == set(range(len(left_ts)))
+    for lid, t in enumerate(left_ts):
+        chosen_t = rts[got[lid]]
+        best = min(abs(rt - t) for rt in rts)
+        assert abs(chosen_t - t) == best, (t, chosen_t, rts)
+        # equidistant candidates prefer the backward row
+        if t - best in rts and t + best in rts and best > 0:
+            assert chosen_t == t - best
