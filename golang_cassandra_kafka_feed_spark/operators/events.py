@@ -1,0 +1,117 @@
+"""Event-sequence analytics: funnel conversion and cohort retention —
+the product-analytics queries a feed/event system (the reference's
+domain: posts, follows, feed reads) answers over its event log.
+
+Both are pure aggregations with exact integer outputs (counts and
+ratios of counts), so DuckDB oracles hash-match without float
+gymnastics; both are one-shuffle shapes keyed on the entity id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each prefix of ``steps``, how many
+    users completed it IN ORDER (step i+1 strictly after the user's
+    first step-i event).  The standard product-analytics funnel.
+
+    Mechanism: one aggregation collects each user's first timestamp per
+    step (map-side-combinable min per (user, step) folded into one row
+    per user via conditional aggregates), then prefix completion is a
+    row-local conjunction — no joins, no window, ONE shuffle on the
+    user id.  Output: (step_idx, step, n_users) with step_idx 1-based;
+    n_users is non-increasing by construction.
+    """
+    firsts = events.filter(F.col(type_col).isin(list(steps))).groupBy(
+        user_col
+    ).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(
+                f"__t{i}"
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    # completed[i] = every step <= i reached, each strictly after the
+    # previous step's first occurrence
+    conds = []
+    c = F.col("__t0").isNotNull()
+    conds.append(c)
+    for i in range(1, len(steps)):
+        c = (
+            c
+            & F.col(f"__t{i}").isNotNull()
+            & (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+        )
+        conds.append(c)
+    agg = firsts.agg(
+        *[
+            F.sum(cond.cast("long")).alias(f"__n{i}")
+            for i, cond in enumerate(conds)
+        ]
+    )
+    stack = ", ".join(
+        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(steps)
+    )
+    return agg.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-activity
+    period (cohort), counted by how many are active k periods later.
+
+    Mechanism: first-activity period per user (one min-aggregation),
+    joined back to the user's distinct activity periods (the join key
+    is the user id — with AQE the small cohort side broadcasts), then
+    one (cohort, offset) count.  All date_trunc/datediff integer
+    arithmetic — exact cross-engine.  Output: (cohort, period_offset,
+    n_active) plus the cohort size at offset 0 in every row
+    (n_cohort), so retention rate is a downstream division.
+    """
+    period = F.date_trunc(bucket, F.col(ts_col))
+    active = events.select(
+        F.col(user_col).alias("user_id"), period.alias("period")
+    ).distinct()
+    cohorts = active.groupBy("user_id").agg(
+        F.min("period").alias("cohort")
+    )
+    days = {"day": 1, "week": 7}[bucket]
+    joined = active.join(cohorts, "user_id").select(
+        "cohort",
+        (
+            F.datediff(F.col("period"), F.col("cohort")) / days
+        ).cast("long").alias("period_offset"),
+    )
+    counts = joined.groupBy("cohort", "period_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    base = counts.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        counts.join(base, "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "period_offset",
+            "n_active",
+            "n_cohort",
+        )
+    )

@@ -2040,3 +2040,67 @@ ORACLES["q86_asof_nearest"] = """
            CAST(o_orderdate AS DATE) AS nearest_orderdate
     FROM r WHERE rn = 1 ORDER BY event_id
 """
+
+# q87/q88: event analytics — funnel prefix completion and weekly cohort
+# retention.  All exact integer arithmetic; the funnel steps derive from
+# the Spark-side constant.
+from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
+    FUNNEL_STEPS as _FUNNEL,
+)
+
+_F_MINS = ",\n               ".join(
+    f"min(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+    for i, s in enumerate(_FUNNEL)
+)
+_F_CONDS = []
+_c = "t0 IS NOT NULL"
+_F_CONDS.append(_c)
+for _i in range(1, len(_FUNNEL)):
+    _c = _c + f" AND t{_i} IS NOT NULL AND t{_i} > t{_i - 1}"
+    _F_CONDS.append(_c)
+_F_SUMS = ",\n               ".join(
+    f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+    for i, c in enumerate(_F_CONDS)
+)
+_F_ROWS = " UNION ALL ".join(
+    f"SELECT {i + 1} AS step_idx, '{s}' AS step, n{i} AS n_users FROM agg"
+    for i, s in enumerate(_FUNNEL)
+)
+ORACLES["q87_funnel"] = f"""
+    WITH firsts AS (
+        SELECT user_id,
+               {_F_MINS}
+        FROM events
+        WHERE event_type IN ({", ".join(f"'{s}'" for s in _FUNNEL)})
+        GROUP BY user_id
+    ), agg AS (
+        SELECT {_F_SUMS}
+        FROM firsts
+    )
+    SELECT step_idx, step, n_users FROM ({_F_ROWS})
+    ORDER BY step_idx
+"""
+
+ORACLES["q88_cohort_retention"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, min(period) AS cohort FROM active GROUP BY user_id
+    ), joined AS (
+        SELECT cohort,
+               CAST(date_diff('day', CAST(cohort AS DATE),
+                              CAST(period AS DATE)) // 7 AS BIGINT)
+                   AS period_offset
+        FROM active JOIN cohorts USING (user_id)
+    ), counts AS (
+        SELECT cohort, period_offset, count(*) AS n_active
+        FROM joined GROUP BY cohort, period_offset
+    )
+    SELECT CAST(c.cohort AS DATE) AS cohort, c.period_offset, c.n_active,
+           b.n_active AS n_cohort
+    FROM counts c JOIN (
+        SELECT cohort, n_active FROM counts WHERE period_offset = 0
+    ) b USING (cohort)
+    ORDER BY cohort, period_offset
+"""

@@ -1834,6 +1834,37 @@ def q86(spark, sf_dir):
     ).orderBy("event_id")
 
 
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q87(spark, sf_dir):
+    """Ordered-funnel conversion over the event log
+    (operators/events.py::funnel_counts): users completing
+    signup -> view -> click -> purchase in order, per prefix.  One
+    user-keyed aggregation, exact integer outputs."""
+    from golang_cassandra_kafka_feed_spark.operators.events import (
+        funnel_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, FUNNEL_STEPS).orderBy("step_idx")
+
+
+def q88(spark, sf_dir):
+    """Weekly cohort retention triangle
+    (operators/events.py::cohort_retention): users bucketed by
+    first-activity week, counted per activity-week offset, with the
+    cohort size alongside.  Exact date_trunc/datediff arithmetic."""
+    from golang_cassandra_kafka_feed_spark.operators.events import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, bucket="week").orderBy(
+        "cohort", "period_offset"
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1924,6 +1955,8 @@ QUERIES = {
     "q84_pq_adc_audit": q84,
     "q85_collocations": q85,
     "q86_asof_nearest": q86,
+    "q87_funnel": q87,
+    "q88_cohort_retention": q88,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -1,0 +1,60 @@
+"""Hand-computed tests for the event-sequence analytics operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from golang_cassandra_kafka_feed_spark.operators.events import (
+    cohort_retention,
+    funnel_counts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(2026, 1, 1) + dt.timedelta(days=d)) for u, t, d in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_requires_order(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "signup", 0), (1, "view", 1), (1, "click", 2),   # full prefix 3
+            (2, "view", 0), (2, "signup", 1),                    # out of order: stops at signup
+            (3, "signup", 0),                                    # stops after signup
+            (4, "click", 0),                                     # never signed up
+        ],
+    )
+    out = {r.step: r.n_users for r in funnel_counts(ev, ["signup", "view", "click"]).collect()}
+    assert out == {"signup": 3, "view": 1, "click": 1}
+
+
+def test_funnel_strictly_after(spark):
+    # same-timestamp step does NOT count as progression
+    ev = _ev(spark, [(1, "signup", 0), (1, "view", 0)])
+    out = {r.step: r.n_users for r in funnel_counts(ev, ["signup", "view"]).collect()}
+    assert out == {"signup": 1, "view": 0}
+
+
+def test_cohort_retention_triangle(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "view", 0), (1, "view", 7), (1, "view", 21),  # cohort w0: offsets 0,1,3
+            (2, "view", 0),                                   # cohort w0: offset 0 only
+            (3, "view", 7), (3, "view", 14),                  # cohort w1: offsets 0,1
+        ],
+    )
+    rows = cohort_retention(ev, bucket="week").collect()
+    # 2026-01-01 is a Thursday; its week starts Mon 2025-12-29
+    w0, w1 = dt.date(2025, 12, 29), dt.date(2026, 1, 5)
+    got = {(r.cohort, r.period_offset): (r.n_active, r.n_cohort) for r in rows}
+    assert got == {
+        (w0, 0): (2, 2),
+        (w0, 1): (1, 2),
+        (w0, 3): (1, 2),
+        (w1, 0): (1, 1),
+        (w1, 1): (1, 1),
+    }
