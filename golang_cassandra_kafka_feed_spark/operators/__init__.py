@@ -44,6 +44,28 @@ from golang_cassandra_kafka_feed_spark.operators.selection import (
 from golang_cassandra_kafka_feed_spark.operators.textstats import (
     typicality_buckets,
 )
+from golang_cassandra_kafka_feed_spark.operators.asof import asof_nearest
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    minhash_accuracy_audit,
+)
+from golang_cassandra_kafka_feed_spark.operators.events import (
+    cohort_retention,
+    funnel_counts,
+)
+from golang_cassandra_kafka_feed_spark.operators.graph import (
+    connected_components,
+    duplicate_groups,
+    pagerank,
+)
+from golang_cassandra_kafka_feed_spark.operators.similarity import (
+    pq_adc_audit,
+    rrf_fuse,
+)
+from golang_cassandra_kafka_feed_spark.operators.textstats import (
+    bm25_search,
+    collocations,
+    token_diversity,
+)
 
 __all__ = [
     "top_k_global",
@@ -76,4 +98,16 @@ __all__ = [
     "dsir_resample",
     "weighted_bottomk",
     "typicality_buckets",
+    "asof_nearest",
+    "minhash_accuracy_audit",
+    "funnel_counts",
+    "cohort_retention",
+    "connected_components",
+    "duplicate_groups",
+    "pagerank",
+    "rrf_fuse",
+    "pq_adc_audit",
+    "bm25_search",
+    "collocations",
+    "token_diversity",
 ]
