@@ -115,3 +115,35 @@ def cohort_retention(
             "n_cohort",
         )
     )
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history builder: turn an update
+    log (key, ts, attrs) into validity intervals — each row becomes
+    valid from its own timestamp until the key's next update
+    (``valid_to`` NULL for the current row, ``is_current`` flag).  The
+    warehouse-history shape that makes point-in-time joins a simple
+    range predicate (compose with ``asof_join`` for the lookup side).
+
+    One window pass per key (LEAD over (ts, *tie_cols)) — a single
+    shuffle on the key, no joins.  ``tie_cols`` pin the ordering of
+    equal-timestamp updates (the last one in tie order wins the open
+    interval; earlier ones get zero-length intervals rather than being
+    silently dropped — an auditable record of the conflict).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    nxt = F.lead(ts_col).over(w)
+    return (
+        updates.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

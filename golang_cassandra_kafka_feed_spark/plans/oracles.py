@@ -2104,3 +2104,16 @@ ORACLES["q88_cohort_retention"] = """
     ) b USING (cohort)
     ORDER BY cohort, period_offset
 """
+
+# q89: SCD2 interval build — LEAD over (ts, event_id) per user.
+ORACLES["q89_scd2_intervals"] = """
+    SELECT user_id, event_id,
+           ROUND(value * 100) / 100 AS value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    ORDER BY user_id, valid_from, event_id
+"""

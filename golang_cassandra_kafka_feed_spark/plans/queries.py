@@ -1865,6 +1865,32 @@ def q88(spark, sf_dir):
     )
 
 
+def q89(spark, sf_dir):
+    """SCD2 history build (operators/events.py::scd2_intervals): each
+    user's event-value updates become validity intervals
+    [valid_from, valid_to) with an is_current flag — the
+    point-in-time-joinable warehouse history of the event log.  One
+    LEAD window pass, ties pinned on event_id."""
+    from golang_cassandra_kafka_feed_spark.operators.events import (
+        scd2_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = scd2_intervals(
+        ev, key_cols=["user_id"], ts_col="ts", tie_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _round2(F.col("value")).alias("value"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1957,6 +1983,7 @@ QUERIES = {
     "q86_asof_nearest": q86,
     "q87_funnel": q87,
     "q88_cohort_retention": q88,
+    "q89_scd2_intervals": q89,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -58,3 +58,44 @@ def test_cohort_retention_triangle(spark):
         (w1, 0): (1, 1),
         (w1, 1): (1, 1),
     }
+
+
+def test_scd2_intervals_chain_and_current(spark):
+    from golang_cassandra_kafka_feed_spark.operators.events import (
+        scd2_intervals,
+    )
+
+    ev = _ev(
+        spark,
+        [(1, "a", 0), (1, "b", 5), (1, "c", 9), (2, "x", 3)],
+    ).withColumnRenamed("event_type", "val")
+    rows = sorted(
+        scd2_intervals(ev, ["user_id"], "ts", tie_cols=["val"]).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    u1 = [r for r in rows if r.user_id == 1]
+    # contiguous chain: each valid_to == next valid_from; only last open
+    assert [r.val for r in u1] == ["a", "b", "c"]
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert [r.is_current for r in u1] == [False, False, True]
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].valid_to is None
+
+
+def test_scd2_equal_ts_ties_pinned(spark):
+    from golang_cassandra_kafka_feed_spark.operators.events import (
+        scd2_intervals,
+    )
+
+    ev = _ev(spark, [(1, "b", 0), (1, "a", 0)]).withColumnRenamed(
+        "event_type", "val"
+    )
+    rows = {
+        r.val: r
+        for r in scd2_intervals(ev, ["user_id"], "ts", tie_cols=["val"]).collect()
+    }
+    # tie order: 'a' before 'b'; 'b' wins the open interval, 'a' gets a
+    # zero-length one (auditable, not dropped)
+    assert rows["b"].is_current and not rows["a"].is_current
+    assert rows["a"].valid_to == rows["a"].valid_from
