@@ -171,3 +171,84 @@ def bloom_semi_filter(
         c = bit == 1
         cond = c if cond is None else (cond & c)
     return big.filter(cond)
+
+
+# Portable bloom-audit sizing: deliberately tight (load factor ~0.73 at
+# ~1k build keys) so the false-positive mechanism is actually exercised.
+# Exported for the DuckDB oracle.
+BLOOM_AUDIT_M = 4096
+BLOOM_AUDIT_K = 3
+
+
+def bloom_fp_audit(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = BLOOM_AUDIT_M,
+    k: int = BLOOM_AUDIT_K,
+) -> DataFrame:
+    """Bloom-filter accuracy audit: every probe key labeled with its
+    exact membership in the build key set, the bloom verdict, and the
+    false-positive flag — the audit a deployment runs before trusting
+    `bloom_semi_filter`'s fpp sizing on real key distributions.  The
+    sketch-accuracy family's fourth member (KMV q48, minhash q78,
+    PQ-ADC q84).
+
+    Unlike `bloom_semi_filter` (xxhash, engine-internal), positions
+    here are the md5-prefix hash (`_md5_32(key || ':' || seed) %
+    m_bits`), so a DuckDB oracle reproduces the EXACT bit set and every
+    verdict.  Membership is an anti-join against the (<= m_bits)-row
+    distinct-position table rather than a per-row scan of a position
+    array: the position table broadcasts, the probe side never
+    shuffles, and a probe key is a bloom-maybe iff NONE of its k
+    positions is missing.  No false negatives by construction —
+    the oracle equality proves it on every run.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.dedup import _md5_32
+
+    def positions(col):
+        return F.array(
+            *[
+                F.pmod(
+                    _md5_32(
+                        F.concat(
+                            col.cast("string"), F.lit(":"), F.lit(str(s))
+                        )
+                    ),
+                    F.lit(m_bits),
+                )
+                for s in range(k)
+            ]
+        )
+
+    bkeys = build.select(F.col(build_key).alias("__bk")).distinct()
+    pos = (
+        bkeys.select(F.explode(positions(F.col("__bk"))).alias("p"))
+        .distinct()
+    )
+    probe_pos = probe.select(
+        F.col(probe_key).alias("key"),
+        F.explode(positions(F.col(probe_key))).alias("p"),
+    )
+    missing = (
+        probe_pos.join(F.broadcast(pos), "p", "left_anti")
+        .select("key")
+        .distinct()
+        .withColumn("__miss", F.lit(True))
+    )
+    exact = bkeys.withColumn("__hit", F.lit(True))
+    out = (
+        probe.select(F.col(probe_key).alias("key"))
+        .distinct()
+        .join(F.broadcast(missing), "key", "left")
+        .join(exact, F.col("key") == F.col("__bk"), "left")
+    )
+    bloom_maybe = F.col("__miss").isNull()
+    exact_member = F.col("__hit").isNotNull()
+    return out.select(
+        "key",
+        exact_member.alias("exact_member"),
+        bloom_maybe.alias("bloom_maybe"),
+        (bloom_maybe & ~exact_member).alias("is_false_positive"),
+    )

@@ -2117,3 +2117,38 @@ ORACLES["q89_scd2_intervals"] = """
     FROM events
     ORDER BY user_id, valid_from, event_id
 """
+
+# q90: bloom FP audit — identical md5 positions, anti-join membership.
+from golang_cassandra_kafka_feed_spark.operators.sketches import (  # noqa: E402
+    BLOOM_AUDIT_K as _BL_K,
+    BLOOM_AUDIT_M as _BL_M,
+)
+
+ORACLES["q90_bloom_fp_audit"] = f"""
+    WITH bkeys AS (
+        SELECT DISTINCT o_custkey AS bk FROM orders
+    ), pos AS (
+        SELECT DISTINCT
+               {_h32("CAST(bk AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)")}
+                 % {_BL_M} AS p
+        FROM bkeys, range(0, {_BL_K}) s(s)
+    ), probe AS (
+        SELECT DISTINCT c_custkey AS key FROM customer
+    ), ppos AS (
+        SELECT key,
+               {_h32("CAST(key AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)")}
+                 % {_BL_M} AS p
+        FROM probe, range(0, {_BL_K}) s(s)
+    ), missing AS (
+        SELECT DISTINCT key FROM ppos
+        WHERE p NOT IN (SELECT p FROM pos)
+    )
+    SELECT probe.key AS c_custkey,
+           (bk IS NOT NULL) AS exact_member,
+           (missing.key IS NULL) AS bloom_maybe,
+           ((missing.key IS NULL) AND bk IS NULL) AS is_false_positive
+    FROM probe
+    LEFT JOIN missing ON missing.key = probe.key
+    LEFT JOIN bkeys ON bk = probe.key
+    ORDER BY c_custkey
+"""

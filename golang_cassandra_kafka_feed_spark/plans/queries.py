@@ -1891,6 +1891,26 @@ def q89(spark, sf_dir):
     ).orderBy("user_id", "valid_from", "event_id")
 
 
+def q90(spark, sf_dir):
+    """Bloom false-positive audit
+    (operators/sketches.py::bloom_fp_audit): every customer key labeled
+    with exact membership in the orders-custkey set, the bloom verdict
+    from a deliberately tight md5-position filter, and the FP flag —
+    the fourth sketch-accuracy audit (KMV q48, minhash q78, PQ q84),
+    and the first with the bloom BIT SET itself cross-engine-checked."""
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        bloom_fp_audit,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        bloom_fp_audit(c, o, "c_custkey", "o_custkey")
+        .withColumnRenamed("key", "c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -1984,6 +2004,7 @@ QUERIES = {
     "q87_funnel": q87,
     "q88_cohort_retention": q88,
     "q89_scd2_intervals": q89,
+    "q90_bloom_fp_audit": q90,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

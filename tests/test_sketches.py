@@ -94,3 +94,30 @@ def test_kmv_distinct_exact_below_k(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_bloom_fp_audit_no_false_negatives_and_real_fps(spark, sf_dir):
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        bloom_fp_audit,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        load_table,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rows = bloom_fp_audit(c, o, "c_custkey", "o_custkey").collect()
+    assert rows
+    # no false negatives: every exact member is a bloom-maybe
+    assert all(r.bloom_maybe for r in rows if r.exact_member)
+    # fp flag consistent
+    assert all(
+        r.is_false_positive == (r.bloom_maybe and not r.exact_member)
+        for r in rows
+    )
+    # tight sizing yields a measurable-but-bounded FP rate among
+    # non-members (when any exist at this SF)
+    non = [r for r in rows if not r.exact_member]
+    if len(non) >= 50:
+        fp = sum(r.is_false_positive for r in non) / len(non)
+        assert 0.0 < fp < 0.6, fp
