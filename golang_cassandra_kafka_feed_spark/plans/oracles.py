@@ -2152,3 +2152,15 @@ ORACLES["q90_bloom_fp_audit"] = f"""
     LEFT JOIN bkeys ON bk = probe.key
     ORDER BY c_custkey
 """
+
+# q91: salted-join equivalence — the oracle is the PLAIN join+aggregate;
+# hash equality proves the salting transform result-invariant.
+ORACLES["q91_salted_join"] = """
+    SELECT l_suppkey, s_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY l_suppkey, s_name
+    ORDER BY l_suppkey
+"""

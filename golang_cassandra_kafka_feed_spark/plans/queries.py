@@ -1911,6 +1911,40 @@ def q90(spark, sf_dir):
     )
 
 
+def q91(spark, sf_dir):
+    """Salted skew join, oracle-checked for EQUIVALENCE: lineitem
+    (synthetically hot on l_suppkey after a low-cardinality projection)
+    salted-joined to supplier (operators/skew.py::salted_join,
+    deterministic salt on l_orderkey), aggregated per supplier.  The
+    oracle is the PLAIN join+aggregate — proving the salting transform
+    is result-invariant is exactly what makes it safe to reach for at
+    100 TB.  (Mechanism already covered by tests/test_skew.py; this
+    puts the equivalence under the driver's hash gate too.)"""
+    from golang_cassandra_kafka_feed_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(
+        li,
+        s.withColumnRenamed("s_suppkey", "l_suppkey"),
+        on=["l_suppkey"],
+        salt=8,
+        deterministic_by="l_orderkey",
+    )
+    return (
+        joined.groupBy("l_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dec_sum("l_quantity", "sum_qty"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2005,6 +2039,7 @@ QUERIES = {
     "q88_cohort_retention": q88,
     "q89_scd2_intervals": q89,
     "q90_bloom_fp_audit": q90,
+    "q91_salted_join": q91,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
