@@ -2164,3 +2164,45 @@ ORACLES["q91_salted_join"] = """
     GROUP BY l_suppkey, s_name
     ORDER BY l_suppkey
 """
+
+# q92: interval-overlap join — the oracle is the plain overlap join over
+# the same session/SCD2 derivations (checks the result; the bucketing +
+# first-overlap-bucket dedup is the Spark mechanism).
+ORACLES["q92_interval_join"] = """
+    WITH lagd AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS pts
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN pts IS NULL
+                        OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                       THEN 1 ELSE 0 END AS nw
+        FROM lagd
+    ), sess_rows AS (
+        SELECT *, sum(nw) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, session_id,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM sess_rows GROUP BY user_id, session_id
+    ), scd AS (
+        SELECT user_id, event_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events
+    ), mts AS (
+        SELECT user_id, max(ts) AS m FROM events GROUP BY user_id
+    ), hist AS (
+        SELECT scd.user_id, event_id, valid_from,
+               coalesce(valid_to, m) AS valid_to
+        FROM scd JOIN mts ON scd.user_id = mts.user_id
+    )
+    SELECT s.user_id, s.session_id, h.event_id
+    FROM sess s JOIN hist h
+      ON s.user_id = h.user_id
+     AND s.s_start <= h.valid_to AND h.valid_from <= s.s_end
+    ORDER BY s.user_id, s.session_id, h.event_id
+"""

@@ -1945,6 +1945,55 @@ def q91(spark, sf_dir):
     )
 
 
+def q92(spark, sf_dir):
+    """Interval-overlap join (operators/range_join.py::interval_join):
+    per user, which SCD2 value-intervals (q89, open ends clamped to the
+    user's last event) were in effect during each 30-minute-gap session
+    (q27's sessionizer rolled to intervals) — the session x history
+    temporal join.  Bucketed to an equi key with a residual overlap
+    filter; each pair emitted once via the first-overlap-bucket rule."""
+    from golang_cassandra_kafka_feed_spark.operators.events import (
+        scd2_intervals,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.range_join import (
+        interval_join,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    sess = (
+        sessionize(ev, ["user_id"], "ts", 1800, order_tiebreak=["event_id"])
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    scd = scd2_intervals(
+        ev, key_cols=["user_id"], ts_col="ts", tie_cols=["event_id"]
+    )
+    mts = ev.groupBy("user_id").agg(F.max("ts").alias("__mts"))
+    hist = scd.join(mts, "user_id").select(
+        "user_id",
+        "event_id",
+        "valid_from",
+        F.coalesce("valid_to", "__mts").alias("valid_to"),
+    )
+    out = interval_join(
+        sess,
+        hist,
+        on=["user_id"],
+        l_start="s_start",
+        l_end="s_end",
+        r_start="valid_from",
+        r_end="valid_to",
+    )
+    return out.select(
+        "user_id", "session_id", "event_id"
+    ).orderBy("user_id", "session_id", "event_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2040,6 +2089,7 @@ QUERIES = {
     "q89_scd2_intervals": q89,
     "q90_bloom_fp_audit": q90,
     "q91_salted_join": q91,
+    "q92_interval_join": q92,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -99,3 +99,42 @@ def test_scd2_equal_ts_ties_pinned(spark):
     # zero-length one (auditable, not dropped)
     assert rows["b"].is_current and not rows["a"].is_current
     assert rows["a"].valid_to == rows["a"].valid_from
+
+
+def test_interval_join_overlap_exactly_once(spark):
+    import datetime as dt
+
+    from golang_cassandra_kafka_feed_spark.operators.range_join import (
+        interval_join,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+
+    def t(h):
+        return base + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, t(0), t(100)),   # long interval spanning many buckets
+            (1, 11, t(200), t(201)),
+            (2, 20, t(0), t(10)),
+        ],
+        "k long, lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 30, t(50), t(60)),    # inside lid=10
+            (1, 31, t(99), t(250)),   # overlaps BOTH lid=10 and lid=11
+            (1, 32, t(300), t(301)),  # no overlap
+            (2, 40, t(10), t(20)),    # touches lid=20 at the boundary
+            (3, 50, t(0), t(1)),      # key mismatch
+        ],
+        "k long, rid long, rs timestamp, re timestamp",
+    )
+    rows = interval_join(
+        left, right, ["k"], "ls", "le", "rs", "re",
+        bucket_seconds=3600,  # small buckets: long intervals span ~100
+    ).collect()
+    got = sorted((r.lid, r.rid) for r in rows)
+    # exactly once per overlapping pair, closed-interval boundary counts
+    assert got == [(10, 30), (10, 31), (11, 31), (20, 40)]
