@@ -3,7 +3,10 @@ from golang_cassandra_kafka_feed_spark.operators.topk import (
     top_k_per_key,
 )
 from golang_cassandra_kafka_feed_spark.operators.asof import asof_join
-from golang_cassandra_kafka_feed_spark.operators.range_join import range_join
+from golang_cassandra_kafka_feed_spark.operators.range_join import (
+    interval_join,
+    range_join,
+)
 from golang_cassandra_kafka_feed_spark.operators.sessionize import sessionize
 from golang_cassandra_kafka_feed_spark.operators.dedup import (
     exact_dedup,
@@ -32,6 +35,7 @@ from golang_cassandra_kafka_feed_spark.operators.skew import (
 from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
 from golang_cassandra_kafka_feed_spark.operators.sketches import (
     approx_distinct,
+    bloom_fp_audit,
     approx_percentiles,
     bloom_semi_filter,
 )
@@ -51,6 +55,7 @@ from golang_cassandra_kafka_feed_spark.operators.dedup import (
 from golang_cassandra_kafka_feed_spark.operators.events import (
     cohort_retention,
     funnel_counts,
+    scd2_intervals,
 )
 from golang_cassandra_kafka_feed_spark.operators.graph import (
     connected_components,
@@ -110,4 +115,7 @@ __all__ = [
     "bm25_search",
     "collocations",
     "token_diversity",
+    "scd2_intervals",
+    "interval_join",
+    "bloom_fp_audit",
 ]
