@@ -2206,3 +2206,33 @@ ORACLES["q92_interval_join"] = """
      AND s.s_start <= h.valid_to AND h.valid_from <= s.s_end
     ORDER BY s.user_id, s.session_id, h.event_id
 """
+
+# q93: array/HOF battery — DuckDB list-function twins.
+ORACLES["q93_array_battery"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           array_to_string(list_slice(list_sort(toks), 1, 3), ',')
+               AS first3_sorted,
+           CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT)
+               AS pos_the,
+           array_to_string(list_reverse(list_slice(toks, 1, 3)), ',')
+               AS first3_reversed,
+           list_contains(toks, 'table') AS has_table,
+           CAST(len(list_filter(toks, t -> length(t) >= 5)) AS BIGINT)
+               AS n_long_tokens,
+           array_to_string(
+               list_slice(list_transform(toks, t -> upper(t)), 1, 2), ',')
+               AS first2_upper,
+           coalesce(list_bool_or(
+               list_transform(toks, t -> length(t) = 1)), false)
+               AS has_single,
+           CAST(CASE WHEN len(toks) >= 2
+                THEN len(list_filter(range(1, len(toks)),
+                                     i -> toks[i] = toks[i + 1]))
+                ELSE 0 END AS BIGINT) AS n_adjacent_dups
+    FROM t ORDER BY doc_id
+"""

@@ -1994,6 +1994,54 @@ def q92(spark, sf_dir):
     ).orderBy("user_id", "session_id", "event_id")
 
 
+def q93(spark, sf_dir):
+    """Array / higher-order-function battery over the token arrays:
+    sort, distinct, slice, position, reverse, contains, flatten-free
+    zip_with, transform, filter, exists — the HOF surface q50-q52 give
+    scalars, completed for arrays.  All outputs scalar/string-joined so
+    the DuckDB list-function twins compare exactly."""
+    d = _t(spark, sf_dir, "documents")
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        tokens,
+    )
+
+    toks = tokens("text")
+    srt = F.array_sort(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(srt, 1, 3), ",").alias("first3_sorted"),
+        F.coalesce(
+            F.array_position(toks, "the").cast("long"), F.lit(0)
+        ).alias("pos_the"),
+        F.array_join(F.reverse(F.slice(toks, 1, 3)), ",").alias(
+            "first3_reversed"
+        ),
+        F.array_contains(toks, "table").alias("has_table"),
+        F.size(
+            F.filter(toks, lambda t: F.length(t) >= 5)
+        ).cast("long").alias("n_long_tokens"),
+        F.array_join(
+            F.slice(F.transform(toks, lambda t: F.upper(t)), 1, 2), ","
+        ).alias("first2_upper"),
+        F.exists(toks, lambda t: F.length(t) == 1).alias("has_single"),
+        F.when(
+            F.size(toks) >= 2,
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: a == b,
+                    ),
+                    lambda v: v,
+                )
+            ),
+        ).otherwise(0).cast("long").alias("n_adjacent_dups"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2090,6 +2138,7 @@ QUERIES = {
     "q90_bloom_fp_audit": q90,
     "q91_salted_join": q91,
     "q92_interval_join": q92,
+    "q93_array_battery": q93,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
