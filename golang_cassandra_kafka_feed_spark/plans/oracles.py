@@ -2236,3 +2236,20 @@ ORACLES["q93_array_battery"] = f"""
                 ELSE 0 END AS BIGINT) AS n_adjacent_dups
     FROM t ORDER BY doc_id
 """
+
+# q94: bag-semantics set ops — EXCEPT ALL / INTERSECT ALL.
+ORACLES["q94_multiset_ops"] = """
+    WITH o AS (SELECT o_custkey AS k FROM orders),
+    c AS (SELECT c_custkey AS k FROM customer),
+    ex AS (
+        SELECT k, 'except_all' AS op, count(*) AS n
+        FROM (SELECT k FROM o EXCEPT ALL SELECT k FROM c)
+        GROUP BY k
+    ), ia AS (
+        SELECT k, 'intersect_all' AS op, count(*) AS n
+        FROM (SELECT k FROM o INTERSECT ALL SELECT k FROM c)
+        GROUP BY k
+    )
+    SELECT * FROM ex UNION ALL SELECT * FROM ia
+    ORDER BY op, k
+"""

@@ -2042,6 +2042,34 @@ def q93(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q94(spark, sf_dir):
+    """Multiset set-operations: EXCEPT ALL and INTERSECT ALL (the
+    bag-semantics twins of q20's distinct set ops).  Orders' custkey
+    multiset (one occurrence per order) minus / intersected with the
+    customer key multiset (one each), rolled up to per-key counts so
+    the multiplicity arithmetic is visible: except_all count = orders
+    per key minus 1, intersect_all count = 1 for every active key."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    ex = (
+        o.exceptAll(c)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select("k", F.lit("except_all").alias("op"), "n")
+    )
+    ia = (
+        o.intersectAll(c)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select("k", F.lit("intersect_all").alias("op"), "n")
+    )
+    return ex.unionByName(ia).orderBy("op", "k")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2139,6 +2167,7 @@ QUERIES = {
     "q91_salted_join": q91,
     "q92_interval_join": q92,
     "q93_array_battery": q93,
+    "q94_multiset_ops": q94,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
