@@ -2253,3 +2253,20 @@ ORACLES["q94_multiset_ops"] = """
     SELECT * FROM ex UNION ALL SELECT * FROM ia
     ORDER BY op, k
 """
+
+# q95: regex battery — dialect-portable patterns (no lookaround, no
+# backrefs); DuckDB regexp_replace needs the explicit 'g' flag to match
+# Spark's replace-all.
+ORACLES["q95_regex_battery"] = r"""
+    SELECT doc_id,
+           coalesce(regexp_extract(text, '([a-z]{5,})', 1), '')
+               AS first_long,
+           coalesce(array_to_string(
+               list_slice(regexp_extract_all(text, '\b(s[a-z]+)', 1),
+                          1, 3), ','), '') AS first3_s_words,
+           CAST(len(regexp_extract_all(text, 'ta')) AS BIGINT) AS n_ta,
+           md5(regexp_replace(text, '[aeiou]', '_', 'g'))
+               AS devoweled_md5,
+           regexp_matches(text, '^[a-z]') AS starts_alpha
+    FROM documents ORDER BY doc_id
+"""

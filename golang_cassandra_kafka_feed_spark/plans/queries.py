@@ -2070,6 +2070,29 @@ def q94(spark, sf_dir):
     return ex.unionByName(ia).orderBy("op", "k")
 
 
+def q95(spark, sf_dir):
+    """Regex battery: extract / extract_all / count / replace / match
+    over documents.text with patterns valid in BOTH Java regex (Spark)
+    and RE2 (DuckDB) — no lookaround, no backreferences (the dialect-
+    portable subset; the anonymizer's lookbehind patterns deliberately
+    stay out, tested Spark-side only in test_functions.py).  The
+    replaced text is md5'd so row width stays bounded."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{5,})", 1).alias("first_long"),
+        F.array_join(
+            F.slice(F.regexp_extract_all("text", F.lit(r"\b(s[a-z]+)"), 1), 1, 3),
+            ",",
+        ).alias("first3_s_words"),
+        F.regexp_count("text", F.lit("ta")).cast("long").alias("n_ta"),
+        F.md5(F.regexp_replace("text", "[aeiou]", "_")).alias(
+            "devoweled_md5"
+        ),
+        F.col("text").rlike("^[a-z]").alias("starts_alpha"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2168,6 +2191,7 @@ QUERIES = {
     "q92_interval_join": q92,
     "q93_array_battery": q93,
     "q94_multiset_ops": q94,
+    "q95_regex_battery": q95,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
