@@ -3,6 +3,10 @@ from golang_cassandra_kafka_feed_spark.operators.topk import (
     top_k_per_key,
 )
 from golang_cassandra_kafka_feed_spark.operators.asof import asof_join
+from golang_cassandra_kafka_feed_spark.operators.profile import (
+    profile_table,
+    quality_checks,
+)
 from golang_cassandra_kafka_feed_spark.operators.range_join import (
     interval_join,
     range_join,
@@ -118,4 +122,6 @@ __all__ = [
     "scd2_intervals",
     "interval_join",
     "bloom_fp_audit",
+    "profile_table",
+    "quality_checks",
 ]

@@ -1,0 +1,91 @@
+"""Data profiling and declarative quality checks (the Deequ/dbt-test
+surface): per-column statistics and dataset-level constraint validation
+— what a 100 TB ingest runs before and after every pipeline stage.
+
+Both are single-pass aggregations: profiling computes every column's
+metrics in ONE scan (no per-column jobs), and each constraint compiles
+to an aggregate expression on the same pass.  Outputs are exact
+integers/strings, so DuckDB oracles hash-match.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile: row count, null count, exact distinct count,
+    min and max (stringified — type-uniform output schema).
+
+    ONE scan: all metrics for all columns are aggregate expressions in
+    a single groupBy-less agg (count/min/max are map-side partial;
+    count(DISTINCT col) per column plans as Spark's expand+aggregate —
+    n_cols expansions of one scan, still one job).  Output long format:
+    (column, n_rows, n_null, n_distinct, min_val, max_val).
+    """
+    cols = list(columns or df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            # min/max on the NATIVE type (casting first would make them
+            # lexicographic), stringified afterwards for the uniform
+            # output schema
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, n_null, n_distinct, min_val, max_val)",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def quality_checks(
+    df: DataFrame, checks: Sequence[tuple[str, Column, Column]]
+) -> DataFrame:
+    """Declarative dataset checks: each check is (name, measure,
+    threshold_ok) where ``measure`` is an aggregate Column over ``df``
+    and ``threshold_ok`` a boolean Column over the measures' aliases.
+    All measures evaluate in ONE aggregation pass; the verdicts are a
+    row-local projection.  Output: (check, measure, passed).
+
+    Example::
+
+        quality_checks(orders, [
+            ("pk_unique",
+             (F.count("*") - F.countDistinct("o_orderkey")).cast("double"),
+             F.col("measure") == 0),
+            ("price_positive",
+             F.sum((F.col("o_totalprice") <= 0).cast("long")).cast("double"),
+             F.col("measure") == 0),
+        ])
+    """
+    wide = df.agg(
+        *[
+            m.cast("double").alias(f"__m{i}")
+            for i, (_, m, _) in enumerate(checks)
+        ]
+    )
+    # stack to long form FIRST (one evaluation of the aggregate row —
+    # unioning N per-check selects would re-reference the agg subtree N
+    # times), then apply each verdict via a check-name dispatch.
+    stack = ", ".join(f"'{name}', __m{i}" for i, (name, _, _) in enumerate(checks))
+    long = wide.selectExpr(
+        f"stack({len(checks)}, {stack}) AS (check, measure)"
+    )
+    passed = None
+    for name, _, ok in checks:
+        branch = F.when(F.col("check") == name, ok)
+        passed = branch if passed is None else passed.when(
+            F.col("check") == name, ok
+        )
+    return long.select("check", "measure", passed.alias("passed"))

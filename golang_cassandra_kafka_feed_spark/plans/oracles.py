@@ -2270,3 +2270,65 @@ ORACLES["q95_regex_battery"] = r"""
            regexp_matches(text, '^[a-z]') AS starts_alpha
     FROM documents ORDER BY doc_id
 """
+
+# q96/q97: profiling + declarative quality checks.
+ORACLES["q96_table_profile"] = """
+    WITH w AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+               count(DISTINCT o_orderkey) AS d1,
+               CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+               CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+               count(DISTINCT o_custkey) AS d2,
+               CAST(min(o_custkey) AS VARCHAR) AS mn2,
+               CAST(max(o_custkey) AS VARCHAR) AS mx2,
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+               count(DISTINCT o_orderstatus) AS d3,
+               min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu4,
+               count(DISTINCT o_orderpriority) AS d4,
+               min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS "column", n AS n_rows,
+               CAST(nu1 AS BIGINT) AS n_null, d1 AS n_distinct,
+               mn1 AS min_val, mx1 AS max_val FROM w
+        UNION ALL
+        SELECT 'o_custkey', n, CAST(nu2 AS BIGINT), d2, mn2, mx2 FROM w
+        UNION ALL
+        SELECT 'o_orderstatus', n, CAST(nu3 AS BIGINT), d3, mn3, mx3 FROM w
+        UNION ALL
+        SELECT 'o_orderpriority', n, CAST(nu4 AS BIGINT), d4, mn4, mx4 FROM w
+    ) ORDER BY "column"
+"""
+
+ORACLES["q97_quality_checks"] = """
+    WITH d AS (
+        SELECT o.*, c.c_custkey IS NOT NULL AS cust_ok
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    ), w AS (
+        SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS m0,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS m1,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS m2,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS m3,
+               CAST(sum(CASE WHEN NOT cust_ok THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS m4
+        FROM d
+    )
+    SELECT * FROM (
+        SELECT 'pk_unique' AS "check", m0 AS measure, m0 = 0 AS passed FROM w
+        UNION ALL
+        SELECT 'custkey_complete', m1, m1 = 0 FROM w
+        UNION ALL
+        SELECT 'price_positive', m2, m2 = 0 FROM w
+        UNION ALL
+        SELECT 'status_domain', m3, m3 = 0 FROM w
+        UNION ALL
+        SELECT 'custkey_ri', m4, m4 = 0 FROM w
+    ) ORDER BY "check"
+"""

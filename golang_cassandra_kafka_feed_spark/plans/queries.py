@@ -2093,6 +2093,77 @@ def q95(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q96(spark, sf_dir):
+    """Table profile (operators/profile.py::profile_table): per-column
+    row/null/exact-distinct counts + stringified min/max for orders'
+    key, string, and date columns, in ONE scan — the Deequ/dbt-style
+    profiling surface an ingest runs per batch.  (Double columns stay
+    out of the stringified min/max: double->string formatting differs
+    cross-engine; profile numerics via q58's moments instead.)"""
+    from golang_cassandra_kafka_feed_spark.operators.profile import (
+        profile_table,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("column")
+
+
+def q97(spark, sf_dir):
+    """Declarative quality checks
+    (operators/profile.py::quality_checks): primary-key uniqueness,
+    completeness, value-range, accepted-domain, and referential
+    integrity (orders -> customer, via a pre-joined flag) — all
+    measures in ONE aggregation pass, verdicts row-local."""
+    from golang_cassandra_kafka_feed_spark.operators.profile import (
+        quality_checks,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.lit(True).alias("__cust_ok"),
+    )
+    d = o.join(c, "o_custkey", "left")
+    zero = F.col("measure") == 0
+    return quality_checks(
+        d,
+        [
+            (
+                "pk_unique",
+                F.count("*") - F.countDistinct("o_orderkey"),
+                zero,
+            ),
+            (
+                "custkey_complete",
+                F.sum(F.col("o_custkey").isNull().cast("long")),
+                zero,
+            ),
+            (
+                "price_positive",
+                F.sum((F.col("o_totalprice") <= 0).cast("long")),
+                zero,
+            ),
+            (
+                "status_domain",
+                F.sum(
+                    (~F.col("o_orderstatus").isin("O", "F", "P")).cast(
+                        "long"
+                    )
+                ),
+                zero,
+            ),
+            (
+                "custkey_ri",
+                F.sum(F.col("__cust_ok").isNull().cast("long")),
+                zero,
+            ),
+        ],
+    ).orderBy("check")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2192,6 +2263,8 @@ QUERIES = {
     "q93_array_battery": q93,
     "q94_multiset_ops": q94,
     "q95_regex_battery": q95,
+    "q96_table_profile": q96,
+    "q97_quality_checks": q97,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the

@@ -138,3 +138,47 @@ def test_interval_join_overlap_exactly_once(spark):
     got = sorted((r.lid, r.rid) for r in rows)
     # exactly once per overlapping pair, closed-interval boundary counts
     assert got == [(10, 30), (10, 31), (11, 31), (20, 40)]
+
+
+def test_profile_and_quality_checks(spark):
+    from pyspark.sql import functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.profile import (
+        profile_table,
+        quality_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (2, None, 3.0)],
+        "id long, s string, v double",
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["id"].n_rows == 3 and prof["id"].n_distinct == 2
+    assert prof["s"].n_null == 1 and prof["s"].min_val == "a"
+    assert prof["v"].max_val == "10.0"
+    checks = {
+        r.check: r
+        for r in quality_checks(
+            df,
+            [
+                (
+                    "pk_unique",
+                    F.count("*") - F.countDistinct("id"),
+                    F.col("measure") == 0,
+                ),
+                (
+                    "v_positive",
+                    F.sum((F.col("v") <= 0).cast("long")),
+                    F.col("measure") == 0,
+                ),
+                (
+                    "s_mostly_complete",
+                    F.sum(F.col("s").isNull().cast("long")),
+                    F.col("measure") <= 1,
+                ),
+            ],
+        ).collect()
+    }
+    assert not checks["pk_unique"].passed and checks["pk_unique"].measure == 1.0
+    assert not checks["v_positive"].passed
+    assert checks["s_mostly_complete"].passed
