@@ -2332,3 +2332,29 @@ ORACLES["q97_quality_checks"] = """
         SELECT 'custkey_ri', m4, m4 = 0 FROM w
     ) ORDER BY "check"
 """
+
+# q98: share-of-total — exact-decimal revenue, window sums at two
+# grains, deterministic double divisions.
+ORACLES["q98_share_of_total"] = """
+    WITH rev AS (
+        SELECT r_name, n_name,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,4))) AS rv
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           ROUND(CAST(rv AS DOUBLE)
+                 / CAST(sum(rv) OVER (PARTITION BY r_name) AS DOUBLE)
+                 * 1000000) / 1000000 AS share_of_region,
+           ROUND(CAST(rv AS DOUBLE)
+                 / CAST(sum(rv) OVER () AS DOUBLE)
+                 * 1000000) / 1000000 AS share_of_total
+    FROM rev ORDER BY r_name, n_name
+"""

@@ -2164,6 +2164,50 @@ def q97(spark, sf_dir):
     ).orderBy("check")
 
 
+def q98(spark, sf_dir):
+    """Share-of-total analytics (ratio_to_report): each nation's revenue
+    as a fraction of its region's and of the grand total — windowed
+    sums over an aggregate (two window frames on one pass), the BI
+    percent-of-parent staple.  Revenue accumulates in exact decimal
+    (q58 idiom) so the shares are deterministic divisions of identical
+    doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("decimal(28,4)")
+            ).alias("__rev")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    revd = F.col("__rev").cast("double")
+    region_total = F.sum("__rev").over(w_region).cast("double")
+    grand_total = F.sum("__rev").over(w_all).cast("double")
+    r6 = lambda col: F.round(col * 1000000) / 1000000  # noqa: E731
+    return rev.select(
+        "r_name",
+        "n_name",
+        r6(revd / region_total).alias("share_of_region"),
+        r6(revd / grand_total).alias("share_of_total"),
+    ).orderBy("r_name", "n_name")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2265,6 +2309,7 @@ QUERIES = {
     "q95_regex_battery": q95,
     "q96_table_profile": q96,
     "q97_quality_checks": q97,
+    "q98_share_of_total": q98,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
