@@ -2358,3 +2358,46 @@ ORACLES["q98_share_of_total"] = """
                  * 1000000) / 1000000 AS share_of_total
     FROM rev ORDER BY r_name, n_name
 """
+
+# q99: MAD robust outliers — quantile_cont as a window aggregate (the
+# q21 parity property), cents-rounded before the 3*MAD threshold.
+ORACLES["q99_mad_outliers"] = """
+    WITH d1 AS (
+        SELECT event_type, value,
+               ROUND(quantile_cont(value, 0.5)
+                     OVER (PARTITION BY event_type) * 100) / 100 AS med
+        FROM events
+    ), d2 AS (
+        SELECT event_type, value, med, abs(value - med) AS adev
+        FROM d1
+    ), d3 AS (
+        SELECT event_type, med, adev,
+               ROUND(quantile_cont(adev, 0.5)
+                     OVER (PARTITION BY event_type) * 100) / 100 AS mad
+        FROM d2
+    )
+    SELECT event_type, min(med) AS med, min(mad) AS mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d3 GROUP BY event_type ORDER BY event_type
+"""
+
+# q100: first-order Markov transition matrix — exact integer ratios.
+ORACLES["q100_markov_transitions"] = """
+    WITH pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        ) WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / sum(n) OVER (PARTITION BY prev_type) * 1000000)
+               / 1000000 AS p
+    FROM pairs ORDER BY prev_type, next_type
+"""

@@ -2208,6 +2208,64 @@ def q98(spark, sf_dir):
     ).orderBy("r_name", "n_name")
 
 
+def q99(spark, sf_dir):
+    """Robust outlier detection per event_type: median absolute
+    deviation (MAD) — median and MAD as exact-percentile WINDOW
+    aggregates (two passes over ONE partitioning shuffle, q21's
+    percentile parity property), then |x - med| > 3 * MAD counts.  The
+    robust-statistics companion to q80's z-score (MAD survives the
+    heavy tails that inflate a stddev).  Median/MAD round to cents
+    before the threshold so the boundary compares identical doubles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    med = F.round(F.expr("percentile(value, 0.5)").over(w) * 100) / 100
+    d1 = ev.withColumn("__med", med).withColumn(
+        "__adev", F.abs(F.col("value") - F.col("__med"))
+    )
+    mad = F.round(F.expr("percentile(__adev, 0.5)").over(w) * 100) / 100
+    d2 = d1.withColumn("__mad", mad)
+    return (
+        d2.groupBy("event_type")
+        .agg(
+            F.min("__med").alias("med"),
+            F.min("__mad").alias("mad"),
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("__adev") > F.lit(3.0) * F.col("__mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q100(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov): per-user LAG
+    gives (prev_type, type) pairs ordered by (ts, event_id); counts
+    row-normalize to transition probabilities — exact integer ratios.
+    The behavioral-sequence summary a feed product mines from its event
+    log (the reference records the events, cannot ask this)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.round(
+                F.col("n") / F.sum("n").over(w_row) * 1000000
+            )
+            / 1000000
+        ).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2310,6 +2368,8 @@ QUERIES = {
     "q96_table_profile": q96,
     "q97_quality_checks": q97,
     "q98_share_of_total": q98,
+    "q99_mad_outliers": q99,
+    "q100_markov_transitions": q100,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
