@@ -2401,3 +2401,29 @@ ORACLES["q100_markov_transitions"] = """
                / 1000000 AS p
     FROM pairs ORDER BY prev_type, next_type
 """
+
+# q101/q102: frame-window percentile (rolling median) and running-max
+# drawdown.
+ORACLES["q101_rolling_median"] = """
+    SELECT event_id, user_id,
+           ROUND(value * 100) / 100 AS value,
+           ROUND(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 100) / 100
+               AS rolling_median5
+    FROM events ORDER BY event_id
+"""
+
+ORACLES["q102_drawdown"] = """
+    SELECT event_id, user_id,
+           ROUND(value * 100) / 100 AS value,
+           ROUND(pk * 100) / 100 AS peak,
+           ROUND((pk - value) * 100) / 100 AS drawdown
+    FROM (
+        SELECT event_id, user_id, value,
+               max(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+        FROM events
+    ) ORDER BY event_id
+"""

@@ -2266,6 +2266,48 @@ def q100(spark, sf_dir):
     ).orderBy("prev_type", "next_type")
 
 
+def q101(spark, sf_dir):
+    """Rolling median: exact percentile over a 5-row sliding frame per
+    user (q18's moving average made robust) — percentile-as-window with
+    an explicit ROWS frame, the smoothing a monitoring pipeline runs
+    over noisy measurements."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _round2(F.col("value")).alias("value"),
+        _round2(F.expr("percentile(value, 0.5)").over(w)).alias(
+            "rolling_median5"
+        ),
+    ).orderBy("event_id")
+
+
+def q102(spark, sf_dir):
+    """Running-max drawdown per user: cumulative max of value over the
+    event sequence and the gap to it — max is exact (no accumulation
+    rounding), so every drawdown double is deterministic.  The
+    monitoring/finance running-peak staple."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        _round2(F.col("value")).alias("value"),
+        _round2(peak).alias("peak"),
+        _round2(peak - F.col("value")).alias("drawdown"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2370,6 +2412,8 @@ QUERIES = {
     "q98_share_of_total": q98,
     "q99_mad_outliers": q99,
     "q100_markov_transitions": q100,
+    "q101_rolling_median": q101,
+    "q102_drawdown": q102,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
