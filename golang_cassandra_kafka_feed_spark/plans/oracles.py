@@ -2427,3 +2427,41 @@ ORACLES["q102_drawdown"] = """
         FROM events
     ) ORDER BY event_id
 """
+
+# q103: triangle counting + clustering coefficient over the q47
+# mechanism at threshold 0.3 — the pair CTE derives AT IMPORT TIME from
+# the registered q47 oracle string with only the threshold literal
+# edited, so the mechanisms cannot drift apart.
+_Q103_PAIRS = ORACLES["q47_ngram_jaccard"].replace(
+    "jaccard >= 0.5", "jaccard >= 0.3"
+).replace("ORDER BY id_a, id_b", "")
+ORACLES["q103_triangles"] = f"""
+    WITH p AS ({_Q103_PAIRS}),
+    e AS (SELECT id_a AS a, id_b AS b FROM p),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    node_tri AS (
+        SELECT id, count(*) AS n_triangles FROM (
+            SELECT x AS id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY id
+    ),
+    deg AS (
+        SELECT id, count(*) AS degree FROM (
+            SELECT a AS id FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY id
+    )
+    SELECT deg.id AS doc_id, degree,
+           coalesce(n_triangles, 0) AS n_triangles,
+           CASE WHEN degree >= 2
+                THEN ROUND(coalesce(n_triangles, 0)
+                           / (degree * (degree - 1) / 2) * 1000000)
+                     / 1000000
+                ELSE 0.0 END AS clustering_coef
+    FROM deg LEFT JOIN node_tri ON node_tri.id = deg.id
+    ORDER BY doc_id
+"""

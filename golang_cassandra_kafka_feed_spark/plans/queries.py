@@ -2308,6 +2308,67 @@ def q102(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q103(spark, sf_dir):
+    """Triangle counting + local clustering coefficient over the
+    near-dup pair graph (q47's 3-gram Jaccard at threshold 0.3 for a
+    denser graph): triangles via the ordered two-join enumeration
+    (a<b<c — each triangle counted once, no orientation dedup), then
+    per-node triangle counts against degree-choose-2 — the cohesion
+    profile of duplicate clusters (a clique-y component is one
+    template; a stringy one is a drift chain).  Completes the graph
+    family: components (q71), PageRank (q83), triangles here."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = (
+        ngram_jaccard_pairs(d, n=3, threshold=0.3)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    joined = deg.join(node_tri, "id", "left").withColumn(
+        "n_triangles", F.coalesce("n_triangles", F.lit(0))
+    )
+    cc = (
+        F.col("n_triangles")
+        / (F.col("degree") * (F.col("degree") - 1) / F.lit(2))
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        F.when(F.col("degree") >= 2, F.round(cc * 1000000) / 1000000)
+        .otherwise(0.0)
+        .alias("clustering_coef"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2414,6 +2475,7 @@ QUERIES = {
     "q100_markov_transitions": q100,
     "q101_rolling_median": q101,
     "q102_drawdown": q102,
+    "q103_triangles": q103,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
