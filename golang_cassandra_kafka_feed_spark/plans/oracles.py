@@ -2465,3 +2465,26 @@ ORACLES["q103_triangles"] = f"""
     FROM deg LEFT JOIN node_tri ON node_tri.id = deg.id
     ORDER BY doc_id
 """
+
+# q104: time-to-convert — first signup -> first subsequent purchase,
+# exact-microsecond gaps, quantile_cont parity.
+ORACLES["q104_time_to_convert"] = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                   AS t_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT CAST(epoch_us(t_purchase) - epoch_us(t_signup) AS DOUBLE)
+                   / 3600000000.0 AS hours
+        FROM firsts
+        WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+          AND t_purchase > t_signup
+    )
+    SELECT count(*) AS n_converters,
+           ROUND(quantile_cont(hours, 0.5) * 100) / 100 AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9) * 100) / 100 AS p90_hours
+    FROM conv
+"""

@@ -2369,6 +2369,43 @@ def q103(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q104(spark, sf_dir):
+    """Time-to-convert distribution: per user, the gap from first
+    'signup' to first subsequent 'purchase'; summarized as exact
+    p50/p90 hours plus converter counts — q87's funnel with the latency
+    dimension the reference's bench measures for delivery
+    (e2e_bench.go:212) applied to behavior.  One user-keyed aggregate
+    feeding one global percentile aggregate; gaps are exact integer
+    microseconds scaled by one IEEE division."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        (
+            (
+                F.unix_micros("t_purchase") - F.unix_micros("t_signup")
+            ).cast("double")
+            / F.lit(3600000000.0)
+        ).alias("hours")
+    )
+    r2 = lambda c: F.round(c * 100) / 100  # noqa: E731
+    return conv.agg(
+        F.count("*").alias("n_converters"),
+        r2(F.expr("percentile(hours, 0.5)")).alias("p50_hours"),
+        r2(F.expr("percentile(hours, 0.9)")).alias("p90_hours"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2476,6 +2513,7 @@ QUERIES = {
     "q101_rolling_median": q101,
     "q102_drawdown": q102,
     "q103_triangles": q103,
+    "q104_time_to_convert": q104,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
