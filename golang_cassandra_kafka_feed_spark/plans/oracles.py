@@ -2488,3 +2488,22 @@ ORACLES["q104_time_to_convert"] = """
            ROUND(quantile_cont(hours, 0.9) * 100) / 100 AS p90_hours
     FROM conv
 """
+
+# q105: inter-event gap percentiles per event_type.
+ORACLES["q105_interevent_gaps"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) - epoch_us(prev) AS DOUBLE)
+                   / 60000000.0 AS gap_min
+        FROM (
+            SELECT event_type, ts,
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev
+            FROM events
+        ) WHERE prev IS NOT NULL
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           ROUND(quantile_cont(gap_min, 0.5) * 100) / 100 AS p50_min,
+           ROUND(quantile_cont(gap_min, 0.9) * 100) / 100 AS p90_min
+    FROM gaps GROUP BY event_type ORDER BY event_type
+"""

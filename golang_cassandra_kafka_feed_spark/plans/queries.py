@@ -2406,6 +2406,41 @@ def q104(spark, sf_dir):
     )
 
 
+def q105(spark, sf_dir):
+    """Inter-event gap distribution per event_type: LAG over each
+    user's per-type sequence, gaps summarized as exact p50/p90 minutes
+    — the arrival-process profile behind q27's session-gap threshold
+    (is 30 minutes actually the knee?).  Exact-microsecond gaps, one
+    (user, type)-keyed window shuffle, one percentile aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "event_type",
+            (
+                (
+                    F.unix_micros("ts") - F.unix_micros("__prev")
+                ).cast("double")
+                / F.lit(60000000.0)
+            ).alias("gap_min"),
+        )
+    )
+    r2 = lambda c: F.round(c * 100) / 100  # noqa: E731
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            r2(F.expr("percentile(gap_min, 0.5)")).alias("p50_min"),
+            r2(F.expr("percentile(gap_min, 0.9)")).alias("p90_min"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2514,6 +2549,7 @@ QUERIES = {
     "q102_drawdown": q102,
     "q103_triangles": q103,
     "q104_time_to_convert": q104,
+    "q105_interevent_gaps": q105,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
