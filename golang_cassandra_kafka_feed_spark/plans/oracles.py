@@ -2507,3 +2507,20 @@ ORACLES["q105_interevent_gaps"] = """
            ROUND(quantile_cont(gap_min, 0.9) * 100) / 100 AS p90_min
     FROM gaps GROUP BY event_type ORDER BY event_type
 """
+
+# q106: trailing 7-day active users — explode-offsets equi shape.
+ORACLES["q106_trailing_wau"] = """
+    WITH act AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM act
+    ), contrib AS (
+        SELECT user_id, day + CAST(k.k AS INTEGER) AS wday
+        FROM act, range(0, 7) k(k)
+    )
+    SELECT wday, count(DISTINCT user_id) AS wau
+    FROM contrib JOIN days ON days.day = contrib.wday
+    GROUP BY wday ORDER BY wday
+"""

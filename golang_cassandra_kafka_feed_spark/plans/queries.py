@@ -2441,6 +2441,38 @@ def q105(spark, sf_dir):
     )
 
 
+def q106(spark, sf_dir):
+    """Trailing 7-day active users per day (WAU): each (day, user)
+    activity row contributes to the 7 windows ending on day..day+6 —
+    an explode-offsets EQUI shape (distinct + one count-distinct
+    shuffle), never a non-equi self-join over the activity table; the
+    window set is restricted to days that actually occur.  The
+    engagement time-series q23's daily counts cannot give (distinct
+    users across a sliding window)."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = act.select("day").distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "day",
+    ).select(
+        "user_id", F.date_add("day", F.col("k")).alias("wday")
+    )
+    return (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("day", "wday")), "wday"
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("wday")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2550,6 +2582,7 @@ QUERIES = {
     "q103_triangles": q103,
     "q104_time_to_convert": q104,
     "q105_interevent_gaps": q105,
+    "q106_trailing_wau": q106,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
