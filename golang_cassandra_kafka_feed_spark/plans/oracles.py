@@ -2524,3 +2524,21 @@ ORACLES["q106_trailing_wau"] = """
     FROM contrib JOIN days ON days.day = contrib.wday
     GROUP BY wday ORDER BY wday
 """
+
+# q107: week-over-week growth — LAG over the weekly series.
+ORACLES["q107_wow_growth"] = """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               event_type, count(*) AS n
+        FROM events GROUP BY week, event_type
+    )
+    SELECT week, event_type, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+           CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                     IS NOT NULL
+                THEN ROUND(n / lag(n) OVER (PARTITION BY event_type
+                                            ORDER BY week) * 1000000)
+                     / 1000000
+           END AS wow_ratio
+    FROM weekly ORDER BY week, event_type
+"""

@@ -2473,6 +2473,30 @@ def q106(spark, sf_dir):
     )
 
 
+def q107(spark, sf_dir):
+    """Week-over-week growth: weekly event counts per type with the
+    previous week's count (LAG over the weekly series) and the growth
+    ratio — exact integer counts, one division.  The period-over-period
+    reporting staple on top of q23's daily throughput."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        "n",
+        prev.alias("prev_n"),
+        F.when(
+            prev.isNotNull(),
+            F.round(F.col("n") / prev * 1000000) / 1000000,
+        ).alias("wow_ratio"),
+    ).orderBy("week", "event_type")
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2583,6 +2607,7 @@ QUERIES = {
     "q104_time_to_convert": q104,
     "q105_interevent_gaps": q105,
     "q106_trailing_wau": q106,
+    "q107_wow_growth": q107,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
