@@ -2542,3 +2542,19 @@ ORACLES["q107_wow_growth"] = """
            END AS wow_ratio
     FROM weekly ORDER BY week, event_type
 """
+
+# q108: top-k WITH TIES — rank() keeps boundary-value ties (the
+# FETCH ... WITH TIES semantic).
+ORACLES["q108_topk_with_ties"] = """
+    SELECT o_orderpriority, l_orderkey, l_linenumber,
+           ROUND(l_quantity * 100) / 100 AS l_quantity, rnk
+    FROM (
+        SELECT o_orderpriority, l_orderkey, l_linenumber, l_quantity,
+               rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY l_quantity DESC) AS rnk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'
+    ) WHERE rnk <= 3
+    ORDER BY o_orderpriority, l_orderkey, l_linenumber
+"""

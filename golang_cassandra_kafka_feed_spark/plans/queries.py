@@ -2497,6 +2497,38 @@ def q107(spark, sf_dir):
     ).orderBy("week", "event_type")
 
 
+def q108(spark, sf_dir):
+    """Top-k WITH TIES per key: rank() <= k keeps every row tied at the
+    boundary value — the contract q16's row_number form cannot express
+    (row_number picks an arbitrary-but-pinned tie member; rank keeps
+    them all).  Top-3 lineitem quantities per order priority over a
+    pushed-down date slice; quantity ties are common, so the tie
+    semantics are actually exercised."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("l_quantity").desc()
+    )
+    return (
+        j.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "l_orderkey",
+            "l_linenumber",
+            _round2(F.col("l_quantity")).alias("l_quantity"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("o_orderpriority", "l_orderkey", "l_linenumber")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
@@ -2608,6 +2640,7 @@ QUERIES = {
     "q105_interevent_gaps": q105,
     "q106_trailing_wau": q106,
     "q107_wow_growth": q107,
+    "q108_topk_with_ties": q108,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
