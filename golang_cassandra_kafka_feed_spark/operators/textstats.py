@@ -397,17 +397,27 @@ def bm25_search(
     qterms = queries_df.select(
         "query_id", F.explode(tokens("query_text")).alias("t")
     ).distinct()
+    # tf must be counted against the DISTINCT term set: joining the
+    # corpus tokens to qterms (which still carries query_id) would emit
+    # one row per (occurrence x query containing the term), inflating tf
+    # by the query multiplicity whenever two queries share a term.
+    # Query ids re-attach AFTER the (id, t) aggregate via a tiny
+    # broadcast of term -> query_ids.
     matched = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
-    ).join(F.broadcast(qterms), "t")
-    tfq = matched.groupBy("id", "t").agg(
-        F.count("*").alias("tf"),
-        F.collect_set("query_id").alias("qids"),
+    ).join(F.broadcast(qterms.select("t").distinct()), "t")
+    tfq = matched.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    term_qids = qterms.groupBy("t").agg(
+        F.collect_set("query_id").alias("qids")
     )
-    tf = tfq.withColumn(
-        "df_docs", F.count("*").over(Window.partitionBy("t"))
-    ).select(
-        F.explode("qids").alias("query_id"), "id", "t", "tf", "df_docs"
+    tf = (
+        tfq.withColumn(
+            "df_docs", F.count("*").over(Window.partitionBy("t"))
+        )
+        .join(F.broadcast(term_qids), "t")
+        .select(
+            F.explode("qids").alias("query_id"), "id", "t", "tf", "df_docs"
+        )
     )
     dl = df.select(
         F.col(id_col).alias("id"), token_count(text_col).alias("dl")

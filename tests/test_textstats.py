@@ -341,6 +341,48 @@ def test_bm25_search_ranks_by_relevance(spark):
     )
 
 
+def test_bm25_shared_term_does_not_inflate_tf(spark):
+    """Two queries sharing a term must not double-count tf: scoring a
+    doc for query A is identical whether or not query B (sharing a
+    term) is in the batch — regression for the pre-aggregation
+    query_id fan-out bug."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "apple banana banana plum"),
+            (3, "cherry plum plum apple"),
+            (4, "fig grape kiwi melon"),
+        ],
+        "doc_id long, text string",
+    )
+    q_a = [(1, "apple banana")]
+    q_b = [(2, "apple cherry")]  # shares "apple" with query 1
+    solo = spark.createDataFrame(q_a, "query_id int, query_text string")
+    both = spark.createDataFrame(
+        q_a + q_b, "query_id int, query_text string"
+    )
+    solo_rows = {
+        r.doc_id: r for r in bm25_search(docs, solo, k=10).collect()
+    }
+    both_rows = {
+        r.doc_id: r
+        for r in bm25_search(docs, both, k=10).collect()
+        if r.query_id == 1
+    }
+    assert set(solo_rows) == set(both_rows)
+    for doc_id, r in solo_rows.items():
+        b = both_rows[doc_id]
+        assert (r.score, r.rank, r.n_terms_matched) == (
+            b.score,
+            b.rank,
+            b.n_terms_matched,
+        ), f"doc {doc_id} scored differently with a co-batched query"
+
+
 def test_collocations_lift_ranks_exclusive_pairs_first(spark):
     from golang_cassandra_kafka_feed_spark.operators.textstats import (
         collocations,
