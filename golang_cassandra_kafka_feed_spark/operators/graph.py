@@ -25,8 +25,45 @@ use GraphFrames/Pregel; for dedup groups this is the right weight.
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _checkpointer(
+    df: DataFrame,
+    reliable: bool,
+    checkpoint_dir: Optional[str],
+) -> Callable[[DataFrame], DataFrame]:
+    """Pick the lineage-truncation strategy for an iterative operator.
+
+    Default (``reliable=False``): ``localCheckpoint(eager=True)`` —
+    executor-memory blocks, fastest, right weight for local mode and
+    small fixpoints, but NOT fault-tolerant: on a cluster, losing one
+    executor mid-fixpoint kills the lineage (blocks are not
+    replicated/recomputable) and the job dies.
+
+    ``reliable=True``: ``DataFrame.checkpoint(eager=True)`` writing to
+    the SparkContext checkpoint directory (HDFS/S3 on a real cluster) —
+    survives executor loss, the mode to use for 100 TB runs where a
+    multi-hour fixpoint must not restart from zero.  Pass
+    ``checkpoint_dir`` to set/override the context's directory, or
+    pre-set it once via ``sc.setCheckpointDir``; if neither is done we
+    fail fast rather than silently fall back to the non-durable path.
+    """
+    if not reliable:
+        return lambda d: d.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable=True needs a checkpoint directory: pass "
+            "checkpoint_dir= (an HDFS/S3 path on a cluster) or call "
+            "sparkContext.setCheckpointDir() first"
+        )
+    return lambda d: d.checkpoint(eager=True)
 
 
 def connected_components(
@@ -34,28 +71,31 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 50,
+    reliable: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """(id, comp): every node in ``edges``, labeled with the smallest id
     reachable through the undirected pair graph.  Converges by fixpoint
     (change-count action per round); ``max_iters`` is a runaway bound,
     not a semantic knob — raise it for graphs with huge diameters.
+
+    ``reliable=True`` swaps the per-round lineage truncation from
+    executor-memory ``localCheckpoint`` to durable
+    ``checkpoint`` blocks in ``checkpoint_dir`` (see ``_checkpointer``)
+    — identical results, survives executor loss at cluster scale.
     """
     # Checkpoint the edge list BEFORE symmetrizing: the union references
     # `edges` twice, and an expensive upstream pair pipeline (LSH,
     # jaccard) would otherwise execute once per branch (the
     # exchange-reuse aliasing trap, again).
-    edges_ck = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
-    sym = (
-        edges_ck.union(edges_ck.select(F.col("v"), F.col("u")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    ck = _checkpointer(edges, reliable, checkpoint_dir)
+    edges_ck = ck(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    sym = ck(
+        edges_ck.union(edges_ck.select(F.col("v"), F.col("u"))).distinct()
     )
-    labels = (
+    labels = ck(
         sym.select(F.col("u").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neigh = (
@@ -73,7 +113,7 @@ def connected_components(
                 (F.col("nmin") < F.col("comp")).alias("__changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = ck(updated)
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
@@ -85,12 +125,16 @@ def duplicate_groups(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    reliable: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """(id, comp, is_survivor, group_size) for every node in the pair
     graph: comp = min reachable id (the canonical survivor), so the
     transitive-safe dedup drop-set is exactly the rows with
     ``is_survivor = false``."""
-    comp = connected_components(edges, src, dst)
+    comp = connected_components(
+        edges, src, dst, reliable=reliable, checkpoint_dir=checkpoint_dir
+    )
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("group_size"))
     return (
         comp.join(sizes, "comp")
@@ -115,6 +159,8 @@ def pagerank(
     iterations: int = 2,
     damping: float = PAGERANK_DAMPING,
     symmetrize: bool = False,
+    reliable: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: r_{t+1}(n) =
     (1-d)/N + d * sum over in-neighbors m of r_t(m)/outdeg(m).  The
@@ -131,17 +177,20 @@ def pagerank(
     100 TB posture: per iteration ONE join-shuffle of the edge list by
     source and ONE partial-aggregated shuffle by destination; rank state
     is a single (node, r) row per node.  Edges and nodes are
-    ``localCheckpoint``ed once up front so the (possibly expensive)
+    checkpointed once up front so the (possibly expensive)
     edge-derivation pipeline runs once, not once per branch per
-    iteration (the exchange-reuse aliasing trap), and the plan does not
-    grow with the unrolled iterations.  For web-scale graphs swap in
+    iteration (the exchange-reuse aliasing trap), and the rank frame is
+    checkpointed per iteration so the plan stays constant-size instead
+    of growing linearly with the unrolled iterations.  ``reliable=True``
+    uses durable ``checkpoint`` blocks (see ``_checkpointer``) so a
+    long run survives executor loss.  For web-scale graphs swap in
     Pregel/GraphFrames; for the analytics-query weight class this is
     the right shape.
     """
-    e = (
+    ck = _checkpointer(edges, reliable, checkpoint_dir)
+    e = ck(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     if symmetrize:
         # Symmetrize AFTER the checkpoint (connected_components'
@@ -150,11 +199,10 @@ def pagerank(
         # pipeline once per branch before it ever reaches the
         # checkpoint.  Reading checkpoint blocks twice is free.
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    nodes = (
+    nodes = ck(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
     outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
@@ -177,7 +225,7 @@ def pagerank(
                 lambda a, x: a + x,
             ).alias("s")
         )
-        ranks = (
+        ranks = ck(
             nodes.join(summed, "node", "left")
             .crossJoin(F.broadcast(n_nodes))
             .select(

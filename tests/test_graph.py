@@ -46,6 +46,62 @@ def test_empty_edges_yield_empty_components(spark):
     assert connected_components(e).count() == 0
 
 
+def test_reliable_without_dir_fails_fast(spark):
+    """Runs BEFORE the roundtrip tests (definition order) so the shared
+    session has no checkpoint dir yet."""
+    import pytest
+
+    e = _edges(spark, [(1, 2)])
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            connected_components(e, reliable=True).collect()
+
+
+def test_reliable_checkpoint_roundtrip_identical(spark, tmp_path):
+    """reliable=True must route the fixpoint through durable checkpoint
+    files (cluster fault tolerance — executor-memory localCheckpoint
+    blocks die with the executor) and produce the exact same labeling."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    e = _edges(
+        spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]
+    )
+    base = {r.id: r.comp for r in connected_components(e).collect()}
+    durable = {
+        r.id: r.comp
+        for r in connected_components(
+            e, reliable=True, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert durable == base
+    # the reliable path actually wrote RDD checkpoint data
+    found = [
+        f for root, _, fs in os.walk(ckdir) for f in fs if f.startswith("part")
+    ]
+    assert found, "no checkpoint part-files written under checkpoint_dir"
+
+
+def test_pagerank_reliable_matches_local(spark, tmp_path):
+    from golang_cassandra_kafka_feed_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    base = {r.node: r.r for r in pagerank(edges, iterations=3).collect()}
+    durable = {
+        r.node: r.r
+        for r in pagerank(
+            edges,
+            iterations=3,
+            reliable=True,
+            checkpoint_dir=str(tmp_path / "ck_pr"),
+        ).collect()
+    }
+    assert durable == base
+
+
 def test_pagerank_hub_and_mass(spark):
     from golang_cassandra_kafka_feed_spark.operators.graph import pagerank
 
