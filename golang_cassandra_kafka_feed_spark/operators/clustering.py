@@ -49,18 +49,27 @@ DEFAULT_CLUSTER_CAP = 2000
 DEFAULT_TARGET_CLUSTER_SIZE = 250
 
 
-def auto_k(df: DataFrame, target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE) -> int:
+def auto_k(
+    df: DataFrame,
+    target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE,
+    n: int | None = None,
+) -> int:
     """k sized to the corpus: ceil(n / target_cluster_size), min DEFAULT_K.
 
     SemDeDup pair enumeration is quadratic in min(cluster size, cap), so
     a FIXED k saturates the width cap as the corpus grows and the probe
     cost plateaus at cap^2 per cluster (measured: the sf1.0 replica
     corpus runs 62.9x the sf0.1 time at k=8, but 5.3x — linear tier —
-    once k scales to n/250; PERFORMANCE.md round 3).  Costs one count()
-    of the input; call it once per corpus, not per query, and pass the
-    result as ``k``.
+    once k scales to n/250; PERFORMANCE.md round 3).
+
+    Pass ``n`` when the corpus size is already known — e.g. from parquet
+    footer metadata (``sources.testdata.table_row_count``, a driver-side
+    footer read, no Spark job) — so sizing k costs nothing; without it
+    this falls back to one distributed count() of the input (call once
+    per corpus, not per query).
     """
-    n = df.count()
+    if n is None:
+        n = df.count()
     return max(DEFAULT_K, -(-n // target_cluster_size))
 
 

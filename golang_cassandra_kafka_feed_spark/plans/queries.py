@@ -1376,9 +1376,17 @@ def q66(spark, sf_dir):
         auto_k,
         semantic_dedup_pairs,
     )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        table_row_count,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb, k=auto_k(emb))
+    # n from parquet footers (driver-side, no Spark job) — the declared
+    # plan must not re-scan the corpus just to size k; auto_k falls back
+    # to one distributed count only if the footer probe fails.
+    return semantic_dedup_pairs(
+        emb, k=auto_k(emb, n=table_row_count(sf_dir, "embeddings"))
+    )
 
 
 def q67(spark, sf_dir):

@@ -59,6 +59,33 @@ def _has_nanos_ts(path: str) -> bool:
         return False
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet footer metadata — a driver-side
+    read of the file footers (no Spark job, no data scan).  Parquet
+    footers store num_rows per file; summing them is exact for any
+    non-filtered table.  Used to size corpus-dependent knobs (e.g.
+    SemDeDup's auto_k) without paying a full count() pass over 100 TB.
+    Returns None when the table cannot be footer-probed (caller falls
+    back to a distributed count)."""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        parts = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not parts:
+            return None
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    except Exception:
+        return None
+
+
 # (id(spark), sf_dir, name) -> DataFrame.  Testdata is read-only, so the
 # reader plan (and its file listing) can be built once per session and
 # reused across the whole query sweep; keying on id(spark) keeps plans

@@ -102,6 +102,24 @@ def test_auto_k_scales_with_corpus(spark, emb):
     assert auto_k(emb, target_cluster_size=1) == max(DEFAULT_K, n)
 
 
+def test_auto_k_from_footer_metadata_matches_count(spark, sf_dir):
+    """The parquet-footer row count (no Spark job) must equal the
+    distributed count, so auto_k(n=footer) == auto_k(count path)."""
+    from golang_cassandra_kafka_feed_spark.operators.clustering import (
+        auto_k,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        load_table,
+        table_row_count,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_meta = table_row_count(sf_dir, "embeddings")
+    assert n_meta == emb.count()
+    assert auto_k(emb, n=n_meta) == auto_k(emb)
+    assert table_row_count(sf_dir, "no_such_table") is None
+
+
 def test_quantize_floor_negative(spark):
     """floor (not truncation): -0.000006 grid-quantizes to -1, not 0."""
     df = spark.range(1).select(
