@@ -61,11 +61,13 @@ def funnel_counts(
             for i, cond in enumerate(conds)
         ]
     )
-    stack = ", ".join(
-        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(steps)
-    )
-    return agg.selectExpr(
-        f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)"
+    # F.stack with lit columns, NOT selectExpr string interpolation: a
+    # step name containing a quote must be data, never SQL.
+    stack_args: list = [F.lit(len(steps))]
+    for i, s in enumerate(steps):
+        stack_args += [F.lit(i + 1), F.lit(s), F.col(f"__n{i}")]
+    return agg.select(
+        F.stack(*stack_args).alias("step_idx", "step", "n_users")
     )
 
 

@@ -27,25 +27,35 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     (column, n_rows, n_null, n_distinct, min_val, max_val).
     """
     cols = list(columns or df.columns)
+    # positional internal aliases + F.lit(name) in the stack: column
+    # names are data, never interpolated into SQL text (quotes, dots,
+    # or backticks in a name must not break the query).
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.countDistinct(c).alias(f"__dist_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}"),
+            F.countDistinct(c).alias(f"__dist_{i}"),
             # min/max on the NATIVE type (casting first would make them
             # lexicographic), stringified afterwards for the uniform
             # output schema
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
-    )
-    return wide.selectExpr(
-        "__n AS n_rows",
-        f"stack({len(cols)}, {stack}) AS "
-        "(column, n_null, n_distinct, min_val, max_val)",
+    stack_args: list[Column] = [F.lit(len(cols))]
+    for i, c in enumerate(cols):
+        stack_args += [
+            F.lit(c),
+            F.col(f"__null_{i}"),
+            F.col(f"__dist_{i}"),
+            F.col(f"__min_{i}"),
+            F.col(f"__max_{i}"),
+        ]
+    return wide.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(*stack_args).alias(
+            "column", "n_null", "n_distinct", "min_val", "max_val"
+        ),
     ).select("column", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
 
 
@@ -78,10 +88,10 @@ def quality_checks(
     # stack to long form FIRST (one evaluation of the aggregate row —
     # unioning N per-check selects would re-reference the agg subtree N
     # times), then apply each verdict via a check-name dispatch.
-    stack = ", ".join(f"'{name}', __m{i}" for i, (name, _, _) in enumerate(checks))
-    long = wide.selectExpr(
-        f"stack({len(checks)}, {stack}) AS (check, measure)"
-    )
+    stack_args: list[Column] = [F.lit(len(checks))]
+    for i, (name, _, _) in enumerate(checks):
+        stack_args += [F.lit(name), F.col(f"__m{i}")]
+    long = wide.select(F.stack(*stack_args).alias("check", "measure"))
     passed = None
     for name, _, ok in checks:
         branch = F.when(F.col("check") == name, ok)

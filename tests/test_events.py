@@ -38,6 +38,17 @@ def test_funnel_strictly_after(spark):
     assert out == {"signup": 1, "view": 0}
 
 
+def test_funnel_quoted_step_names_are_data(spark):
+    """A step name containing a quote must not break (or alter) the
+    generated plan — names are lit columns, not interpolated SQL."""
+    ev = _ev(spark, [(1, "sign'up", 0), (1, "vi'ew", 1), (2, "sign'up", 0)])
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(ev, ["sign'up", "vi'ew"]).collect()
+    }
+    assert out == {"sign'up": 2, "vi'ew": 1}
+
+
 def test_cohort_retention_triangle(spark):
     ev = _ev(
         spark,
@@ -140,6 +151,58 @@ def test_interval_join_overlap_exactly_once(spark):
     assert got == [(10, 30), (10, 31), (11, 31), (20, 40)]
 
 
+def test_interval_join_null_ends(spark):
+    """Open SCD2 intervals (valid_to NULL) must not vanish: fail fast
+    without a sentinel; join correctly (and keep NULL in the output)
+    with open_end_ts=."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from golang_cassandra_kafka_feed_spark.operators.range_join import (
+        interval_join,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+
+    def t(h):
+        return base + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [(1, 10, t(0), t(5)), (1, 11, t(5), None)],  # 11 = current row
+        "k long, lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 30, t(2), t(3)), (1, 31, t(100), t(101))],
+        "k long, rid long, rs timestamp, re timestamp",
+    )
+    with pytest.raises(SparkRuntimeException, match="open_end_ts"):
+        interval_join(
+            left, right, ["k"], "ls", "le", "rs", "re",
+            bucket_seconds=3600,
+        ).collect()
+    rows = interval_join(
+        left, right, ["k"], "ls", "le", "rs", "re",
+        bucket_seconds=3600, open_end_ts="9999-12-31",
+    ).collect()
+    got = sorted((r.lid, r.rid) for r in rows)
+    assert got == [(10, 30), (11, 31)], "open interval must match late rows"
+    le_by_lid = {r.lid: r.le for r in rows}
+    assert le_by_lid[11] is None, "sentinel must not leak into output"
+    assert le_by_lid[10] == t(5)
+    # NULL starts always fail fast
+    left_ns = spark.createDataFrame(
+        [(1, 12, None, t(5))],
+        "k long, lid long, ls timestamp, le timestamp",
+    )
+    with pytest.raises(SparkRuntimeException, match="interval start"):
+        interval_join(
+            left_ns, right, ["k"], "ls", "le", "rs", "re",
+            bucket_seconds=3600, open_end_ts="9999-12-31",
+        ).collect()
+
+
 def test_profile_and_quality_checks(spark):
     from pyspark.sql import functions as F
 
@@ -182,3 +245,25 @@ def test_profile_and_quality_checks(spark):
     assert not checks["pk_unique"].passed and checks["pk_unique"].measure == 1.0
     assert not checks["v_positive"].passed
     assert checks["s_mostly_complete"].passed
+
+
+def test_profile_and_checks_quoted_names_are_data(spark):
+    """Column and check names containing quotes are data, not SQL."""
+    from pyspark.sql import functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.profile import (
+        profile_table,
+        quality_checks,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], ["the 'id'"])
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["the 'id'"].n_distinct == 2
+    checks = {
+        r.check: r
+        for r in quality_checks(
+            df, [("it's unique", F.countDistinct("`the 'id'`"),
+                  F.col("measure") == 2)]
+        ).collect()
+    }
+    assert checks["it's unique"].passed
