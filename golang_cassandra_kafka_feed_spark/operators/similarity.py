@@ -495,7 +495,12 @@ def pq_adc_audit(
         [F.desc("exact_dot"), F.asc("vec_id")],
         k,
         rank_col="rank",
-    )
+    ).localCheckpoint(eager=True)
+    # checkpointed because top anchors TWO branches (the audit pairs
+    # below and the final join): self-join dealiasing re-numbers the
+    # HOF lambda exprIds in the exact-dot subtree, so Catalyst would
+    # otherwise run the full crossJoin scan twice (the ReuseExchange
+    # trap); the frame is tiny (k rows per query).
 
     q_sub = q.select(
         "query_id",
@@ -506,9 +511,16 @@ def pq_adc_audit(
         "s",
         F.slice("qe", F.col("s") * d_sub + F.lit(1), d_sub).alias("qsv"),
     )
-    adc_terms = assigned.join(F.broadcast(q_sub), "s").select(
-        "query_id", "vec_id", "s",
-        _dot(F.col("qsv"), F.col("cw")).alias("d"),
+    # ADC terms ONLY for the audited (query, vec) pairs: restrict
+    # assigned to the top-k vec set per query BEFORE the subspace dot
+    # products — k*m terms per query, never all corpus x queries x m.
+    adc_terms = (
+        assigned.join(top.select("query_id", "vec_id"), "vec_id")
+        .join(F.broadcast(q_sub), ["query_id", "s"])
+        .select(
+            "query_id", "vec_id", "s",
+            _dot(F.col("qsv"), F.col("cw")).alias("d"),
+        )
     )
     adc = adc_terms.groupBy("query_id", "vec_id").agg(
         F.aggregate(
