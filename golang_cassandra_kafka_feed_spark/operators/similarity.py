@@ -154,13 +154,14 @@ def lsh_bucketed_topk(
     dim: int = DEFAULT_DIM,
     n_planes: int = DEFAULT_N_PLANES,
     bands: int = DEFAULT_BANDS,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing >= 1 LSH band
     bucket with the query.  Recall grows with ``bands`` (multi-probe OR);
     compare against brute_force_topk in tests for the recall figure."""
     from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
 
-    planes = _hyperplanes(dim, n_planes)
+    planes = _hyperplanes(dim, n_planes, seed)
     c = _with_buckets(
         corpus.select(
             F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")

@@ -1,0 +1,572 @@
+"""Adversarial parameter-sweep parity: for every md5-portable hash
+idiom, perturb a mechanism parameter (hash count, band count, bucket
+width, seed, cell grid, sketch size, feature buckets) and assert the
+Spark operator and a parameterized DuckDB twin MOVE IDENTICALLY — the
+declared oracles pin only fixed parameter points, so a twin that merely
+shared a coincidental fixed point would pass them; tracking the
+mechanism across parameter changes is what proves the oracle computes
+the mechanism.
+
+Runs on a small synthetic corpus (written to parquet so DuckDB reads
+the same bytes) with planted near-duplicate structure, so every
+perturbation provably changes the output (asserted), and the changed
+output still matches cross-engine (asserted).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import date, datetime
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
+
+_MH_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_MH_B = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),"
+    " t -> length(t) > 0)"
+)
+_COS = (
+    "(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+def _h32(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# --- comparison helpers (the driver's order-insensitive value compare) --
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def _multiset(cols, rows) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(
+        "|".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+def _compare(sdf, duck, sql: str, label: str) -> Counter:
+    """Assert Spark df == DuckDB sql (cols, count, values); return the
+    value multiset so callers can assert movement between settings."""
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{label}: cols spark={s_cols} duckdb={d_cols}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{label}: rows spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    s_ms = _multiset(s_cols, s_rows)
+    d_ms = _multiset(d_cols, d_rows)
+    if s_ms != d_ms:
+        only_s = list((s_ms - d_ms).items())[:4]
+        only_d = list((d_ms - s_ms).items())[:4]
+        raise AssertionError(
+            f"{label}: value mismatch\n  spark-only: {only_s}\n"
+            f"  duckdb-only: {only_d}"
+        )
+    return s_ms
+
+
+# --- synthetic corpora with planted structure -------------------------
+
+_BASE_A = (
+    "the quick brown fox jumps over the lazy dog near the quiet river "
+    "bank today while the morning sun rises over the eastern hills"
+)
+_BASE_B = (
+    "data pipelines shuffle terabytes across executor nodes every hour "
+    "while schedulers balance skewed partitions onto idle worker cores"
+)
+
+
+def _doc_rows():
+    rows = [
+        (1, _BASE_A, "en"),
+        (2, _BASE_A, "en"),  # exact dup of 1
+        (3, _BASE_A.replace("quick", "swift"), "en"),
+        (4, _BASE_A.replace("today", "tonight"), "xx"),
+        (5, _BASE_B, "xx"),
+        (6, _BASE_B, "en"),  # exact dup of 5
+        (7, _BASE_B.replace("skewed", "uneven"), "xx"),
+        (8, "completely different text about gardens and tulips", "en"),
+        (9, "unrelated musings on compiler construction and parsing", "xx"),
+        (10, "yet another singleton document with no relatives at all", "en"),
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """(docs_df, emb_df, duck) — synthetic tables written to parquet and
+    registered as DuckDB views `documents` / `embeddings`."""
+    tmp = tmp_path_factory.mktemp("sweep")
+    docs = spark.createDataFrame(
+        _doc_rows(), "doc_id long, text string, lang string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    # 24 vectors in dim 8: three planted clusters + spread
+    vecs = []
+    for i in range(24):
+        base = [0.0] * 8
+        base[i % 3] = 1.0
+        for j in range(8):
+            base[j] += ((i * 37 + j * 11) % 19 - 9) / 40.0
+        vecs.append((i, [round(x, 3) for x in base]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    emb.write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+    duck = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        duck.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{tmp / (t + '.parquet')}/*.parquet'"
+        )
+    docs_back = spark.read.parquet(str(tmp / "documents.parquet"))
+    emb_back = spark.read.parquet(str(tmp / "embeddings.parquet"))
+    yield docs_back, emb_back, duck
+    duck.close()
+
+
+# --- family 1: minhash affine signatures ------------------------------
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sets AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(
+                                    list_slice(toks, i, i + 2), ' '))
+                   END AS sh
+            FROM toks
+        ), shingles AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        hv AS (
+            SELECT doc_id, {_h32('shingle')} % {MINHASH_P} AS hb
+            FROM shingles
+        ), hashed AS (
+            SELECT doc_id, s.seed AS seed,
+                   min(({_MH_A}[s.seed + 1] * hb + {_MH_B}[s.seed + 1])
+                       % {MINHASH_P}) AS mh
+            FROM hv, range(0, {num_hashes}) s(seed)
+            GROUP BY doc_id, s.seed
+        )
+        SELECT doc_id AS id, list(mh ORDER BY seed) AS sig
+        FROM hashed GROUP BY doc_id ORDER BY id
+    """
+
+
+def test_minhash_signature_sweep_num_hashes(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs, _, duck = corpus
+    results = {}
+    for h in (64, 32):
+        sdf = minhash_signatures(docs, num_hashes=h, hasher="md5")
+        results[h] = _compare(sdf, duck, _minhash_sig_sql(h), f"minhash_sig[{h}]")
+    assert results[64] != results[32], "num_hashes perturbation must move"
+
+
+def _minhash_cand_sql(bands: int, num_hashes: int = 64, width: int = 64) -> str:
+    r = num_hashes // bands
+    return f"""
+        WITH sig AS ({_minhash_sig_sql(num_hashes).replace('ORDER BY id', '')}),
+        banded AS (
+            SELECT id AS doc_id, b.band AS band,
+                   array_to_string(
+                       list_slice(sig, b.band * {r} + 1, b.band * {r} + {r}),
+                       ',') AS bucket
+            FROM sig, range(0, {bands}) b(band)
+        ), kept AS (
+            SELECT doc_id, band, bucket FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY band, bucket ORDER BY doc_id) AS brn
+                FROM banded
+            ) WHERE brn <= {width}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """
+
+
+def test_minhash_band_packing_sweep(corpus):
+    """Band count changes the bucket slicing itself — both engines must
+    re-band identically; bucket-width cap swept on the same pipeline."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs, _, duck = corpus
+    results = {}
+    for bands in (16, 8, 4):
+        sdf = minhash_lsh_candidates(docs, bands=bands, hasher="md5")
+        results[bands] = _compare(
+            sdf, duck, _minhash_cand_sql(bands), f"minhash_cand[b={bands}]"
+        )
+    # width cap: keep only the 2 smallest ids per bucket — exact-dup
+    # triple (1,2,3-group) pairs beyond the cap must drop in BOTH engines
+    sdf = minhash_lsh_candidates(docs, bands=16, hasher="md5", max_bucket_width=2)
+    capped = _compare(
+        sdf, duck, _minhash_cand_sql(16, width=2), "minhash_cand[w=2]"
+    )
+    assert sum(capped.values()) < sum(results[16].values()), (
+        "width cap must drop pairs on this planted-dup corpus"
+    )
+
+
+# --- family 2: simhash two-half signatures ----------------------------
+
+
+def _simhash_pairs_sql(max_hamming: int, width: int = 64) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   {_h32('tok')} AS hi,
+                   CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS lo
+            FROM toks
+        ), votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hi >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vh,
+                   sum(CASE WHEN (lo >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vl
+            FROM th, range(0, 32) b(bit)
+            GROUP BY doc_id, b.bit
+        ), sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN vh > 0 THEN CAST(2 ** bit AS BIGINT)
+                            ELSE 0 END) AS hi,
+                   sum(CASE WHEN vl > 0 THEN CAST(2 ** bit AS BIGINT)
+                            ELSE 0 END) AS lo
+            FROM votes GROUP BY doc_id
+        ), chunked AS (
+            SELECT doc_id, hi, lo, c.chunk,
+                   CASE c.chunk
+                        WHEN 0 THEN lo & 65535
+                        WHEN 1 THEN (lo >> 16) & 65535
+                        WHEN 2 THEN hi & 65535
+                        ELSE (hi >> 16) & 65535
+                   END AS ckey
+            FROM sig, range(0, 4) c(chunk)
+        ), kept AS (
+            SELECT doc_id, hi, lo, chunk, ckey FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY chunk, ckey ORDER BY doc_id) AS brn
+                FROM chunked
+            ) WHERE brn <= {width}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM kept a JOIN kept b
+              ON a.chunk = b.chunk AND a.ckey = b.ckey
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa.hi, sb.hi))
+                        + bit_count(xor(sa.lo, sb.lo)) AS BIGINT) AS hamming
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+        ) WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+def test_simhash_sweep_hamming_and_width(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    docs, _, duck = corpus
+    results = {}
+    for mh in (3, 0, 8):
+        sdf = simhash_near_duplicates(docs, hasher="md5", max_hamming=mh)
+        results[mh] = _compare(
+            sdf, duck, _simhash_pairs_sql(mh), f"simhash[h={mh}]"
+        )
+    # hamming 0 keeps only the planted exact dups (1,2) and (5,6)
+    assert sum(results[0].values()) >= 2
+    # width cap = 1: every bucket keeps one member -> no pairs, both engines
+    sdf = simhash_near_duplicates(
+        docs, hasher="md5", max_hamming=3, max_bucket_width=1
+    )
+    capped = _compare(sdf, duck, _simhash_pairs_sql(3, width=1), "simhash[w=1]")
+    assert sum(capped.values()) == 0 < sum(results[3].values())
+
+
+# --- family 3: hyperplane LSH bucket packing --------------------------
+
+
+def _lsh_topk_sql(seed: int, n_planes: int, bands: int, k: int, nq: int) -> str:
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    r = n_planes // bands
+    planes = _hyperplanes(8, n_planes, seed)
+    rows = ", ".join(
+        f"({i}, {i // r}, [{', '.join(repr(x) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH planes(plane_idx, band, pvec) AS (VALUES {rows}),
+        emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), cb AS (
+            SELECT e.vec_id, p.band,
+                   CAST(p.band AS BIGINT) * {1 << r} + sum(
+                       CASE WHEN list_dot_product(e.e, p.pvec) >= 0
+                            THEN CAST(2 ** (p.plane_idx % {r}) AS BIGINT)
+                            ELSE 0 END) AS bucket
+            FROM emb e CROSS JOIN planes p
+            GROUP BY e.vec_id, p.band
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM cb c JOIN cb q ON c.bucket = q.bucket
+            WHERE q.vec_id < {nq}
+        ), scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   ROUND({_COS.format(a="ce.e", b="qe.e")} * 10000)
+                     / 10000 AS sim
+            FROM cand
+            JOIN emb ce ON ce.vec_id = cand.vec_id
+            JOIN emb qe ON qe.vec_id = cand.query_id
+        )
+        SELECT query_id, vec_id, sim, "rank" FROM (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS "rank"
+            FROM scored
+        ) WHERE "rank" <= {k}
+        ORDER BY query_id, "rank"
+    """
+
+
+def test_lsh_ann_sweep_seed_and_bands(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    _, emb, duck = corpus
+    nq, k = 3, 5
+    queries = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results = {}
+    for seed, n_planes, bands in ((42, 16, 4), (7, 16, 4), (42, 16, 8)):
+        sdf = lsh_bucketed_topk(
+            emb, queries, k=k, dim=8, n_planes=n_planes, bands=bands,
+            seed=seed,
+        )
+        results[(seed, bands)] = _compare(
+            sdf,
+            duck,
+            _lsh_topk_sql(seed, n_planes, bands, k, nq),
+            f"lsh_ann[seed={seed},b={bands}]",
+        )
+    assert results[(42, 4)] != results[(7, 4)] or results[(42, 4)] != results[(42, 8)], (
+        "seed/band perturbation must move the candidate coverage"
+    )
+
+
+# --- family 4: IVF cell grid ------------------------------------------
+
+
+def _ivf_topk_sql(n_cells: int, n_probe: int, k: int, nq: int) -> str:
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), h AS (
+            SELECT vec_id, e, {_h32('CAST(vec_id AS VARCHAR)')} AS hh
+            FROM emb
+        ), centroids AS (
+            SELECT hh % {n_cells} AS cell, arg_min(e, hh) AS cvec
+            FROM h GROUP BY hh % {n_cells}
+        ), c_cells AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT h.vec_id, h.e, c.cell,
+                       row_number() OVER (
+                           PARTITION BY h.vec_id
+                           ORDER BY {_COS.format(a="h.e", b="c.cvec")}
+                                    DESC, c.cell ASC) AS rn
+                FROM h CROSS JOIN centroids c
+            ) WHERE rn <= 1
+        ), q_cells AS (
+            SELECT query_id, qe, cell FROM (
+                SELECT h.vec_id AS query_id, h.e AS qe, c.cell,
+                       row_number() OVER (
+                           PARTITION BY h.vec_id
+                           ORDER BY {_COS.format(a="h.e", b="c.cvec")}
+                                    DESC, c.cell ASC) AS rn
+                FROM h CROSS JOIN centroids c
+                WHERE h.vec_id < {nq}
+            ) WHERE rn <= {n_probe}
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND({_COS.format(a="c.e", b="q.qe")} * 10000)
+                     / 10000 AS sim
+            FROM c_cells c JOIN q_cells q ON c.cell = q.cell
+        )
+        SELECT query_id, vec_id, sim, "rank" FROM (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS "rank"
+            FROM scored
+        ) WHERE "rank" <= {k}
+        ORDER BY query_id, "rank"
+    """
+
+
+def test_ivf_sweep_cell_grid(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
+
+    _, emb, duck = corpus
+    nq, k = 3, 5
+    queries = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results = {}
+    for n_cells, n_probe in ((8, 2), (5, 2), (8, 1)):
+        sdf = ivf_topk(emb, queries, k=k, n_cells=n_cells, n_probe=n_probe)
+        results[(n_cells, n_probe)] = _compare(
+            sdf,
+            duck,
+            _ivf_topk_sql(n_cells, n_probe, k, nq),
+            f"ivf[c={n_cells},p={n_probe}]",
+        )
+    assert len(set(map(frozenset, (r.items() for r in results.values())))) > 1, (
+        "cell-grid perturbation must move the probe coverage"
+    )
+
+
+# --- family 5: KMV bound ----------------------------------------------
+
+
+def _kmv_sql(k: int) -> str:
+    return f"""
+        WITH ph AS (
+            SELECT DISTINCT typ,
+                   {_h32('CAST(uid AS VARCHAR)')} / 4294967296.0 AS h
+            FROM ids
+        ), pk AS (
+            SELECT typ, h,
+                   row_number() OVER (PARTITION BY typ ORDER BY h) AS rn
+            FROM ph
+        )
+        SELECT typ,
+               CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                    ELSE {float(k - 1)} / max(h) END AS est_distinct
+        FROM pk WHERE rn <= {k} GROUP BY typ ORDER BY typ
+    """
+
+
+def test_kmv_sweep_k(corpus, spark, tmp_path):
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    _, _, duck = corpus
+    ids = spark.createDataFrame(
+        [(f"t{i % 2}", i % 60) for i in range(240)], "typ string, uid long"
+    )
+    ids.write.mode("overwrite").parquet(str(tmp_path / "ids.parquet"))
+    duck.sql(
+        "CREATE OR REPLACE VIEW ids AS SELECT * FROM "
+        f"'{tmp_path / 'ids.parquet'}/*.parquet'"
+    )
+    ids_back = spark.read.parquet(str(tmp_path / "ids.parquet"))
+    results = {}
+    for k in (256, 16):
+        sdf = kmv_distinct(ids_back, "uid", by=["typ"], k=k)
+        results[k] = _compare(sdf, duck, _kmv_sql(k), f"kmv[k={k}]")
+    # 60 distinct per type: k=256 is exact (60.0), k=16 is the estimator
+    assert results[256] != results[16], "sketch-size perturbation must move"
+
+
+# --- family 6: DSIR feature-bucket ratios -----------------------------
+
+
+def _dsir_ratio_sql(n_buckets: int, salt: str) -> str:
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                       AS bg
+            FROM t WHERE len(toks) >= 2
+        ), b AS (
+            SELECT doc_id, lang,
+                   {_h32(f"bg || ':{salt}'")} % {n_buckets} AS bucket
+            FROM g
+        ), counts AS (
+            SELECT bucket, count(*) AS r_cnt,
+                   count(*) FILTER (WHERE lang = 'en') AS t_cnt
+            FROM b GROUP BY bucket
+        ), tot AS (
+            SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM counts
+        )
+        SELECT bucket, t_cnt, r_cnt,
+               (CAST(t_cnt + 1 AS DOUBLE)
+                / (CAST(t_tot AS DOUBLE) + {n_buckets}.0))
+               / (CAST(r_cnt + 1 AS DOUBLE)
+                  / (CAST(r_tot AS DOUBLE) + {n_buckets}.0)) AS ratio
+        FROM counts, tot ORDER BY bucket
+    """
+
+
+def test_dsir_sweep_buckets_and_salt(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.selection import (
+        dsir_bucket_ratios,
+    )
+
+    docs, _, duck = corpus
+    results = {}
+    for n_buckets, salt in ((256, "dsir"), (64, "dsir"), (256, "alt")):
+        sdf = dsir_bucket_ratios(
+            docs,
+            F.col("lang") == "en",
+            n_buckets=n_buckets,
+            salt=salt,
+        )
+        results[(n_buckets, salt)] = _compare(
+            sdf,
+            duck,
+            _dsir_ratio_sql(n_buckets, salt),
+            f"dsir[b={n_buckets},salt={salt}]",
+        )
+    assert results[(256, "dsir")] != results[(64, "dsir")]
+    assert results[(256, "dsir")] != results[(256, "alt")]
