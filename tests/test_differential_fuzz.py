@@ -2,8 +2,11 @@
 bounded grammar over the Q01-Q24 operator set (filter/project, aggregate,
 join, distinct, order-limit, window top-k, IN-subquery, union, correlated
 EXISTS/NOT EXISTS, scalar-subquery comparison, ROLLUP, window analytics
-(LAG/LEAD, frame aggregates, the rank family), INTERSECT/EXCEPT), executed
-as the SAME SQL text on Spark and DuckDB over the same in-memory tables.
+(LAG/LEAD, frame aggregates, the rank family), INTERSECT/EXCEPT) plus the
+round-4 extension grammar (LATERAL joins, SQL-standard PIVOT/UNPIVOT,
+bag-semantics EXCEPT ALL/INTERSECT ALL, decimal scale/rounding edges,
+date +- INTERVAL arithmetic), executed as the SAME SQL text on Spark and
+DuckDB over the same in-memory tables.
 
 The 73 declared queries prove fixed points of the semantics; this suite
 hardens the space between them — coercion rules, NULL propagation,
@@ -113,7 +116,105 @@ _AGGS = [
 
 
 def _gen_query(rng: random.Random) -> str:
-    kind = rng.randrange(17)
+    kind = rng.randrange(22)
+    if kind == 17:  # LATERAL.  FUZZER FINDING (round 4): a comma-LATERAL
+        # whose subquery is an ungrouped aggregate DIVERGES — Spark emits
+        # the SQL-standard one-row-with-NULL for an empty correlated
+        # group, DuckDB drops the row entirely.  LEFT JOIN LATERAL ... ON
+        # true null-extends in both engines (DuckDB's dropped row comes
+        # back as the left-join NULL row), so aggregate lateral subqueries
+        # use that form; comma-LATERAL is exercised with the ORDER
+        # BY/LIMIT top-1 form, where both engines agree on inner
+        # semantics.
+        if rng.random() < 0.5:
+            agg = rng.choice(["MAX(b.w)", "MIN(b.w)", "COUNT(*)"])
+            return (
+                f"SELECT a.id, a.k, a.v, l.m FROM f1 a "
+                f"LEFT JOIN LATERAL (SELECT {agg} AS m FROM f2 b "
+                f"WHERE b.k = a.k AND b.w > {rng.randrange(100)}) l ON true "
+                f"WHERE {_pred(rng, 'a')}"
+            )
+        direction = rng.choice(["ASC", "DESC"])
+        return (
+            "SELECT a.id, a.v, l.name, l.w FROM f1 a, LATERAL ("
+            "SELECT b.name, b.w FROM f2 b WHERE b.k = a.k "
+            f"ORDER BY b.w {direction}, b.name LIMIT {rng.randrange(1, 3)}) l"
+        )
+    if kind == 18:  # pivot / unpivot (both engines support the
+        # SQL-standard FROM ... PIVOT/UNPIVOT clause with identical
+        # output column naming and identical drop-NULLs unpivot default).
+        # FUZZER FINDING (round 4, seed 20260813 cases 357/411):
+        # PIVOT(COUNT(v)) DIVERGES on empty cells — DuckDB emits the
+        # standard COUNT-of-empty 0, Spark emits NULL (its pivot
+        # null-extends missing combos AFTER aggregation) — so the
+        # portable pivot grammar sticks to MIN/MAX, whose empty-cell
+        # value is NULL in both engines; COALESCE the count in the outer
+        # select when a portable pivot count is needed (q43's idiom).
+        if rng.random() < 0.5:
+            agg = rng.choice(["MIN(v)", "MAX(v)"])
+            vals = ", ".join(
+                repr(chr(ord("a") + i))
+                for i in sorted(rng.sample(range(5), rng.randrange(2, 4)))
+            )
+            where = f" WHERE {_pred(rng)}" if rng.random() < 0.5 else ""
+            return (
+                f"SELECT * FROM (SELECT k, c, v FROM f1{where}) "
+                f"PIVOT ({agg} FOR c IN ({vals}))"
+            )
+        cols = rng.sample(["v1", "v2", "v3"], rng.randrange(2, 4))
+        return (
+            "SELECT id, colname, val FROM ("
+            "SELECT id, v AS v1, v + COALESCE(k, 0) AS v2, ABS(v) AS v3 "
+            f"FROM f1 WHERE {_pred(rng)}) "
+            f"UNPIVOT (val FOR colname IN ({', '.join(sorted(cols))}))"
+        )
+    if kind == 19:  # bag-semantics set ops (multiplicity arithmetic)
+        op = rng.choice(["EXCEPT ALL", "INTERSECT ALL"])
+        cols = rng.choice(["k", "c", "k, c"])
+        return (
+            f"SELECT {cols} FROM f1 WHERE {_pred(rng)} "
+            f"{op} SELECT {cols} FROM f1 WHERE {_pred(rng)}"
+        )
+    if kind == 20:  # decimal arithmetic edges: scale growth under
+        # multiply, negative rounding, near-boundary magnitudes — always
+        # terminally CAST AS DOUBLE (the committed intersection dialect;
+        # SUM(BIGINT) overflow promotion and DECIMAL division scale rules
+        # genuinely differ between engines and stay excluded)
+        pick = rng.randrange(3)
+        if pick == 0:
+            return (
+                "SELECT id, CAST(CAST(v AS DECIMAL(18,3)) * "
+                f"CAST(COALESCE(k, {rng.randrange(1, 5)}) AS DECIMAL(18,3)) "
+                "AS DOUBLE) AS dm FROM f1 WHERE "
+                + _pred(rng)
+            )
+        if pick == 1:
+            off = rng.choice(["0.00005", "0.5", "-0.00005"])
+            return (
+                f"SELECT id, CAST(CAST(v - {rng.randrange(100)} AS "
+                f"DECIMAL(12,4)) + CAST({off} AS DECIMAL(12,5)) AS DOUBLE) "
+                "AS dr FROM f1"
+            )
+        mult = rng.choice(["1000000000", "999999999", "123456789"])
+        return (
+            f"SELECT k, CAST(SUM(CAST(v * {mult} AS DECIMAL(38,4))) "
+            "AS DOUBLE) AS s FROM f1 GROUP BY k"
+        )
+    if kind == 21:  # interval arithmetic: day/month addition (month-end
+        # clamping agrees), interval-shifted comparisons
+        n = rng.randrange(1, 45)
+        unit = rng.choice(["DAY", "MONTH"])
+        if rng.random() < 0.5:
+            sign = rng.choice(["+", "-"])
+            return (
+                f"SELECT id, CAST(dt {sign} INTERVAL {n} {unit} AS DATE) "
+                f"AS d2 FROM f1 WHERE {_pred(rng)}"
+            )
+        cmp_date = f"DATE '2020-{rng.randrange(1, 13):02d}-15'"
+        return (
+            f"SELECT id, k, dt FROM f1 WHERE dt + INTERVAL {n} {unit} "
+            f"{rng.choice(['<', '>='])} {cmp_date} AND ({_pred(rng)})"
+        )
     if kind == 15:  # full outer join — null-extended rows on both sides
         where = (
             f" WHERE b.w IS NULL OR {_pred(rng, 'a')}"
