@@ -66,6 +66,78 @@ def test_connector_probe_ran_and_is_consistent(spark):
         )
 
 
+def _artifact_cache_dirs() -> list[str]:
+    """Local places a connector artifact could already live OFFLINE (no
+    network, no pip install): the pip download/wheel caches, the ivy/
+    maven caches Spark itself populates for spark.jars.packages, and any
+    user-dropped jar/wheel directories."""
+    home = os.path.expanduser("~")
+    cands = [
+        os.environ.get("PIP_CACHE_DIR", ""),
+        os.path.join(home, ".cache", "pip"),
+        os.path.join(home, ".ivy2", "jars"),
+        os.path.join(home, ".ivy2", "cache"),
+        os.path.join(home, ".m2", "repository"),
+        os.path.join(home, "jars"),
+        os.path.join(home, "wheels"),
+    ]
+    return [d for d in cands if d and os.path.isdir(d)]
+
+
+_ARTIFACT_PATTERNS = {
+    "kafka": ("spark-sql-kafka", "spark_sql_kafka", "kafka-clients"),
+    "cassandra": ("spark-cassandra-connector", "cassandra_connector"),
+    "delta": ("delta-spark", "delta_spark", "delta-core", "delta-storage"),
+}
+
+
+def _scan_local_artifacts() -> dict[str, list[str]]:
+    """Walk the offline caches (bounded depth) for connector wheels/jars."""
+    found: dict[str, list[str]] = {k: [] for k in _ARTIFACT_PATTERNS}
+    for root_dir in _artifact_cache_dirs():
+        base_depth = root_dir.rstrip(os.sep).count(os.sep)
+        for dirpath, dirnames, filenames in os.walk(root_dir):
+            if dirpath.count(os.sep) - base_depth > 6:
+                dirnames[:] = []
+                continue
+            for f in filenames:
+                if not f.endswith((".jar", ".whl")):
+                    continue
+                for conn, pats in _ARTIFACT_PATTERNS.items():
+                    if any(p in f for p in pats):
+                        found[conn].append(os.path.join(dirpath, f))
+    return found
+
+
+def test_offline_artifact_fetch_probe(spark):
+    """Round-4 extension: one layer past Class.forName — scan the local
+    pip/ivy/maven caches for connector artifacts that could be wired
+    WITHOUT network access.  Emits one report row per connector; fails
+    (does not skip) if an artifact IS locally available while the gate
+    stays closed, so a future image that merely caches the jar flips
+    this from green-report to actionable failure instead of staying
+    silently dark."""
+    gates = {
+        "kafka": kafka_available(spark),
+        "cassandra": cassandra_available(spark),
+        "delta": delta_available(spark),
+    }
+    artifacts = _scan_local_artifacts()
+    for conn in sorted(gates):
+        print(
+            f"connector-probe {conn}: gate={'open' if gates[conn] else 'closed'} "
+            f"local_artifacts={artifacts[conn] or 'none'} "
+            f"(scanned {_artifact_cache_dirs() or 'no cache dirs present'})"
+        )
+    for conn, paths in artifacts.items():
+        if paths and not gates[conn]:
+            raise AssertionError(
+                f"{conn}: offline artifact(s) {paths} present but the "
+                "capability gate is closed — wire the jar/wheel into the "
+                "session (spark.jars / sys.path) so the gated tests light up"
+            )
+
+
 def test_kafka_integration_lights_up(spark):
     if not kafka_available(spark):
         pytest.skip(
