@@ -570,3 +570,162 @@ def test_dsir_sweep_buckets_and_salt(corpus):
         )
     assert results[(256, "dsir")] != results[(64, "dsir")]
     assert results[(256, "dsir")] != results[(256, "alt")]
+
+
+# --- family 7: Bloom bit-set packing ----------------------------------
+
+
+def _bloom_sql(m_bits: int, k: int, build_max: int) -> str:
+    seeds = f"range(0, {k}) s(s)"
+    hp = _h32("CAST(bk AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)")
+    hq = _h32("CAST(key AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)")
+    return f"""
+        WITH bkeys AS (
+            SELECT DISTINCT key AS bk FROM keys WHERE key < {build_max}
+        ), pos AS (
+            SELECT DISTINCT {hp} % {m_bits} AS p FROM bkeys, {seeds}
+        ), probe AS (SELECT DISTINCT key FROM keys),
+        ppos AS (
+            SELECT key, {hq} % {m_bits} AS p FROM probe, {seeds}
+        ), missing AS (
+            SELECT DISTINCT key FROM ppos
+            WHERE p NOT IN (SELECT p FROM pos)
+        )
+        SELECT probe.key AS key,
+               (bk IS NOT NULL) AS exact_member,
+               (missing.key IS NULL) AS bloom_maybe,
+               ((missing.key IS NULL) AND bk IS NULL) AS is_false_positive
+        FROM probe
+        LEFT JOIN missing ON missing.key = probe.key
+        LEFT JOIN bkeys ON bk = probe.key
+        ORDER BY key
+    """
+
+
+def test_bloom_sweep_m_and_k(corpus, spark, tmp_path):
+    """Perturbing the bit-array size and hash count changes WHICH keys
+    false-positive; both engines must compute the identical bit set."""
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        bloom_fp_audit,
+    )
+
+    _, _, duck = corpus
+    keys = spark.createDataFrame([(i,) for i in range(200)], "key long")
+    keys.write.mode("overwrite").parquet(str(tmp_path / "keys.parquet"))
+    duck.sql(
+        "CREATE OR REPLACE VIEW keys AS SELECT * FROM "
+        f"'{tmp_path / 'keys.parquet'}/*.parquet'"
+    )
+    keys_back = spark.read.parquet(str(tmp_path / "keys.parquet"))
+    build = keys_back.filter(F.col("key") < 60)
+    results = {}
+    for m_bits, k in ((4096, 3), (256, 3), (4096, 1)):
+        sdf = bloom_fp_audit(keys_back, build, "key", "key", m_bits=m_bits, k=k)
+        results[(m_bits, k)] = _compare(
+            sdf, duck, _bloom_sql(m_bits, k, 60), f"bloom[m={m_bits},k={k}]"
+        )
+    # tighter array (m=256, load 60*3/256) must flip some verdicts vs 4096
+    assert results[(4096, 3)] != results[(256, 3)], "m perturbation must move"
+    # cells are sorted by column name: bloom_maybe|exact_member|
+    # is_false_positive|key
+    n_fp_tight = sum(
+        1
+        for row in results[(256, 3)].elements()
+        if row.split("|")[2] == "True"
+    )
+    assert n_fp_tight > 0, "tight sizing should actually produce FPs"
+
+
+# --- family 8: PQ codebook / ADC ---------------------------------------
+
+
+def _pq_sql(m: int, n_codes: int, k: int, nq: int, dim: int = 8) -> str:
+    ds = dim // m
+    hh = _h32("CAST(vec_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)")
+    return f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < {nq}
+        ), sub AS (
+            SELECT vec_id, s.s AS s,
+                   list_slice(e, s.s * {ds} + 1, s.s * {ds} + {ds}) AS sv,
+                   {hh} AS hh
+            FROM c, range(0, {m}) s(s)
+        ), cells AS (
+            SELECT vec_id, s, sv, hh, CAST(hh % {n_codes} AS INT) AS code
+            FROM sub
+        ), books AS (
+            SELECT s, code, arg_min(sv, hh) AS cw FROM cells GROUP BY s, code
+        ), dists AS (
+            SELECT cl.vec_id, cl.s, b.code, b.cw,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, {ds + 1}),
+                           i -> (cl.sv[i] - b.cw[i]) * (cl.sv[i] - b.cw[i]))),
+                       (a, x) -> a + x) AS dist
+            FROM cells cl JOIN books b USING (s)
+        ), assigned AS (
+            SELECT vec_id, s, cw FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), exact AS (
+            SELECT q.query_id, c.vec_id,
+                   list_dot_product(q.qe, c.e) AS exact_dot
+            FROM c, q
+        ), topk AS (
+            SELECT query_id, vec_id, exact_dot, "rank" FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY exact_dot DESC, vec_id) AS "rank"
+                FROM exact
+            ) WHERE "rank" <= {k}
+        ), qsub AS (
+            SELECT query_id, s.s AS s,
+                   list_slice(qe, s.s * {ds} + 1, s.s * {ds} + {ds}) AS qsv
+            FROM q, range(0, {m}) s(s)
+        ), terms AS (
+            SELECT qs.query_id, a.vec_id, a.s,
+                   list_dot_product(qs.qsv, a.cw) AS d
+            FROM assigned a JOIN qsub qs USING (s)
+        ), adc AS (
+            SELECT query_id, vec_id,
+                   list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+                               (a, x) -> a + x) AS adc_dot
+            FROM terms GROUP BY query_id, vec_id
+        )
+        SELECT t.query_id, t.vec_id,
+               ROUND(exact_dot * 1000000) / 1000000 AS exact_dot,
+               ROUND(adc_dot * 1000000) / 1000000 AS adc_dot,
+               ROUND(abs(exact_dot - adc_dot) * 1000000) / 1000000
+                   AS abs_err,
+               "rank"
+        FROM topk t JOIN adc USING (query_id, vec_id)
+        ORDER BY query_id, "rank"
+    """
+
+
+def test_pq_sweep_subspaces_and_codebook(corpus):
+    """Perturbing the subspace split and codebook size changes every ADC
+    estimate; both engines must re-derive identical codebooks and
+    fold identical doubles."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        pq_adc_audit,
+    )
+
+    _, emb, duck = corpus
+    nq, k = 3, 5
+    queries = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results = {}
+    for m, n_codes in ((4, 16), (2, 16), (4, 4)):
+        sdf = pq_adc_audit(
+            emb, queries, k=k, dim=8, m=m, n_codes=n_codes
+        )
+        results[(m, n_codes)] = _compare(
+            sdf, duck, _pq_sql(m, n_codes, k, nq), f"pq[m={m},K={n_codes}]"
+        )
+    assert results[(4, 16)] != results[(2, 16)], "subspace split must move"
+    assert results[(4, 16)] != results[(4, 4)], "codebook size must move"
