@@ -203,7 +203,7 @@ def main() -> None:
                 "pipeline_feed_rows": pipeline_feed_rows,
                 "pipeline_events_per_sec": round(n_posts / pipeline_sec, 1),
                 # variance protocol fields
-                "steady_runs_per_query": max(1, runs - 1),
+                "steady_runs_per_query": runs - 1,
                 "load_1m_at_start": round(load_1m, 2),
                 "machine_idle_at_start": 0 <= load_1m < 0.25 * n_cpus,
                 "query_rel_spread_p50": _pct_of(spread_vals, 0.5),
@@ -213,7 +213,11 @@ def main() -> None:
                 "prev_bench_sf": prev_sf,
             }
 
-    prev_path.write_text(json.dumps(result, indent=1) + "\n")
+    # Only a run with real steady medians may become the delta reference:
+    # a cold-only sweep (SPARK_GRAFT_BENCH_RUNS=1) overwriting the record
+    # would poison the next run's deltas with steady-vs-cold noise.
+    if runs > 1:
+        prev_path.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
 
 

@@ -25,18 +25,14 @@ use GraphFrames/Pregel; for dedup groups this is the right weight.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _checkpointer(
-    df: DataFrame,
-    reliable: bool,
-    checkpoint_dir: Optional[str],
-) -> Callable[[DataFrame], DataFrame]:
-    """Pick the lineage-truncation strategy for an iterative operator.
+class _Checkpointer:
+    """Lineage-truncation strategy for an iterative operator.
 
     Default (``reliable=False``): ``localCheckpoint(eager=True)`` —
     executor-memory blocks, fastest, right weight for local mode and
@@ -44,26 +40,80 @@ def _checkpointer(
     executor mid-fixpoint kills the lineage (blocks are not
     replicated/recomputable) and the job dies.
 
-    ``reliable=True``: ``DataFrame.checkpoint(eager=True)`` writing to
-    the SparkContext checkpoint directory (HDFS/S3 on a real cluster) —
+    ``reliable=True``: each checkpoint is a parquet round written under
+    ``checkpoint_dir`` (HDFS/S3 on a real cluster) and read back —
     survives executor loss, the mode to use for 100 TB runs where a
-    multi-hour fixpoint must not restart from zero.  Pass
-    ``checkpoint_dir`` to set/override the context's directory, or
-    pre-set it once via ``sc.setCheckpointDir``; if neither is done we
-    fail fast rather than silently fall back to the non-durable path.
+    multi-hour fixpoint must not restart from zero.  Parquet rounds
+    rather than ``DataFrame.checkpoint``: RDD checkpoint files are
+    never cleaned within a job (``cleanCheckpoints`` only fires on GC),
+    so a 50-round fixpoint would hold 50 durable copies of the state;
+    here a per-round checkpoint marked ``disposable=True`` deletes the
+    superseded round as soon as the new one is fully materialized, so
+    the directory holds the pinned frames (edges/nodes) plus ONE live
+    round at any time.  Pass ``checkpoint_dir`` or pre-set
+    ``sc.setCheckpointDir``; with neither we fail fast rather than
+    silently fall back to the non-durable path.  The final result keeps
+    its last round on disk — drop ``checkpoint_dir`` when done with it.
     """
-    if not reliable:
-        return lambda d: d.localCheckpoint(eager=True)
-    sc = df.sparkSession.sparkContext
-    if checkpoint_dir is not None:
-        sc.setCheckpointDir(checkpoint_dir)
-    elif sc.getCheckpointDir() is None:
-        raise ValueError(
-            "reliable=True needs a checkpoint directory: pass "
-            "checkpoint_dir= (an HDFS/S3 path on a cluster) or call "
-            "sparkContext.setCheckpointDir() first"
-        )
-    return lambda d: d.checkpoint(eager=True)
+
+    def __init__(
+        self,
+        df: DataFrame,
+        reliable: bool,
+        checkpoint_dir: Optional[str],
+    ) -> None:
+        self.reliable = reliable
+        if not reliable:
+            return
+        self.spark = df.sparkSession
+        if checkpoint_dir is None:
+            checkpoint_dir = self.spark.sparkContext.getCheckpointDir()
+        if checkpoint_dir is None:
+            raise ValueError(
+                "reliable=True needs a checkpoint directory: pass "
+                "checkpoint_dir= (an HDFS/S3 path on a cluster) or call "
+                "sparkContext.setCheckpointDir() first"
+            )
+        import uuid
+
+        self.base = checkpoint_dir.rstrip("/") + "/gckfs-" + uuid.uuid4().hex
+        self._n = 0
+        self._live_disposable: list[str] = []
+
+    def __call__(self, df: DataFrame, disposable: bool = False) -> DataFrame:
+        if not self.reliable:
+            return df.localCheckpoint(eager=True)
+        path = f"{self.base}/ck-{self._n}"
+        self._n += 1
+        df.write.parquet(path)
+        out = self.spark.read.parquet(path)
+        if disposable:
+            # the new round is durable on disk; the superseded round
+            # feeds no future computation — reclaim it now (best-effort:
+            # a failed delete costs space, never correctness)
+            for old in self._live_disposable:
+                self._delete(old)
+            self._live_disposable = [path]
+        return out
+
+    def _delete(self, path: str) -> None:
+        try:
+            jvm = self.spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+            )
+            fs.delete(p, True)
+        except Exception:
+            pass
+
+
+def _checkpointer(
+    df: DataFrame,
+    reliable: bool,
+    checkpoint_dir: Optional[str],
+) -> _Checkpointer:
+    return _Checkpointer(df, reliable, checkpoint_dir)
 
 
 def connected_components(
@@ -80,9 +130,11 @@ def connected_components(
     not a semantic knob — raise it for graphs with huge diameters.
 
     ``reliable=True`` swaps the per-round lineage truncation from
-    executor-memory ``localCheckpoint`` to durable
-    ``checkpoint`` blocks in ``checkpoint_dir`` (see ``_checkpointer``)
-    — identical results, survives executor loss at cluster scale.
+    executor-memory ``localCheckpoint`` to durable parquet rounds in
+    ``checkpoint_dir`` (see ``_Checkpointer``) — identical results,
+    survives executor loss at cluster scale, and superseded rounds are
+    reclaimed so the directory holds edges + symmetrized edges + ONE
+    live round regardless of iteration count.
     """
     # Checkpoint the edge list BEFORE symmetrizing: the union references
     # `edges` twice, and an expensive upstream pair pipeline (LSH,
@@ -95,7 +147,8 @@ def connected_components(
     )
     labels = ck(
         sym.select(F.col("u").alias("id")).distinct()
-        .withColumn("comp", F.col("id"))
+        .withColumn("comp", F.col("id")),
+        disposable=True,
     )
     for _ in range(max_iters):
         neigh = (
@@ -113,7 +166,7 @@ def connected_components(
                 (F.col("nmin") < F.col("comp")).alias("__changed"),
             )
         )
-        updated = ck(updated)
+        updated = ck(updated, disposable=True)
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
@@ -234,6 +287,7 @@ def pagerank(
                     (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
-            )
+            ),
+            disposable=True,
         )
     return ranks

@@ -27,19 +27,25 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     (column, n_rows, n_null, n_distinct, min_val, max_val).
     """
     cols = list(columns or df.columns)
-    # positional internal aliases + F.lit(name) in the stack: column
-    # names are data, never interpolated into SQL text (quotes, dots,
-    # or backticks in a name must not break the query).
+    # positional internal aliases + F.lit(name) in the stack, and
+    # backtick-quoted (escaped) column references instead of raw
+    # F.col(c) (which dot-parses a.b as struct access): column names are
+    # data — quotes, dots, or backticks in a name must not break or
+    # re-route the query.
+
+    def _c(name: str) -> Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}"),
-            F.countDistinct(c).alias(f"__dist_{i}"),
+            F.sum(_c(c).isNull().cast("long")).alias(f"__null_{i}"),
+            F.countDistinct(_c(c)).alias(f"__dist_{i}"),
             # min/max on the NATIVE type (casting first would make them
             # lexicographic), stringified afterwards for the uniform
             # output schema
-            F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
+            F.min(_c(c)).cast("string").alias(f"__min_{i}"),
+            F.max(_c(c)).cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args: list[Column] = [F.lit(len(cols))]

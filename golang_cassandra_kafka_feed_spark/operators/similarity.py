@@ -516,7 +516,7 @@ def pq_adc_audit(
     # assigned to the top-k vec set per query BEFORE the subspace dot
     # products — k*m terms per query, never all corpus x queries x m.
     adc_terms = (
-        assigned.join(top.select("query_id", "vec_id"), "vec_id")
+        assigned.join(F.broadcast(top.select("query_id", "vec_id")), "vec_id")
         .join(F.broadcast(q_sub), ["query_id", "s"])
         .select(
             "query_id", "vec_id", "s",

@@ -37,23 +37,29 @@ _EVENTS_RAW_SCHEMA = (
 )
 
 
+def _parquet_parts(path: str) -> list[str]:
+    """Resolve a table path to its parquet part files (a single .parquet
+    file, or the sorted *.parquet parts of a directory table such as the
+    synthesized scale SFs) — the shared resolver for every driver-side
+    footer probe in this module."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path] if os.path.exists(path) else []
+
+
 def _has_nanos_ts(path: str) -> bool:
     """Cheap driver-side footer probe (no Spark job) for TIMESTAMP(NANOS)."""
     try:
-        import glob
-        import os
-
         import pyarrow.parquet as pq
 
-        if os.path.isdir(path):
-            # multi-file table (e.g. the synthesized scale SFs): all parts
-            # share one schema — probe the first.
-            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if not parts:
-                return False
-            path = parts[0]
-        schema = pq.read_schema(path)
-        field = schema.field("ts")
+        parts = _parquet_parts(path)
+        if not parts:
+            return False
+        # all parts share one schema — probe the first
+        field = pq.read_schema(parts[0]).field("ts")
         return getattr(field.type, "unit", None) == "ns"
     except Exception:
         return False
@@ -68,17 +74,11 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
     Returns None when the table cannot be footer-probed (caller falls
     back to a distributed count)."""
     try:
-        import glob
         import os
 
         import pyarrow.parquet as pq
 
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        parts = (
-            sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if os.path.isdir(path)
-            else [path]
-        )
+        parts = _parquet_parts(os.path.join(sf_dir, f"{name}.parquet"))
         if not parts:
             return None
         return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)

@@ -84,11 +84,26 @@ def _artifact_cache_dirs() -> list[str]:
     return [d for d in cands if d and os.path.isdir(d)]
 
 
+# Only artifacts that can actually OPEN a gate: the provider jars the
+# Class.forName checks look for, not transitive deps (a cached
+# kafka-clients jar from an unrelated build can never open the kafka
+# gate, so matching it would make the failure unactionable).
 _ARTIFACT_PATTERNS = {
-    "kafka": ("spark-sql-kafka", "spark_sql_kafka", "kafka-clients"),
+    "kafka": ("spark-sql-kafka", "spark_sql_kafka"),
     "cassandra": ("spark-cassandra-connector", "cassandra_connector"),
-    "delta": ("delta-spark", "delta_spark", "delta-core", "delta-storage"),
+    "delta": ("delta-spark", "delta_spark", "delta-core"),
 }
+
+
+def _sufficient_to_wire(conn: str, paths: list[str]) -> bool:
+    """True only when the found artifacts could genuinely open the gate:
+    delta needs BOTH the python wheel and a jar; the others need their
+    provider jar."""
+    if conn == "delta":
+        return any(p.endswith(".whl") for p in paths) and any(
+            p.endswith(".jar") for p in paths
+        )
+    return any(p.endswith(".jar") for p in paths)
 
 
 def _scan_local_artifacts() -> dict[str, list[str]]:
@@ -130,7 +145,7 @@ def test_offline_artifact_fetch_probe(spark):
             f"(scanned {_artifact_cache_dirs() or 'no cache dirs present'})"
         )
     for conn, paths in artifacts.items():
-        if paths and not gates[conn]:
+        if _sufficient_to_wire(conn, paths) and not gates[conn]:
             raise AssertionError(
                 f"{conn}: offline artifact(s) {paths} present but the "
                 "capability gate is closed — wire the jar/wheel into the "

@@ -259,6 +259,10 @@ def test_profile_and_checks_quoted_names_are_data(spark):
     df = spark.createDataFrame([(1,), (2,)], ["the 'id'"])
     prof = {r.column: r for r in profile_table(df).collect()}
     assert prof["the 'id'"].n_distinct == 2
+    # dotted names must profile the top-level column, not dot-parse
+    df2 = spark.createDataFrame([(1, 5), (2, None)], ["a.b", "plain"])
+    prof2 = {r.column: r for r in profile_table(df2).collect()}
+    assert prof2["a.b"].n_distinct == 2 and prof2["plain"].n_null == 1
     checks = {
         r.check: r
         for r in quality_checks(

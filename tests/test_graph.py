@@ -75,11 +75,17 @@ def test_reliable_checkpoint_roundtrip_identical(spark, tmp_path):
         ).collect()
     }
     assert durable == base
-    # the reliable path actually wrote RDD checkpoint data
+    # the reliable path actually wrote durable checkpoint data
     found = [
         f for root, _, fs in os.walk(ckdir) for f in fs if f.startswith("part")
     ]
     assert found, "no checkpoint part-files written under checkpoint_dir"
+    # superseded rounds are reclaimed: whatever the iteration count,
+    # only edges + sym + the ONE live round remain on disk
+    ck_dirs = [
+        d for root, ds, _ in os.walk(ckdir) for d in ds if d.startswith("ck-")
+    ]
+    assert len(ck_dirs) == 3, f"stale checkpoint rounds left behind: {ck_dirs}"
 
 
 def test_pagerank_reliable_matches_local(spark, tmp_path):

@@ -23,6 +23,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    MAX_BUCKET_WIDTH,
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
@@ -195,7 +196,9 @@ def test_minhash_signature_sweep_num_hashes(corpus):
     assert results[64] != results[32], "num_hashes perturbation must move"
 
 
-def _minhash_cand_sql(bands: int, num_hashes: int = 64, width: int = 64) -> str:
+def _minhash_cand_sql(
+    bands: int, num_hashes: int = 64, width: int = MAX_BUCKET_WIDTH
+) -> str:
     r = num_hashes // bands
     return f"""
         WITH sig AS ({_minhash_sig_sql(num_hashes).replace('ORDER BY id', '')}),
@@ -248,7 +251,9 @@ def test_minhash_band_packing_sweep(corpus):
 # --- family 2: simhash two-half signatures ----------------------------
 
 
-def _simhash_pairs_sql(max_hamming: int, width: int = 64) -> str:
+def _simhash_pairs_sql(
+    max_hamming: int, width: int = MAX_BUCKET_WIDTH
+) -> str:
     return f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
