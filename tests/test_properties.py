@@ -223,3 +223,74 @@ def test_asof_nearest_minimizes_distance(spark, left_ts, right_ts):
         # equidistant candidates prefer the backward row
         if t - best in rts and t + best in rts and best > 0:
             assert chosen_t == t - best
+
+
+_iv_start = st.integers(min_value=0, max_value=48)  # hours from T0
+_iv_len = st.integers(min_value=0, max_value=24)
+_IV_T0 = dt.datetime(2026, 1, 1)
+
+
+def _iv_rows(draw_starts, draw_lens, draw_open, keys):
+    rows = []
+    for i, (s, ln, op, k) in enumerate(
+        zip(draw_starts, draw_lens, draw_open, keys)
+    ):
+        start = _IV_T0 + dt.timedelta(hours=s)
+        end = None if op else start + dt.timedelta(hours=ln)
+        rows.append((k, i, start, end))
+    return rows
+
+
+@given(
+    ls=st.lists(_iv_start, min_size=1, max_size=12),
+    ll=st.lists(_iv_len, min_size=12, max_size=12),
+    lo=st.lists(st.booleans(), min_size=12, max_size=12),
+    lk=st.lists(st.integers(0, 2), min_size=12, max_size=12),
+    rs=st.lists(_iv_start, min_size=1, max_size=12),
+    rl=st.lists(_iv_len, min_size=12, max_size=12),
+    ro=st.lists(st.booleans(), min_size=12, max_size=12),
+    rk=st.lists(st.integers(0, 2), min_size=12, max_size=12),
+    bucket_hours=st.sampled_from([1, 5, 40]),
+)
+@_SETTINGS
+def test_interval_join_matches_bruteforce(
+    spark, ls, ll, lo, lk, rs, rl, ro, rk, bucket_hours
+):
+    """interval_join (bucketed + open-interval branches) == the naive
+    cross-join overlap filter, for random interval sets with NULL
+    (open) ends on both sides and bucket widths smaller/near/larger
+    than typical interval lengths."""
+    from golang_cassandra_kafka_feed_spark.operators.range_join import (
+        interval_join,
+    )
+
+    lrows = _iv_rows(ls, ll, lo, lk)
+    rrows = _iv_rows(rs, rl, ro, rk)
+    left = spark.createDataFrame(
+        lrows, "k long, lid long, lstart timestamp, lend timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "k long, rid long, rstart timestamp, rend timestamp"
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            left,
+            right,
+            ["k"],
+            "lstart",
+            "lend",
+            "rstart",
+            "rend",
+            bucket_seconds=bucket_hours * 3600,
+            open_end_ts="9999-12-31",
+        ).collect()
+    )
+    far = dt.datetime(9999, 12, 31)
+    want = sorted(
+        (lid, rid)
+        for (k1, lid, s1, e1) in lrows
+        for (k2, rid, s2, e2) in rrows
+        if k1 == k2 and s1 <= (e2 or far) and s2 <= (e1 or far)
+    )
+    assert got == want
