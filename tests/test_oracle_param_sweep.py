@@ -734,3 +734,96 @@ def test_pq_sweep_subspaces_and_codebook(corpus):
         )
     assert results[(4, 16)] != results[(2, 16)], "subspace split must move"
     assert results[(4, 16)] != results[(4, 4)], "codebook size must move"
+
+
+# --- family 9: winnowing fingerprints ----------------------------------
+
+
+def _winnow_sql(k: int, w: int) -> str:
+    return f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(text), '[^a-z]', '', 'g') AS n
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(length(n) - {k - 1}, 1) + 1),
+                     i -> CAST(('0x' || substring(
+                              md5(substring(n, i, {k})), 1, 8)) AS BIGINT)
+                   ) AS gh
+            FROM norm
+        ), fps AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(gh) - {w - 1}, 1) + 1),
+                     x -> list_min(list_slice(gh, x, x + {w - 1})))) AS f
+            FROM grams
+        )
+        SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fingerprints,
+               list_min(f) AS min_fp
+        FROM fps ORDER BY doc_id
+    """
+
+
+def test_winnowing_sweep_gram_and_window(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    docs, _, duck = corpus
+    results = {}
+    for k, w in ((5, 4), (3, 4), (5, 8)):
+        fp = winnowing_fingerprints(docs, k=k, window=w, hasher="md5")
+        sdf = fp.select(
+            "doc_id",
+            F.size("fingerprints").cast("long").alias("n_fingerprints"),
+            F.array_min("fingerprints").alias("min_fp"),
+        ).orderBy("doc_id")
+        results[(k, w)] = _compare(
+            sdf, duck, _winnow_sql(k, w), f"winnow[k={k},w={w}]"
+        )
+    assert results[(5, 4)] != results[(3, 4)], "gram size must move"
+    assert results[(5, 4)] != results[(5, 8)], "window size must move"
+
+
+# --- family 10: n-gram Jaccard inverted index ---------------------------
+
+
+def _ngram_jaccard_sql(n: int, threshold: float) -> str:
+    return f"""
+        WITH sets AS (
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(toks) < {n}
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - {n - 2}),
+                               i -> array_to_string(
+                                      list_slice(toks, i, i + {n - 1}), ' '))
+                     END) AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def test_ngram_jaccard_sweep_n_and_threshold(corpus):
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs, _, duck = corpus
+    results = {}
+    for n, t in ((3, 0.5), (2, 0.5), (3, 0.7)):
+        sdf = ngram_jaccard_pairs(docs, n=n, threshold=t)
+        results[(n, t)] = _compare(
+            sdf, duck, _ngram_jaccard_sql(n, t), f"ngram[n={n},t={t}]"
+        )
+    assert results[(3, 0.5)] != results[(3, 0.7)], "threshold must move"
