@@ -827,3 +827,34 @@ def test_ngram_jaccard_sweep_n_and_threshold(corpus):
             sdf, duck, _ngram_jaccard_sql(n, t), f"ngram[n={n},t={t}]"
         )
     assert results[(3, 0.5)] != results[(3, 0.7)], "threshold must move"
+
+
+# --- family 11: quantized k-means geometry -----------------------------
+
+
+def test_kmeans_sweep_k_and_iters(corpus):
+    """Sweeps the PRODUCT-side parametric oracle builder
+    (plans.oracles._kmeans_ctes) against kmeans_assign: cluster count
+    and Lloyd iteration count both move the assignment, identically in
+    both engines."""
+    from golang_cassandra_kafka_feed_spark.operators.clustering import (
+        kmeans_assign,
+    )
+    from golang_cassandra_kafka_feed_spark.plans.oracles import _kmeans_ctes
+
+    _, emb, duck = corpus
+    results = {}
+    for k, iters in ((8, 2), (4, 2), (8, 1)):
+        sdf = kmeans_assign(emb, k=k, iters=iters).orderBy("vec_id")
+        sql = (
+            _kmeans_ctes(iters=iters, k=k)
+            + "\nSELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM af "
+            "ORDER BY vec_id"
+        )
+        results[(k, iters)] = _compare(
+            sdf, duck, sql, f"kmeans[k={k},i={iters}]"
+        )
+    assert results[(8, 2)] != results[(4, 2)], "cluster count must move"
+    # iters 1 vs 2 is a parity-only point: Lloyd converges after one
+    # update on this 3-cluster corpus, so identical output is the
+    # CORRECT fixpoint behavior (both engines agree on that, too).
