@@ -1659,11 +1659,16 @@ def q80(spark, sf_dir):
 
 
 # q81's fixed query set — module-level so the DuckDB oracle embeds the
-# SAME literals (no drift between engine and twin).
+# SAME literals (no drift between engine and twin).  Query 4 SHARES
+# terms with queries 1 and 3 on purpose: co-batched queries with
+# overlapping vocabulary are the case where a tf computed after a
+# query-id fan-out would inflate (the round-4 BM25 fix), so the
+# declared gate itself exercises that path every round.
 Q81_QUERIES = [
     (1, "table scan filter"),
     (2, "stream window agg"),
     (3, "hash join merge"),
+    (4, "hash table scan"),
 ]
 
 
