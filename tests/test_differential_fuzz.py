@@ -116,7 +116,51 @@ _AGGS = [
 
 
 def _gen_query(rng: random.Random) -> str:
-    kind = rng.randrange(22)
+    kind = rng.randrange(24)
+    if kind == 22:  # string-function battery.  FUZZER FINDINGS (round
+        # 4): SPLIT_PART(NULL, ...) DIVERGES — Spark propagates NULL,
+        # DuckDB returns '' — so split_part always wraps its input in
+        # COALESCE here; EXTRACT(DOW)/DAYOFWEEK numbering differs by one
+        # (Spark Sun=1-based, DuckDB Sun=0-based) with no same-text
+        # portable spelling (Spark lacks ISODOW), so day-of-week is
+        # excluded from the portable grammar entirely.
+        fn = rng.choice(
+            [
+                "TRIM(s)",
+                f"REPLACE(s, '{rng.choice('abcde')}', 'x')",
+                f"LPAD(s, {rng.randrange(2, 10)}, '.')",
+                f"RPAD(s, {rng.randrange(2, 10)}, '-')",
+                f"POSITION('{rng.choice('abcde')}' IN s)",
+                f"SUBSTRING(s, {rng.randrange(1, 4)}, {rng.randrange(1, 5)})",
+                "UPPER(s) || '_' || LOWER(s)",
+                f"LEFT(s, {rng.randrange(1, 4)})",
+                f"RIGHT(s, {rng.randrange(1, 4)})",
+                f"REPEAT(s, {rng.randrange(1, 3)})",
+                "REVERSE(s)",
+                "SPLIT_PART(COALESCE(s, ''), 'a', 1)",
+                "COALESCE(NULLIF(s, 'alpha'), '<fb>')",
+            ]
+        )
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.5 else ""
+        return f"SELECT id, s, {fn} AS sv FROM f1{where}"
+    if kind == 23:  # date-part battery (dow excluded, see kind 22 note)
+        fn = rng.choice(
+            [
+                "CAST(DATE_TRUNC('week', dt) AS DATE)",
+                "CAST(DATE_TRUNC('month', dt) AS DATE)",
+                "CAST(DATE_TRUNC('quarter', dt) AS DATE)",
+                "EXTRACT(YEAR FROM dt)",
+                "EXTRACT(MONTH FROM dt)",
+                "EXTRACT(DAY FROM dt)",
+                "EXTRACT(WEEK FROM dt)",
+                "LAST_DAY(dt)",
+                f"GREATEST(dt, DATE '2020-{rng.randrange(1, 13):02d}-15')",
+                f"LEAST(dt, DATE '2020-{rng.randrange(1, 13):02d}-15')",
+            ]
+        )
+        return (
+            f"SELECT id, dt, {fn} AS dv FROM f1 WHERE {_pred(rng)}"
+        )
     if kind == 17:  # LATERAL.  FUZZER FINDING (round 4): a comma-LATERAL
         # whose subquery is an ungrouped aggregate DIVERGES — Spark emits
         # the SQL-standard one-row-with-NULL for an empty correlated
