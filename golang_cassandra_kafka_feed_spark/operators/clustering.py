@@ -106,8 +106,14 @@ def kmeans_assign(
     pts = df.select(F.col(id_col).alias("__id"), quantize(vec_col).alias("__q"))
     pts = pts.withColumn("__n2", _dot(F.col("__q"), F.col("__q")))
 
+    # init = the k SMALLEST ids, selected by rank, not by `id < k`:
+    # the filter form silently seeds fewer (or zero) centroids whenever
+    # ids are not 0-based contiguous integers (e.g. a corpus whose
+    # vec_ids start at 100 would cluster NOTHING).  orderBy+limit plans
+    # as TakeOrderedAndProject — per-partition heaps, no global sort.
     cents = (
-        pts.filter(F.col("__id") < k)
+        pts.orderBy("__id")
+        .limit(k)
         .select(F.col("__id").alias("__cid"), F.col("__q").alias("__cv"))
     )
 

@@ -1178,7 +1178,14 @@ def _kmeans_ctes(
             "FROM embeddings)"
         ),
         f"pn AS (SELECT vec_id, q, {_km_dot('q', 'q')} AS n2 FROM pts)",
-        f"c0 AS (SELECT vec_id AS cid, q AS cv FROM pts WHERE vec_id < {k})",
+        # k SMALLEST ids by rank (not `vec_id < k`, which assumes 0-based
+        # contiguous ids) — mirrors kmeans_assign's orderBy+limit init;
+        # the subselect form also accepts k as a scalar-subquery string
+        (
+            "c0 AS (SELECT cid, cv FROM (SELECT vec_id AS cid, q AS cv, "
+            "row_number() OVER (ORDER BY vec_id) AS rn FROM pts) "
+            f"WHERE rn <= {k})"
+        ),
     ]
     prev = "c0"
     for i in range(1, iters + 1):
@@ -2048,18 +2055,25 @@ from golang_cassandra_kafka_feed_spark.plans.queries import (  # noqa: E402
     FUNNEL_STEPS as _FUNNEL,
 )
 
+# sorted per-step event-time lists, then the sequential completion
+# chain t_{i} = first step-i event strictly after t_{i-1} (lateral
+# alias references; NULL propagates through the chain exactly like the
+# Spark fold)
 _F_MINS = ",\n               ".join(
-    f"min(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+    f"list_sort(list(ts) FILTER (WHERE event_type = '{s}')) AS l{i}"
     for i, s in enumerate(_FUNNEL)
 )
-_F_CONDS = []
-_c = "t0 IS NOT NULL"
-_F_CONDS.append(_c)
-for _i in range(1, len(_FUNNEL)):
-    _c = _c + f" AND t{_i} IS NOT NULL AND t{_i} > t{_i - 1}"
-    _F_CONDS.append(_c)
+_F_SEQ = ",\n               ".join(
+    ["l0[1] AS t0"]
+    + [
+        f"list_filter(l{i}, x -> x > t{i - 1})[1] AS t{i}"
+        for i in range(1, len(_FUNNEL))
+    ]
+)
+_F_CONDS = [f"t{i} IS NOT NULL" for i in range(len(_FUNNEL))]
 _F_SUMS = ",\n               ".join(
-    f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+    f"CAST(coalesce(sum(CASE WHEN {c} THEN 1 ELSE 0 END), 0) AS BIGINT) "
+    f"AS n{i}"
     for i, c in enumerate(_F_CONDS)
 )
 _F_ROWS = " UNION ALL ".join(
@@ -2067,12 +2081,16 @@ _F_ROWS = " UNION ALL ".join(
     for i, s in enumerate(_FUNNEL)
 )
 ORACLES["q87_funnel"] = f"""
-    WITH firsts AS (
+    WITH lists AS (
         SELECT user_id,
                {_F_MINS}
         FROM events
         WHERE event_type IN ({", ".join(f"'{s}'" for s in _FUNNEL)})
         GROUP BY user_id
+    ), firsts AS (
+        SELECT user_id,
+               {_F_SEQ}
+        FROM lists
     ), agg AS (
         SELECT {_F_SUMS}
         FROM firsts

@@ -128,3 +128,23 @@ def test_quantize_floor_negative(spark):
     [row] = df.select(quantize("e").alias("q")).collect()
     assert row.q[0] == math.floor(-0.000006 * GRID)
     assert row.q[0] < 0 and row.q[1] == 0
+
+
+def test_kmeans_seeds_k_smallest_ids_not_id_lt_k(spark):
+    """Regression: ids 100..139 (not 0-based) must still seed k
+    centroids — `filter(id < k)` would seed zero and silently return an
+    empty assignment."""
+    import pyspark.sql.functions as F
+
+    vecs = [
+        (100 + i, [float(i % 4), float((i * 3) % 5)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=4, iters=1)
+    assert out.count() == 40, "every vector must be assigned"
+    n_clusters = out.select("cluster_id").distinct().count()
+    assert 1 <= n_clusters <= 4
+    # centroids seeded from the 4 smallest ids
+    assert set(
+        r.cluster_id for r in out.select("cluster_id").distinct().collect()
+    ) <= {100, 101, 102, 103}
