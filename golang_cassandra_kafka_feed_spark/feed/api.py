@@ -111,8 +111,12 @@ class FeedStore:
         return os.path.join(self.base, table)
 
     def table(self, name: str) -> DataFrame:
+        from golang_cassandra_kafka_feed_spark.sources.fsutil import (
+            path_exists,
+        )
+
         path = self._path(name)
-        if not os.path.exists(path):
+        if not path_exists(self.spark, path):
             return self.spark.createDataFrame([], _EMPTY[name])
         df = self.spark.read.schema(
             _EMPTY[name]
@@ -267,9 +271,13 @@ class FeedStore:
         user, tie-break on post_id DESC (cql:36-37).  Physical plan:
         bucket-pruned scan + TakeOrderedAndProject (default limit 50,
         httphandlers.go:191-196)."""
+        from golang_cassandra_kafka_feed_spark.sources.fsutil import (
+            path_exists,
+        )
+
         bucket = None
         path = self._path("feed_by_user")
-        if os.path.exists(path):
+        if path_exists(self.spark, path):
             # Prune to the user's bucket directory before filtering.
             df = self.spark.read.parquet(path)
             df = df.filter(
@@ -301,6 +309,9 @@ class FeedStore:
         between rm and rename loses no committed data because the staging
         dir holds a complete copy.
         """
+        # NOTE: the staging swap below uses shutil (local filesystem) —
+        # compact() is local-mode maintenance tooling; on a cluster,
+        # rewrite through a distributed-FS rename instead.
         import shutil
 
         path = self._path(table)

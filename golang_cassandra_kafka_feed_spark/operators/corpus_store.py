@@ -105,8 +105,14 @@ class CorpusStore:
         return os.path.join(self.base, table)
 
     def table(self, name: str) -> DataFrame:
+        from golang_cassandra_kafka_feed_spark.sources.fsutil import (
+            path_exists,
+        )
+
         path = self._path(name)
-        if not os.path.exists(path):
+        # URI-aware probe: os.path.exists would read every HDFS/S3 state
+        # table as absent and silently break replay idempotency
+        if not path_exists(self.spark, path):
             return self.spark.createDataFrame([], _EMPTY[name])
         return self.spark.read.schema(_EMPTY[name]).parquet(path)
 

@@ -1,0 +1,27 @@
+"""URI-aware filesystem helpers for table stores.
+
+``os.path.exists`` is the wrong existence probe for a Spark table path:
+it only understands the driver's local filesystem, so on the HDFS/S3
+deployments these stores target it returns False for every URI and a
+store would silently treat ALL of its state as empty — accepting every
+duplicate and breaking replay idempotency without a single error.
+These helpers go through the Hadoop FileSystem API bound to the
+session's configuration (works for file://, hdfs://, s3a://, ...),
+falling back to ``os.path`` only if the JVM gateway is unavailable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+        return bool(fs.exists(p))
+    except Exception:
+        import os
+
+        return os.path.exists(path)
