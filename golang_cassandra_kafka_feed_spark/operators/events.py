@@ -23,42 +23,50 @@ def funnel_counts(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Ordered-funnel conversion: for each prefix of ``steps``, how many
-    users completed it IN ORDER (step i+1 strictly after the user's
-    first step-i event).  The standard product-analytics funnel.
+    users completed it IN ORDER — the completion time of step i+1 is the
+    user's EARLIEST step-(i+1) event strictly after their step-i
+    completion time (t_0 = first step-0 event).  The standard
+    sequential product-analytics funnel: a user who purchases at t=1,
+    signs up at t=2 and purchases again at t=3 HAS completed
+    signup->purchase (via t=2 -> t=3); comparing only first timestamps
+    per step would miss them.
 
-    Mechanism: one aggregation collects each user's first timestamp per
-    step (map-side-combinable min per (user, step) folded into one row
-    per user via conditional aggregates), then prefix completion is a
-    row-local conjunction — no joins, no window, ONE shuffle on the
-    user id.  Output: (step_idx, step, n_users) with step_idx 1-based;
-    n_users is non-increasing by construction.
+    Mechanism: one aggregation collects each user's sorted event-time
+    array per step (map-side-combinable), then the sequential
+    completion times are a row-local fold over the arrays (filter >
+    prev, take head; NULL propagates through the chain, so
+    ``t_i IS NOT NULL`` is exactly prefix-i completion) — no joins, no
+    window, ONE shuffle on the user id.  Output: (step_idx, step,
+    n_users) with step_idx 1-based; n_users is non-increasing by
+    construction and 0 (not NULL) on empty input.
     """
     firsts = events.filter(F.col(type_col).isin(list(steps))).groupBy(
         user_col
     ).agg(
         *[
-            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(
-                f"__t{i}"
-            )
+            F.array_sort(
+                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+            ).alias(f"__ts{i}")
             for i, s in enumerate(steps)
         ]
     )
-    # completed[i] = every step <= i reached, each strictly after the
-    # previous step's first occurrence
-    conds = []
-    c = F.col("__t0").isNotNull()
-    conds.append(c)
+    # sequential completion chain (F.get: 0-based, NULL out-of-bounds
+    # under ANSI too — element_at would throw)
+    times = [F.get(F.col("__ts0"), 0)]
     for i in range(1, len(steps)):
-        c = (
-            c
-            & F.col(f"__t{i}").isNotNull()
-            & (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+        prev = times[-1]
+        times.append(
+            F.get(
+                F.filter(F.col(f"__ts{i}"), lambda x: x > prev),
+                0,
+            )
         )
-        conds.append(c)
     agg = firsts.agg(
         *[
-            F.sum(cond.cast("long")).alias(f"__n{i}")
-            for i, cond in enumerate(conds)
+            F.coalesce(F.sum(t.isNotNull().cast("long")), F.lit(0)).alias(
+                f"__n{i}"
+            )
+            for i, t in enumerate(times)
         ]
     )
     # F.stack with lit columns, NOT selectExpr string interpolation: a

@@ -38,6 +38,32 @@ def test_funnel_strictly_after(spark):
     assert out == {"signup": 1, "view": 0}
 
 
+def test_funnel_sequential_not_first_timestamp(spark):
+    """A later step event BEFORE the user's first step-0 event must not
+    block completion: purchase@1, signup@2, purchase@3 completes
+    signup->purchase via (2, 3) — comparing first timestamps only
+    would miss it (regression for the sequential-chain fix)."""
+    ev = _ev(
+        spark,
+        [(1, "purchase", 1), (1, "signup", 2), (1, "purchase", 3)],
+    )
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(ev, ["signup", "purchase"]).collect()
+    }
+    assert out == {"signup": 1, "purchase": 1}
+
+
+def test_funnel_empty_input_yields_zero_not_null(spark):
+    ev = _ev(spark, [(1, "other", 0)])
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(ev, ["signup", "view"]).collect()
+    }
+    assert out == {"signup": 0, "view": 0}
+    assert all(v is not None for v in out.values())
+
+
 def test_funnel_quoted_step_names_are_data(spark):
     """A step name containing a quote must not break (or alter) the
     generated plan — names are lit columns, not interpolated SQL."""
