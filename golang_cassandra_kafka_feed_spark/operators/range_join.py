@@ -30,7 +30,13 @@ def range_join(
     callers select/alias before the join when names collide).
     """
     bucket_seconds = bucket_seconds or window_seconds
-    n_buckets = window_seconds // bucket_seconds + 1
+    window_seconds = int(window_seconds)
+    bucket_seconds = int(bucket_seconds)
+    if bucket_seconds <= 0 or window_seconds < 0:
+        raise ValueError(
+            f"need bucket_seconds > 0 and window_seconds >= 0, got "
+            f"bucket={bucket_seconds} window={window_seconds}"
+        )
 
     # floor division, NOT float-divide + cast: cast truncates toward zero,
     # which mis-buckets pre-1970 (negative epoch) timestamps.
@@ -50,11 +56,17 @@ def range_join(
         "__bucket",
         F.floor(F.unix_timestamp(right_ts) / bucket_seconds).cast("long"),
     )
+    # FULL-precision residual bound: unix_timestamp truncates to whole
+    # seconds, which would admit rows up to ~1s past the window for
+    # sub-second timestamps (the bucket explode may over-cover — the
+    # residual filter is the contract).  window_seconds is validated as
+    # an int above, so the INTERVAL interpolation is injection-safe.
     cond = (
         (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (
-            F.unix_timestamp(F.col(f"r.{right_ts}"))
-            <= F.unix_timestamp(F.col(f"l.{left_ts}")) + window_seconds
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}")
+            + F.expr(f"INTERVAL {window_seconds} SECONDS")
         )
     )
     joined = l_b.alias("l").join(
@@ -63,7 +75,6 @@ def range_join(
          F.col("l.__bucket") == F.col("r.__bucket")],
         "inner",
     )
-    assert n_buckets >= 1
     return joined.filter(cond).drop("__bucket")
 
 

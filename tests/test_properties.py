@@ -345,3 +345,31 @@ def test_range_join_matches_bruteforce(
         if k1 == k2 and t1 <= t2 <= t1 + w
     )
     assert got == want
+
+
+def test_range_join_subsecond_boundary(spark):
+    """Sub-second precision: right at window-end + 300ms must NOT match
+    (the truncating unix_timestamp bound admitted up to ~1s extra)."""
+    from golang_cassandra_kafka_feed_spark.operators.range_join import (
+        range_join,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0, 600000)
+    left = spark.createDataFrame(
+        [(1, 1, t0)], "k long, lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, t0 + dt.timedelta(seconds=5)),              # in
+            (1, 11, t0 + dt.timedelta(seconds=5, microseconds=1)),  # out
+            (1, 12, t0 + dt.timedelta(seconds=5, milliseconds=300)),  # out
+        ],
+        "k long, rid long, rts timestamp",
+    )
+    got = sorted(
+        r.rid
+        for r in range_join(
+            left, right, ["k"], "lts", "rts", window_seconds=5
+        ).collect()
+    )
+    assert got == [10]
