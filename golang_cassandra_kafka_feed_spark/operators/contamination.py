@@ -30,7 +30,7 @@ is broadcast so the training corpus never shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.operators.dedup import _shingles
@@ -70,13 +70,18 @@ def duplicate_ngram_spans(
     a low whole-doc similarity is the shared-boilerplate signature that
     motivates span-level dedup (Lee et al. 2021).
 
-    Plan: one shuffle on the gram for the document-frequency aggregate,
-    one equi join back (gram stats are 1 row/gram — no amplification),
-    one shuffle on the doc for the rollup.  No collect, no windows.
+    Plan: the gram extraction runs ONCE — document frequency is a
+    count window over the exploded (doc, gram) rows on the same
+    pipeline (one shuffle on the gram), then one shuffle on the doc for
+    the rollup.  The previous aggregate-then-join-back form referenced
+    the _shingles regexp pipeline from two branches, and Catalyst
+    re-ran the extraction per branch (the lambda-exprId ReuseExchange
+    trap the pre-rewrite ngram_jaccard_pairs paid 3x for).  No collect.
     """
     grams = _distinct_grams(df, text_col, id_col, n)
-    gram_df = grams.groupBy("g").agg(F.count("*").alias("df_docs"))
-    flagged = grams.join(gram_df, "g").select(
+    flagged = grams.withColumn(
+        "df_docs", F.count("*").over(Window.partitionBy("g"))
+    ).select(
         "id", (F.col("df_docs") >= min_docs).cast("long").alias("is_dup")
     )
     return flagged.groupBy("id").agg(

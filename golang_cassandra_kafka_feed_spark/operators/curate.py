@@ -56,8 +56,9 @@ def curate_corpus(
     dsir_target: Column | None = None,
     dsir_keep: int | None = None,
 ) -> DataFrame:
-    """Returns the curated corpus: input columns + ``lang`` (detected),
-    ``n_tokens``, and ``split``.
+    """Returns the curated corpus: input columns + ``lang_detected``
+    (named so it never shadows an input ``lang`` column), ``n_tokens``,
+    and ``split``.
 
     With ``line_dedup_min_count`` set, a RefinedWeb/CCNet line-level
     dedup runs FIRST (before the quality gates, as RefinedWeb orders

@@ -351,7 +351,16 @@ def embedding_near_duplicates(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, candidate-pruned by LSH bucket
-    collision (embedding-space near-dedup)."""
+    collision (embedding-space near-dedup).
+
+    Pairs come from grouping (id, e) structs per bucket and exploding
+    in-bucket pairs — NOT a bucketed self-join: the self-join form
+    dealiased the plane-scoring pipeline (crossJoin with the plane
+    table + per-vector aggregate) into two branches Catalyst cannot
+    ReuseExchange, running the full corpus scoring pass TWICE (the same
+    measured ~2x stage cost that drove the minhash/simhash/SemDeDup
+    rewrites, dedup.py::minhash_lsh_candidates docstring).
+    """
     planes = _hyperplanes(dim, n_planes)
     c = _with_buckets(
         corpus.select(
@@ -362,14 +371,15 @@ def embedding_near_duplicates(
         planes,
         bands,
     )
-    a = c.alias("a")
-    b = c.alias("b")
+    buckets = (
+        c.groupBy("bucket")
+        .agg(F.collect_list(F.struct("id", "e")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

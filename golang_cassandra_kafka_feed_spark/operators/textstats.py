@@ -296,9 +296,14 @@ def tfidf_top_terms(
     rank)`` with score micro-rounded for display (ranking uses the
     exact double, ties broken on the term string).
 
-    Plan: one shuffle on (doc, term) for tf, one on term for df, the
-    corpus size N joined in as a broadcast 1-row aggregate (no driver
-    ``.count()``), and WindowGroupLimit for the per-doc top-k.
+    Plan: the corpus tokenizes ONCE — tf and document frequency both
+    come out of the same (id, t) aggregate (df as a count window over
+    the small post-shuffle table, the bm25_search pattern; a separate
+    ``terms.distinct()`` branch would re-reference the tokenize explode
+    and Catalyst recomputes it per branch — the lambda-exprId
+    ReuseExchange trap), the corpus size N joins in as a broadcast
+    1-row aggregate (no driver ``.count()``), and WindowGroupLimit
+    serves the per-doc top-k.
     """
     from golang_cassandra_kafka_feed_spark.operators.topk import (
         top_k_per_key,
@@ -307,14 +312,12 @@ def tfidf_top_terms(
     terms = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     )
-    tf = terms.groupBy("id", "t").agg(F.count("*").alias("tf"))
-    dfreq = (
-        terms.distinct().groupBy("t").agg(F.count("*").alias("df_docs"))
+    tf = terms.groupBy("id", "t").agg(F.count("*").alias("tf")).withColumn(
+        "df_docs", F.count("*").over(Window.partitionBy("t"))
     )
     n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "t")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .select(
             "id",
             "t",
