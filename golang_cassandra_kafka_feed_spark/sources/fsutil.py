@@ -20,8 +20,13 @@ def path_exists(spark: SparkSession, path: str) -> bool:
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
-        return bool(fs.exists(p))
     except Exception:
+        # JVM gateway genuinely unavailable — local-path fallback only
         import os
 
         return os.path.exists(path)
+    # NOT wrapped: a transient remote error (credential refresh, network
+    # timeout) must PROPAGATE, not read as "missing" — a False here is
+    # what lets a store treat its populated state as empty and commit
+    # duplicates.
+    return bool(fs.exists(p))
