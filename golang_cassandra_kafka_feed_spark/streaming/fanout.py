@@ -46,7 +46,13 @@ def decode_post_events(envelopes: DataFrame) -> DataFrame:
             "post", F.from_json(F.col("value").cast("string"), POST_EVENT_SCHEMA)
         )
         .filter(
-            F.col("post.id").isNotNull() & F.col("post.author_id").isNotNull()
+            F.col("post.id").isNotNull()
+            & F.col("post.author_id").isNotNull()
+            # `created` is required too: a NULL event time would violate
+            # the non-nullable POST/FEED schemas, poison newest-first
+            # feed ordering, and leave dropDuplicatesWithinWatermark
+            # state with no expiry time
+            & F.col("post.created").isNotNull()
         )
         .select(
             F.col("post.id").alias("post_id"),
