@@ -151,6 +151,12 @@ class FeedStore:
             .withColumn("user_id", F.expr("uuid()"))
             .select("user_id", "username")
         )
+        # Checkpoint BEFORE the append (the fanout.py pattern): the plan
+        # reads the users table the append is about to grow, and uuid()
+        # is nondeterministic — any later action re-executing this plan
+        # would anti-join against the just-written names (returning
+        # empty) or mint different uuids than the ones written.
+        fresh = fresh.localCheckpoint(eager=True)
         self._append(fresh, "users")
         return self.table("users").join(
             fresh.select("username"), "username", "left_semi"
@@ -179,7 +185,8 @@ class FeedStore:
                 ["user_id", "followee_id"],
                 "left_anti",
             )
-        )
+        ).localCheckpoint(eager=True)  # sever the follows-table lineage
+        # before appending to it (see create_users)
         self._append(fresh.select("user_id", "followee_id"), "follows")
         return fresh
 
@@ -260,6 +267,19 @@ class FeedStore:
         (http_load.go:123-130) as a queryable table.  Derived rates:
         malformed/dropped = n_envelopes - n_decoded, redelivered
         duplicates = n_decoded - n_fresh."""
+        # Idempotent under foreachBatch's at-least-once epoch replay: a
+        # retried epoch must not append a second (contradictory) row for
+        # the same epoch_id — the replayed attempt sees n_fresh=0 after
+        # the first attempt's writes committed.  The metrics table is
+        # tiny; the existence probe is one small scan.
+        existing = (
+            self.table("pipeline_metrics")
+            .filter(F.col("epoch_id") == int(epoch_id))
+            .limit(1)
+            .count()
+        )
+        if existing:
+            return
         row = self.spark.createDataFrame(
             [(int(epoch_id), int(n_envelopes), int(n_decoded), int(n_fresh))],
             T.StructType(METRICS_SCHEMA.fields[:-1]),
@@ -304,21 +324,29 @@ class FeedStore:
         partitioning and per-bucket newest-first sort (cql:36-37 layout),
         other tables coalesce by size.  Returns the file count after.
 
-        Staged write + atomic-ish swap (write to .compact, move over):
-        a concurrent reader of the old listing keeps its snapshot; crash
-        between rm and rename loses no committed data because the staging
-        dir holds a complete copy.
+        Staged write + rename-aside swap (write to .compact, move the
+        live dir to .old, move staging in, drop .old): committed data
+        is never the subject of an in-progress delete, and a crash in
+        the swap window is self-healing — the next compact() (or any
+        call that finds the live path missing with a .old present)
+        restores the renamed-aside copy.  Readers racing the two
+        renames can still see a brief missing-path window: compact() is
+        LOCAL-MODE maintenance tooling (shutil/os.rename); on a
+        cluster, rewrite through a distributed-FS commit instead.
         """
-        # NOTE: the staging swap below uses shutil (local filesystem) —
-        # compact() is local-mode maintenance tooling; on a cluster,
-        # rewrite through a distributed-FS rename instead.
         import shutil
 
         path = self._path(table)
+        old = path + ".old"
+        # crash recovery: a previous compact died between the two
+        # renames — the .old copy is the committed table; restore it.
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
         if not os.path.exists(path):
             return 0
         staging = path + ".compact"
         shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         if table == "feed_by_user":
             df = self.spark.read.parquet(path)
             (
@@ -331,8 +359,9 @@ class FeedStore:
             df = self.table(table)
             n = max(1, df.count() // 1_000_000 + 1)
             df.coalesce(n).write.parquet(staging)
-        shutil.rmtree(path)
+        os.rename(path, old)
         os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
         return sum(
             1
             for root, _, files in os.walk(path)
