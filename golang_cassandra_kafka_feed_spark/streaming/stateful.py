@@ -23,9 +23,12 @@ longs), so 10^9 users is bounded by the state store, not the JVM heap.
 
 Late data: rows later than the watermark are dropped by Spark before the
 function runs; rows late-but-within-watermark merge into the open session
-(start/end widen) when they fall inside the gap, and otherwise start a
-new session — cross-batch reordering beyond that is not repaired, which
-mirrors the reference's "insert where it lands" stance (worker.go:149).
+(start/end widen) when they fall inside the gap of it, form their own
+pre-session gap-island chain when they precede the open session by more
+than the gap (emitted closed, or merged if the chain reaches back within
+the gap), and otherwise start a new session — cross-batch reordering
+beyond that is not repaired, which mirrors the reference's "insert where
+it lands" stance (worker.go:149).
 """
 
 from __future__ import annotations
@@ -73,10 +76,26 @@ def _make_session_fn(gap_ms: int):
             vsum = 0.0
 
         closed = []
+        # late-but-within-watermark rows EARLIER than the open session by
+        # more than the gap form their own pre-session island chain: the
+        # previous widen-everything branch glued a 10:00 late row onto an
+        # open [12:00] session across a 30-minute gap, diverging from the
+        # batch gap-and-island oracle (two sessions, not one).
+        early = None  # [start, end, n, vsum] of the pre-session chain
         for t, v in zip(ts_ms, values):
             t = int(t)
             if start_ms is None:
                 start_ms, end_ms, n, vsum = t, t, 1, v
+            elif t < start_ms - gap_ms:
+                if early is None:
+                    early = [t, t, 1, v]
+                elif t - early[1] > gap_ms:
+                    closed.append((user_id, *early))
+                    early = [t, t, 1, v]
+                else:
+                    early[1] = max(early[1], t)
+                    early[2] += 1
+                    early[3] += v
             elif t - end_ms > gap_ms:
                 closed.append((user_id, start_ms, end_ms, n, vsum))
                 start_ms, end_ms, n, vsum = t, t, 1, v
@@ -86,6 +105,14 @@ def _make_session_fn(gap_ms: int):
                 end_ms = max(end_ms, t)
                 n += 1
                 vsum += v
+        if early is not None:
+            if early[1] >= start_ms - gap_ms:
+                # chain reaches within the gap of the open session: merge
+                start_ms = min(start_ms, early[0])
+                n += early[2]
+                vsum += early[3]
+            else:
+                closed.append((user_id, early[0], early[1], early[2], early[3]))
 
         state.update((start_ms, end_ms, n, float(vsum)))
         # flush the open session once the watermark passes end + gap; the

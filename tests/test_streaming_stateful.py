@@ -127,3 +127,51 @@ def test_stateful_sessionizer_payload_and_gap_split(spark, tmp_path):
         ),
         (2, base, base, 1, 2.0),
     }
+
+
+def test_late_row_before_open_session_is_its_own_island(spark, tmp_path):
+    """A late-but-within-watermark row preceding the open session by
+    more than the gap must NOT be glued onto it: batch LAG semantics
+    give two sessions ([10:00] and [12:00] at gap 30m), and the
+    streaming result must agree."""
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "late_ev"
+    # batch 0: the on-time event opens [12:00]
+    spark.createDataFrame([(7, base, 1.0)], _SCHEMA).write.parquet(
+        str(src / "batch0")
+    )
+    # batch 1: a 2h-late row (well within the 100h watermark)
+    spark.createDataFrame(
+        [(7, base - dt.timedelta(hours=2), 2.0)], _SCHEMA
+    ).write.parquet(str(src / "batch1"))
+    far = base + dt.timedelta(days=30)
+    for i, ts in enumerate([far, far + dt.timedelta(days=1)], start=2):
+        spark.createDataFrame(
+            [(_SENTINEL_USER, ts, 0.0)], _SCHEMA
+        ).write.parquet(str(src / f"batch{i}"))
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch*"))
+    )
+    q = (
+        sessionize_with_state(stream, gap_seconds=1800, watermark="100 hours")
+        .writeStream.format("memory")
+        .queryName("stateful_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (
+            (r.session_start, r.session_end, r.n_events, r.value_sum)
+            for r in spark.sql(
+                "SELECT * FROM stateful_late WHERE user_id = 7"
+            ).collect()
+        )
+    )
+    assert len(rows) == 2, f"expected two sessions, got {rows}"
+    assert rows[0][2] == 1 and rows[0][3] == 2.0  # the 10:00 island
+    assert rows[1][2] == 1 and rows[1][3] == 1.0  # the 12:00 session
