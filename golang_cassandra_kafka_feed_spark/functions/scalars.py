@@ -21,9 +21,13 @@ def anonymize(col: str | Column) -> Column:
 
 
 def valid_length(col: str | Column, lo: int, hi: int) -> Column:
-    """Length-window validation predicate (ref op #24:
-    username 1-50 httphandlers.go:33-37, body 1-1000 :134-137)."""
-    return F.length(col).between(lo, hi)
+    """Length-window validation predicate (ref op #24: username 1-50
+    httphandlers.go:33-37, body 1-1000 :134-137).  BYTE length
+    (octet_length), matching the reference's Go ``len()`` which counts
+    UTF-8 bytes — char-counting ``length`` would accept a 600-char
+    body of 2-byte runes the reference rejects.  Identical semantics to
+    ``feed.api.valid_length`` (one contract, two import paths)."""
+    return F.octet_length(col).between(lo, hi)
 
 
 def ts_diff_ms(start: str | Column, end: str | Column) -> Column:

@@ -28,12 +28,25 @@ def exact_percentiles(
     """Exact percentiles with linear interpolation — identical math to the
     reference's percentile() (sorted slice, idx = p*(n-1), interpolate).
     Spark's exact ``percentile`` aggregate; use percentile_approx only for
-    dashboards, never for the oracle-checked surface."""
+    dashboards, never for the oracle-checked surface.
+
+    Column naming: round(p*100) with any non-integer remainder kept as
+    a ``_``-separated fraction — int() truncation named p=0.29's column
+    "p28" (0.29*100 binary-rounds just below 29) and collided 0.99 with
+    0.995; now p29 / p99 / p99_5, and duplicate labels raise."""
+
+    def _label(p: float) -> str:
+        scaled = round(p * 100, 6)
+        if scaled == int(scaled):
+            return f"p{int(scaled)}"
+        return "p" + repr(scaled).replace(".", "_")
+
+    labels = [_label(p) for p in ps]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"percentile labels collide: {labels}")
     aggs = [
-        _round2(F.expr(f"percentile({value_col}, {p})")).alias(
-            f"p{int(p * 100)}"
-        )
-        for p in ps
+        _round2(F.expr(f"percentile({value_col}, {p})")).alias(lab)
+        for p, lab in zip(ps, labels)
     ]
     return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 

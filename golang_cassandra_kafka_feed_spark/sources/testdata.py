@@ -86,11 +86,14 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
         return None
 
 
-# (id(spark), sf_dir, name) -> DataFrame.  Testdata is read-only, so the
+# (appId, sf_dir, name) -> DataFrame.  Testdata is read-only, so the
 # reader plan (and its file listing) can be built once per session and
-# reused across the whole query sweep; keying on id(spark) keeps plans
-# from leaking across sessions.
-_READER_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# reused across the whole query sweep.  The key carries the Spark
+# APPLICATION id, not id(spark): a stopped session's python object can
+# be garbage-collected and its address recycled by a NEW session, which
+# would then hit cached plans bound to the dead context ("SparkContext
+# has been shut down").  applicationId is unique per context.
+_READER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -112,7 +115,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # under the UTC session pin above, schema-stable for the oracle compare,
     # and scan-native (no cast that would block predicate pushdown).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _READER_CACHE.get(key)
     if cached is not None:
         return cached
