@@ -45,9 +45,17 @@ def test_null_author_post_fans_out_nowhere(spark, store):
 def test_decode_handles_null_envelope_fields(spark):
     env = spark.createDataFrame(
         [
-            (None, b'{"id":"p0","author_id":"a","body":"b"}', TS),  # null key
+            # null key
+            (None, b'{"id":"p0","author_id":"a","body":"b",'
+                   b'"created":"2026-01-01T00:00:00Z"}', TS),
             (b"post_created", None, TS),  # null value
-            (b"post_created", b'{"id":"p1","author_id":"a","body":"b"}', TS),
+            (b"post_created",
+             b'{"id":"p1","author_id":"a","body":"b",'
+             b'"created":"2026-01-01T00:00:00Z"}', TS),
+            # missing created: required (a NULL event time would violate
+            # the non-nullable post/feed schemas and leave dedup state
+            # unexpirable) -> dropped as malformed
+            (b"post_created", b'{"id":"p2","author_id":"a","body":"b"}', TS),
         ],
         ENVELOPE_SCHEMA,
     )
@@ -59,11 +67,13 @@ def test_decode_tolerates_extra_and_wrong_typed_json_fields(spark):
     rows = [
         # extra unknown field: ignored
         (b"post_created",
-         b'{"id":"p1","author_id":"a","body":"b","extra":42}', TS),
+         b'{"id":"p1","author_id":"a","body":"b","extra":42,'
+         b'"created":"2026-01-01T00:00:00Z"}', TS),
         # wrong type for body (object) -> PERMISSIVE null struct -> kept
         # only if required fields survive; Spark nulls the whole struct
         (b"post_created",
-         b'{"id":"p2","author_id":"a","body":{"x":1}}', TS),
+         b'{"id":"p2","author_id":"a","body":{"x":1},'
+         b'"created":"2026-01-01T00:00:00Z"}', TS),
     ]
     out = decode_post_events(
         spark.createDataFrame(rows, ENVELOPE_SCHEMA)
