@@ -31,42 +31,42 @@ def funnel_counts(
     signup->purchase (via t=2 -> t=3); comparing only first timestamps
     per step would miss them.
 
-    Mechanism: one aggregation collects each user's sorted event-time
-    array per step (map-side-combinable), then the sequential
-    completion times are a row-local fold over the arrays (filter >
-    prev, take head; NULL propagates through the chain, so
-    ``t_i IS NOT NULL`` is exactly prefix-i completion) — no joins, no
-    window, ONE shuffle on the user id.  Output: (step_idx, step,
-    n_users) with step_idx 1-based; n_users is non-increasing by
-    construction and 0 (not NULL) on empty input.
+    Mechanism: one min-aggregation per step, each joined back on the
+    user id and filtered to events strictly after the previous
+    completion time — len(steps) pushdown-filtered scans and small
+    user-keyed shuffles, all on the SAME key.  NOT the
+    collect-sorted-arrays + chained-HOF form: each completion time
+    there is a filter over the previous level's array, and
+    CollapseProject re-inlines the whole prior chain PER ELEMENT of the
+    next array — measured 44 s at sf1.0 versus ~3 s for this shape.
+    Output: (step_idx, step, n_users) with step_idx 1-based; n_users is
+    non-increasing by construction and 0 (not NULL) on empty input.
     """
-    firsts = events.filter(F.col(type_col).isin(list(steps))).groupBy(
-        user_col
-    ).agg(
-        *[
-            F.array_sort(
-                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
-            ).alias(f"__ts{i}")
-            for i, s in enumerate(steps)
-        ]
+    base = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__uid"),
+        F.col(type_col).alias("__type"),
+        F.col(ts_col).alias("__ts"),
     )
-    # sequential completion chain (F.get: 0-based, NULL out-of-bounds
-    # under ANSI too — element_at would throw)
-    times = [F.get(F.col("__ts0"), 0)]
+    cur = (
+        base.filter(F.col("__type") == steps[0])
+        .groupBy("__uid")
+        .agg(F.min("__ts").alias("__t0"))
+    )
     for i in range(1, len(steps)):
-        prev = times[-1]
-        times.append(
-            F.get(
-                F.filter(F.col(f"__ts{i}"), lambda x: x > prev),
-                0,
-            )
+        nxt = (
+            base.filter(F.col("__type") == steps[i])
+            .join(cur.select("__uid", f"__t{i - 1}"), "__uid")
+            .filter(F.col("__ts") > F.col(f"__t{i - 1}"))
+            .groupBy("__uid")
+            .agg(F.min("__ts").alias(f"__t{i}"))
         )
-    agg = firsts.agg(
+        cur = cur.join(nxt, "__uid", "left")
+    agg = cur.agg(
         *[
-            F.coalesce(F.sum(t.isNotNull().cast("long")), F.lit(0)).alias(
-                f"__n{i}"
-            )
-            for i, t in enumerate(times)
+            F.coalesce(
+                F.sum(F.col(f"__t{i}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"__n{i}")
+            for i in range(len(steps))
         ]
     )
     # F.stack with lit columns, NOT selectExpr string interpolation: a
