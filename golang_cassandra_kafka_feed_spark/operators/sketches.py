@@ -26,11 +26,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# KMV sketch size (RSE ~ 1/sqrt(k-2) ~ 6%).  Exported so the DuckDB
+# oracles embed the same literal (anti-drift: changing the default here
+# re-renders the q48/q59 twins).
+KMV_K = 256
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str,
     by: Sequence[str] = (),
-    k: int = 256,
+    k: int = KMV_K,
 ) -> DataFrame:
     """K-minimum-values distinct-count estimate — the DETERMINISTIC,
     engine-portable sketch (HLL++ inside ``approx_count_distinct`` is

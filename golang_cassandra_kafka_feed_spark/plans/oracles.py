@@ -21,6 +21,9 @@ from golang_cassandra_kafka_feed_spark.operators.dedup import (
     MINHASH_B,
     MINHASH_P,
 )
+from golang_cassandra_kafka_feed_spark.operators.sketches import (
+    KMV_K as _KMV_K,
+)
 from golang_cassandra_kafka_feed_spark.operators.textstats import (
     LANG_MARKERS,
     _STOPWORDS,
@@ -367,7 +370,12 @@ ORACLES: dict[str, str] = {
         SELECT user_id,
                count(*) FILTER (
                    WHERE prev_ts IS NULL
-                      OR (epoch_ms(ts) - epoch_ms(prev_ts)) > 1800000
+                      -- ms-truncated DIFFERENCE (Spark's
+                      -- timestamp_diff(MILLISECOND) floors diff_us/1000;
+                      -- truncating each ENDPOINT first drifts 1 ms when
+                      -- the sub-ms fractions straddle)
+                      OR ((epoch_us(ts) - epoch_us(prev_ts)) // 1000)
+                         > 1800000
                ) AS n_sessions
         FROM lagged GROUP BY user_id ORDER BY user_id
     """,
@@ -735,11 +743,11 @@ ORACLES: dict[str, str] = {
                    {_h32("CAST(event_id AS VARCHAR)")} / 4294967296.0 AS h
             FROM events
         ), kmin AS (
-            SELECT h FROM hs ORDER BY h LIMIT 256
+            SELECT h FROM hs ORDER BY h LIMIT {_KMV_K}
         ), g AS (
             SELECT 'global_event_ids' AS scope, '*' AS "key",
-                   CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-                        ELSE 255.0 / max(h) END AS est_distinct
+                   CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                        ELSE {float(_KMV_K - 1)} / max(h) END AS est_distinct
             FROM kmin
         ), ph AS (
             SELECT DISTINCT event_type,
@@ -752,9 +760,9 @@ ORACLES: dict[str, str] = {
             FROM ph
         ), p AS (
             SELECT 'per_type_user_ids' AS scope, event_type AS "key",
-                   CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-                        ELSE 255.0 / max(h) END AS est_distinct
-            FROM pk WHERE rn <= 256 GROUP BY event_type
+                   CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                        ELSE {float(_KMV_K - 1)} / max(h) END AS est_distinct
+            FROM pk WHERE rn <= {_KMV_K} GROUP BY event_type
         )
         SELECT * FROM g UNION ALL SELECT * FROM p
         ORDER BY scope, "key"
@@ -775,9 +783,9 @@ ORACLES: dict[str, str] = {
             FROM ph
         ), est AS (
             SELECT event_type,
-                   CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-                        ELSE 255.0 / max(h) END AS est_distinct
-            FROM pk WHERE rn <= 256 GROUP BY event_type
+                   CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                        ELSE {float(_KMV_K - 1)} / max(h) END AS est_distinct
+            FROM pk WHERE rn <= {_KMV_K} GROUP BY event_type
         ), ex AS (
             SELECT event_type, count(DISTINCT event_id) AS exact_distinct
             FROM events GROUP BY event_type
@@ -1890,10 +1898,16 @@ ORACLES["q83_pagerank"] = f"""
                + {_PR_D} * coalesce(s, 0.0) AS r
         FROM nodes LEFT JOIN s2 USING (node), nn
     )
-    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node >> 1 AS VARCHAR)
-                ELSE 's' || CAST(node >> 1 AS VARCHAR) END AS node,
-           ROUND(r * 1000000000) / 1000000000 AS pr
-    FROM r2 ORDER BY r DESC, node LIMIT {_PR_TOP}
+    SELECT CASE WHEN t.node % 2 = 0 THEN 'c' || CAST(t.node >> 1 AS VARCHAR)
+                ELSE 's' || CAST(t.node >> 1 AS VARCHAR) END AS node,
+           ROUND(t.r * 1000000000) / 1000000000 AS pr
+    -- rank-boundary ties break on the INTEGER node id (the Spark
+    -- top_k_global order) — ordering in the outer select would resolve
+    -- `node` to the projected string label (DuckDB output-alias
+    -- precedence) and keep different rows on a tie
+    FROM (SELECT node, r FROM r2
+          ORDER BY r DESC, node LIMIT {_PR_TOP}) t
+    ORDER BY pr DESC, node
 """
 
 # q84: PQ-ADC audit — codebooks are the q42 arg_min(sv, md5-hash) recipe
@@ -2194,7 +2208,10 @@ ORACLES["q92_interval_join"] = """
         FROM events
     ), flagged AS (
         SELECT *, CASE WHEN pts IS NULL
-                        OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                        -- ms-truncated difference: the Spark sessionizer
+                        -- compares timestamp_diff(MILLISECOND) > gap_ms
+                        OR ((epoch_us(ts) - epoch_us(pts)) // 1000)
+                           > 1800000
                        THEN 1 ELSE 0 END AS nw
         FROM lagd
     ), sess_rows AS (
@@ -2576,3 +2593,31 @@ ORACLES["q108_topk_with_ties"] = """
     ) WHERE rnk <= 3
     ORDER BY o_orderpriority, l_orderkey, l_linenumber
 """
+
+
+# ---------------------------------------------------------------------------
+# ns -> us normalization for the newer event oracles.  The Spark read
+# path truncates events.ts to microseconds (sources/testdata.py:
+# ``ts div 1000``); DuckDB's view reads the raw TIMESTAMP_NS.  All
+# shipped SFs happen to be us-aligned, but any generator emitting true
+# sub-us nanos would silently diverge every ordering/LAG/epoch use of
+# raw ts.  CAST(ts AS TIMESTAMP) is DuckDB's truncating ns->us cast —
+# the exact read-path twin — applied here mechanically (the older event
+# oracles already cast inline; none of these use a table alias, so the
+# derived-relation name `events` keeps every reference valid).
+_EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events"
+for _k in (
+    "q50_window_battery",
+    "q87_funnel",
+    "q88_cohort_retention",
+    "q89_scd2_intervals",
+    "q92_interval_join",
+    "q100_markov_transitions",
+    "q101_rolling_median",
+    "q102_drawdown",
+    "q104_time_to_convert",
+    "q105_interevent_gaps",
+    "q106_trailing_wau",
+    "q107_wow_growth",
+):
+    ORACLES[_k] = ORACLES[_k].replace("FROM events", f"FROM {_EVENTS_US}")
