@@ -29,7 +29,13 @@ def range_join(
     and the ``on`` keys match.  Columns of both inputs survive (prefix-free;
     callers select/alias before the join when names collide).
     """
-    bucket_seconds = bucket_seconds or window_seconds
+    # `is not None`, not `or`: an EXPLICIT bucket_seconds=0 must reach
+    # the validation below (and raise), not silently become
+    # window_seconds.  A zero-width window with the default bucket gets
+    # a defined 1s bucket (point-in-time join) instead of an
+    # unsatisfiable bucket<=0 error for a documented-valid window.
+    if bucket_seconds is None:
+        bucket_seconds = window_seconds if window_seconds > 0 else 1
     window_seconds = int(window_seconds)
     bucket_seconds = int(bucket_seconds)
     if bucket_seconds <= 0 or window_seconds < 0:
@@ -211,17 +217,20 @@ def interval_join(
     if open_end_ts is None:
         return closed
 
-    sentinel = F.lit(open_end_ts).cast("timestamp")
     l_open = left.filter(F.col(l_end).isNull())
     r_open = right.filter(F.col(r_end).isNull())
     # Branch B: open-left x ALL right — overlap reduces to
-    # l_start <= coalesce(r_end, sentinel) (r_start <= +inf is vacuous).
+    # l_start <= r_end for closed rights, and is UNCONDITIONAL for
+    # open x open (two [start, +inf) intervals on the same key always
+    # overlap) — an explicit IS NULL disjunction, not a coalesce to the
+    # sentinel, so a caller's mid-range sentinel can't drop open x open
+    # pairs (round-4 advice).
     b = _select_pair(
         l_open.alias("l")
         .join(right.alias("r"), keys_eq)
         .filter(
-            F.col(f"l.{l_start}")
-            <= F.coalesce(F.col(f"r.{r_end}"), sentinel)
+            F.col(f"r.{r_end}").isNull()
+            | (F.col(f"l.{l_start}") <= F.col(f"r.{r_end}"))
         )
     )
     # Branch C: closed-left x open-right — overlap reduces to

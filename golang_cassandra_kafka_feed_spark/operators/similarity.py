@@ -349,6 +349,7 @@ def embedding_near_duplicates(
     dim: int = DEFAULT_DIM,
     n_planes: int = DEFAULT_N_PLANES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, candidate-pruned by LSH bucket
     collision (embedding-space near-dedup).
@@ -360,7 +361,22 @@ def embedding_near_duplicates(
     ReuseExchange, running the full corpus scoring pass TWICE (the same
     measured ~2x stage cost that drove the minhash/simhash/SemDeDup
     rewrites, dedup.py::minhash_lsh_candidates docstring).
+
+    Because one grouped row carries a whole bucket's vectors and its
+    O(width^2) pair explosion runs in a single task, bucket width is
+    hard-capped like the MinHash/SimHash family (round-4 advice): the
+    ``max_bucket_width`` (default ``dedup.MAX_BUCKET_WIDTH``) smallest
+    ids per bucket survive, truncated as a WindowGroupLimit BEFORE the
+    shuffle, so a hot bucket (near-identical template embeddings) is a
+    bounded task, not an executor-memory straggler.
     """
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        MAX_BUCKET_WIDTH,
+        _cap_bucket_width,
+    )
+
+    if max_bucket_width is None:
+        max_bucket_width = MAX_BUCKET_WIDTH
     planes = _hyperplanes(dim, n_planes)
     c = _with_buckets(
         corpus.select(
@@ -371,6 +387,7 @@ def embedding_near_duplicates(
         planes,
         bands,
     )
+    c = _cap_bucket_width(c, ["bucket"], "id", max_bucket_width, None)
     buckets = (
         c.groupBy("bucket")
         .agg(F.collect_list(F.struct("id", "e")).alias("xs"))

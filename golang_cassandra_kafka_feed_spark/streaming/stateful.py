@@ -97,6 +97,20 @@ def _make_session_fn(gap_ms: int):
                     early[2] += 1
                     early[3] += v
             elif t - end_ms > gap_ms:
+                # the open session closes NOW — resolve any pending
+                # pre-session chain against it at this moment, not after
+                # the loop: a later event that rolls the session over
+                # must not orphan a chain that reaches within the gap of
+                # the session being closed (state [100,110] gap 10,
+                # batch {85,91,300} is one oracle session [85,110]).
+                if early is not None:
+                    if early[1] >= start_ms - gap_ms:
+                        start_ms = min(start_ms, early[0])
+                        n += early[2]
+                        vsum += early[3]
+                    else:
+                        closed.append((user_id, *early))
+                    early = None
                 closed.append((user_id, start_ms, end_ms, n, vsum))
                 start_ms, end_ms, n, vsum = t, t, 1, v
             else:

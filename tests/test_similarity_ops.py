@@ -85,6 +85,30 @@ def test_embedding_near_duplicates_subset_of_exact(emb):
         assert len(lsh_pairs) / len(exact_pairs) >= 0.3  # loose recall floor
 
 
+def test_embedding_near_duplicates_caps_hot_bucket(spark):
+    """A degenerate corpus (every vector identical -> one mega-bucket)
+    must be width-capped: only the `max_bucket_width` smallest ids pair
+    up (round-4 advice — the uncapped double-explode put the full
+    O(n^2) pair generation in one task)."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        DEFAULT_DIM,
+    )
+
+    vec = [1.0] + [0.0] * (DEFAULT_DIM - 1)
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            corpus, threshold=0.9, max_bucket_width=4
+        ).collect()
+    }
+    assert pairs == {
+        (a, b) for a in range(4) for b in range(4) if a < b
+    }, f"cap must keep the 4 smallest ids only, got {sorted(pairs)}"
+
+
 def test_ivf_recall_vs_brute_force(emb):
     from golang_cassandra_kafka_feed_spark.operators.similarity import ivf_topk
 

@@ -129,6 +129,73 @@ def test_stateful_sessionizer_payload_and_gap_split(spark, tmp_path):
     }
 
 
+def test_early_chain_merges_when_session_rolls_over_in_batch(spark, tmp_path):
+    """Round-4 advice (stateful.py): if the open session rolls over
+    WITHIN a batch, a pending pre-session chain that reaches within the
+    gap of the just-closed session must merge into it at close time —
+    state [13:00,13:10] gap 10m, batch {12:45, 12:51, 18:00} is ONE
+    oracle session [12:45,13:10] (12:51 widens the open start to 12:51,
+    bringing 12:45 within the gap), plus the new [18:00] session — not
+    the three islands the after-loop-only merge emitted."""
+    base = dt.datetime(2026, 1, 1, 13, 0, 0)
+    src = tmp_path / "roll_ev"
+    # batch 0: open session [13:00, 13:10]
+    spark.createDataFrame(
+        [(9, base, 1.0), (9, base + dt.timedelta(minutes=10), 2.0)], _SCHEMA
+    ).coalesce(1).write.parquet(str(src / "batch0"))
+    # batch 1: early row (12:45), in-gap widen (12:51), rollover (18:00)
+    spark.createDataFrame(
+        [
+            (9, base - dt.timedelta(minutes=15), 4.0),
+            (9, base - dt.timedelta(minutes=9), 8.0),
+            (9, base + dt.timedelta(hours=5), 16.0),
+        ],
+        _SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "batch1"))
+    far = base + dt.timedelta(days=30)
+    for i, ts in enumerate([far, far + dt.timedelta(days=1)], start=2):
+        spark.createDataFrame(
+            [(_SENTINEL_USER, ts, 0.0)], _SCHEMA
+        ).write.parquet(str(src / f"batch{i}"))
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch*"))
+    )
+    q = (
+        sessionize_with_state(stream, gap_seconds=600, watermark="100 hours")
+        .writeStream.format("memory")
+        .queryName("stateful_roll")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (
+            (r.session_start, r.session_end, r.n_events, r.value_sum)
+            for r in spark.sql(
+                "SELECT * FROM stateful_roll WHERE user_id = 9"
+            ).collect()
+        )
+    )
+    assert rows == [
+        (
+            base - dt.timedelta(minutes=15),
+            base + dt.timedelta(minutes=10),
+            4,
+            15.0,
+        ),
+        (
+            base + dt.timedelta(hours=5),
+            base + dt.timedelta(hours=5),
+            1,
+            16.0,
+        ),
+    ], f"got {rows}"
+
+
 def test_late_row_before_open_session_is_its_own_island(spark, tmp_path):
     """A late-but-within-watermark row preceding the open session by
     more than the gap must NOT be glued onto it: batch LAG semantics
