@@ -36,5 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from golang_cassandra_kafka_feed_spark.plans.oracles import ORACLES
+    from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
 
-    return dict(ORACLES)
+    # Present oracles in registry order so a driver sampling the first N
+    # keys of EITHER dict sees the same rotated high-risk window
+    # (plans/queries.py QUERIES ordering comment).
+    out = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
+    out.update({k: v for k, v in ORACLES.items() if k not in out})
+    return out

@@ -103,12 +103,19 @@ def main() -> None:
         )
     )
     n_posts = posts.count()
-    t0 = time.time()
-    n_feed = posts.join(
-        F.broadcast(follows),
-        posts.author_id == follows.followee_id,
-    ).count()
-    fanout_sec = time.time() - t0
+    # Throughput variance protocol (mirrors the per-query one): 3
+    # measured runs, MEDIAN is the headline, relative spread reported —
+    # the single-run numbers swung ±30% round-to-round, masking real
+    # regressions.
+    fanout_runs: list[float] = []
+    for i in range(4):  # run 0 = unmeasured cold/codegen warm-up
+        t0 = time.time()
+        n_feed = posts.join(
+            F.broadcast(follows),
+            posts.author_id == follows.followee_id,
+        ).count()
+        if i > 0:
+            fanout_runs.append(time.time() - t0)
 
     # True end-to-end pipeline: envelopes on disk -> streaming decode ->
     # fan-out join -> idempotent parquet feed sink (the full worker path,
@@ -127,19 +134,24 @@ def main() -> None:
     )
 
     work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    pipeline_runs: list[float] = []
     try:
-        store = FeedStore(spark, f"{work}/store", feed_buckets=32)
-        store.create_follows(follows)
         env_dir = f"{work}/envelopes"
         posts_to_envelopes(posts).write.parquet(env_dir)
-        t0 = time.time()
-        q = run_fanout_pipeline(
-            read_stream_envelope_files(spark, env_dir),
-            store,
-            f"{work}/ckpt",
-        )
-        q.awaitTermination(600)
-        pipeline_sec = time.time() - t0
+        # 3 measured runs, each against a FRESH store + checkpoint (the
+        # idempotent sink would dedupe a same-store replay to a no-op,
+        # which measures nothing).
+        for i in range(3):
+            store = FeedStore(spark, f"{work}/store{i}", feed_buckets=32)
+            store.create_follows(follows)
+            t0 = time.time()
+            q = run_fanout_pipeline(
+                read_stream_envelope_files(spark, env_dir),
+                store,
+                f"{work}/ckpt{i}",
+            )
+            q.awaitTermination(600)
+            pipeline_runs.append(time.time() - t0)
         pipeline_feed_rows = store.table("feed_by_user").count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -176,6 +188,13 @@ def main() -> None:
         except Exception:
             pass
 
+    def _med_spread(runs_s: list[float]) -> tuple[float, float]:
+        med = statistics.median(runs_s)
+        return med, round((max(runs_s) - min(runs_s)) / med, 3) if med else 0.0
+
+    fanout_sec, fanout_spread = _med_spread(fanout_runs)
+    pipeline_sec, pipeline_spread = _med_spread(pipeline_runs)
+
     spread_vals = sorted(spreads.values())
     result = {
                 "metric": "declared_query_sweep_plus_fanout",
@@ -199,9 +218,13 @@ def main() -> None:
                 "fanout_feed_rows": n_feed,
                 "fanout_sec": round(fanout_sec, 3),
                 "fanout_events_per_sec": round(n_posts / fanout_sec, 1),
+                "fanout_runs_sec": [round(s, 3) for s in fanout_runs],
+                "fanout_rel_spread": fanout_spread,
                 "pipeline_sec": round(pipeline_sec, 3),
                 "pipeline_feed_rows": pipeline_feed_rows,
                 "pipeline_events_per_sec": round(n_posts / pipeline_sec, 1),
+                "pipeline_runs_sec": [round(s, 3) for s in pipeline_runs],
+                "pipeline_rel_spread": pipeline_spread,
                 # variance protocol fields
                 "steady_runs_per_query": runs - 1,
                 "load_1m_at_start": round(load_1m, 2),
@@ -218,7 +241,29 @@ def main() -> None:
     # would poison the next run's deltas with steady-vs-cold noise.
     if runs > 1:
         prev_path.write_text(json.dumps(result, indent=1) + "\n")
-    print(json.dumps(result))
+
+    # Driver output protocol: the harness tail-captures stdout, so the
+    # final line must be COMPACT — round 4's full record (four 133-key
+    # maps, ~20 KB) got head-truncated into `parsed: null`.  The stdout
+    # line carries the contract fields + scalar summaries only; the full
+    # per-query record (cold series, spreads, deltas) lives in
+    # BENCH_LOCAL.json.
+    compact = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "n_queries",
+            "query_sec_p50", "query_sec_p90", "query_sec_p99",
+            "value_cold", "fanout_posts", "fanout_sec",
+            "fanout_events_per_sec", "fanout_rel_spread",
+            "pipeline_sec", "pipeline_feed_rows",
+            "pipeline_events_per_sec", "pipeline_rel_spread",
+            "steady_runs_per_query", "load_1m_at_start",
+            "machine_idle_at_start", "query_rel_spread_p50",
+            "query_rel_spread_p90",
+        )
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

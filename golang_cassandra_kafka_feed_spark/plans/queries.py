@@ -2542,8 +2542,30 @@ def q108(spark, sf_dir):
     )
 
 
+# The external driver's CORRECTNESS gate samples the FIRST 50 keys of
+# this insertion-ordered registry.  The high-risk families — hash-idiom
+# ANN composites, iterative graph fixpoints, the funnel/interval joins,
+# and the heaviest shared-SQL TPC-H twins — are deliberately rotated
+# into that window (round-4 verdict ask #2) so cross-engine drift in
+# exactly the places it would hide gets externally oracle-checked every
+# round; the displaced q39-q47 keys are 4x-driver-green and their ANN
+# hash idioms stay represented in-window via q82/q84.  All 133 keys
+# remain registered and are swept by scripts/driver_sim.py + pytest.
+from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_QUERIES  # noqa: E402
+
 QUERIES = {
     "q01_scan_project": q01,
+    "q66_semantic_dedup": q66,
+    "q71_dup_components": q71,
+    "q78_minhash_accuracy": q78,
+    "q82_ann_rrf_fusion": q82,
+    "q83_pagerank": q83,
+    "q84_pq_adc_audit": q84,
+    "q87_funnel": q87,
+    "q92_interval_join": q92,
+    "tpch_q1": TPCH_QUERIES["tpch_q1"],
+    "tpch_q18": TPCH_QUERIES["tpch_q18"],
+    "tpch_q21": TPCH_QUERIES["tpch_q21"],
     "q02_point_lookup": q02,
     "q03_range_filter": q03,
     "q04_inner_join": q04,
@@ -2611,33 +2633,25 @@ QUERIES = {
     "q58_moments_battery": q58,
     "q59_kmv_distinct": q59,
     "q65_kmeans_assign": q65,
-    "q66_semantic_dedup": q66,
     "q67_doc_chunking": q67,
     "q68_vocab_coverage": q68,
     "q69_temperature_mixture": q69,
     "q70_bigram_typicality": q70,
-    "q71_dup_components": q71,
     "q72_length_histogram": q72,
     "q73_dsir_weights": q73,
     "q74_typicality_buckets": q74,
     "q75_line_dedup": q75,
     "q76_weighted_sample": q76,
     "q77_lateral_topk": q77,
-    "q78_minhash_accuracy": q78,
     "q79_token_diversity": q79,
     "q80_length_zscore": q80,
     "q81_bm25_search": q81,
-    "q82_ann_rrf_fusion": q82,
-    "q83_pagerank": q83,
-    "q84_pq_adc_audit": q84,
     "q85_collocations": q85,
     "q86_asof_nearest": q86,
-    "q87_funnel": q87,
     "q88_cohort_retention": q88,
     "q89_scd2_intervals": q89,
     "q90_bloom_fp_audit": q90,
     "q91_salted_join": q91,
-    "q92_interval_join": q92,
     "q93_array_battery": q93,
     "q94_multiset_ops": q94,
     "q95_regex_battery": q95,
