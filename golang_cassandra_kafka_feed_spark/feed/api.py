@@ -133,7 +133,9 @@ class FeedStore:
 
     # -- CreateUser (feed.go:41-74): CAS -> batch dedup + anti-join --------
 
-    def create_users(self, usernames: DataFrame) -> DataFrame:
+    def create_users(
+        self, usernames: DataFrame, exclusive: bool = False
+    ) -> DataFrame:
         """Create users for a one-column ``username`` DataFrame.
 
         Semantics of the reference CAS loop, batch-native:
@@ -143,7 +145,33 @@ class FeedStore:
            (the reference's "read the winner's row" path, feed.go:56-59,
            is a lookup the caller does via ``user_id_by_username``).
         Returns the newly created rows (with generated UUIDs).
+
+        ``exclusive=True`` holds the filesystem table lease (feed/
+        lock.py, the LWT twin) around the anti-join + append, so
+        username uniqueness also holds across CONCURRENT jobs — the race
+        the reference closes with ``INSERT ... IF NOT EXISTS``
+        (feed.go:41-74) and that ``merge_create_users`` closes with
+        Delta MERGE where delta-spark exists.  Default off: single-job
+        batch ingest needs no lock.
         """
+        if exclusive:
+            from golang_cassandra_kafka_feed_spark.feed.lock import (
+                table_lock,
+            )
+
+            lock_base = self.base
+            for scheme in ("file://", "file:"):
+                if lock_base.startswith(scheme):
+                    lock_base = lock_base[len(scheme):]
+                    break
+            if "://" in lock_base:
+                raise NotImplementedError(
+                    "exclusive create_users needs a filesystem base dir "
+                    "(object stores: swap the atomic-create primitive, "
+                    "see feed/lock.py docstring)"
+                )
+            with table_lock(lock_base, "users"):
+                return self.create_users(usernames, exclusive=False)
         valid = usernames.filter(valid_length("username", 1, 50))
         fresh = (
             valid.dropDuplicates(["username"])

@@ -1,0 +1,142 @@
+"""Filesystem mutual exclusion for cross-job read-modify-write.
+
+The reference closes the CreateUser race with Cassandra's
+``INSERT ... IF NOT EXISTS`` LWT (internal/store/feed.go:41-74, a
+per-partition Paxos round).  On a plain filesystem the equivalent
+primitive is atomic exclusive file creation: ``table_lock`` serializes
+the anti-join-then-append critical section of concurrent jobs mutating
+the same FeedStore table, so batch CAS semantics (exactly one winner per
+username) hold ACROSS jobs, not just within one.
+
+Granularity is deliberately coarser than the reference: LWT serializes
+per partition key, this lock serializes per TABLE.  For an OLTP store
+that would be a throughput disaster; for a batch ingest engine whose
+writers are a handful of concurrent jobs appending thousands of rows
+each, a table-level commit lock is the honest translation (the critical
+section is two Spark jobs: one anti-join read, one append).
+
+Mechanics:
+- acquire = ``os.open(O_CREAT | O_EXCL)`` of ``<base>/.<table>.lock`` —
+  atomic on POSIX and on HDFS-style filesystems (``create`` with
+  overwrite=false).  On S3-style object stores swap in a conditional
+  PUT (If-None-Match); the protocol above the primitive is unchanged.
+- the lock file carries owner metadata ``{token, pid, host,
+  acquired_at, lease_seconds}``.
+- crash recovery = LEASE TAKEOVER: a waiter that finds the lock older
+  than its lease renames it aside (``os.rename`` — only ONE concurrent
+  renamer of the same source succeeds, so two waiters cannot both
+  "break" the lock and then both acquire) and retries the atomic
+  create.
+- release verifies the stored token still matches before unlinking: if
+  this holder's lease was taken over mid-run, releasing would otherwise
+  delete the NEW holder's lock; instead ``LockLost`` is raised so the
+  caller knows its critical section was not exclusive to the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+import uuid
+from contextlib import contextmanager
+
+
+class LockTimeout(TimeoutError):
+    """Could not acquire the table lock within ``timeout_seconds``."""
+
+
+class LockLost(RuntimeError):
+    """The lease expired and another job took the lock over while this
+    holder was still inside its critical section."""
+
+
+def _lock_path(base_dir: str, table: str) -> str:
+    return os.path.join(base_dir, f".{table}.lock")
+
+
+@contextmanager
+def table_lock(
+    base_dir: str,
+    table: str,
+    lease_seconds: float = 300.0,
+    timeout_seconds: float = 120.0,
+    poll_seconds: float = 0.05,
+):
+    """Exclusive lease on ``<base_dir>/<table>`` mutation.
+
+    ``lease_seconds`` bounds how long a crashed holder can block others;
+    size it above the longest expected critical section (two small Spark
+    jobs), otherwise a slow holder gets taken over and its release
+    raises ``LockLost``.
+    """
+    os.makedirs(base_dir, exist_ok=True)
+    path = _lock_path(base_dir, table)
+    token = uuid.uuid4().hex
+    meta = {
+        "token": token,
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "lease_seconds": float(lease_seconds),
+    }
+    deadline = time.monotonic() + timeout_seconds
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            _maybe_take_over(path, token)
+            if time.monotonic() >= deadline:
+                raise LockTimeout(
+                    f"{path}: held for > {timeout_seconds}s"
+                ) from None
+            time.sleep(poll_seconds)
+            continue
+        try:
+            meta["acquired_at"] = time.time()
+            os.write(fd, json.dumps(meta).encode())
+        finally:
+            os.close(fd)
+        break
+    try:
+        yield
+    finally:
+        _release(path, token)
+
+
+def _maybe_take_over(path: str, token: str) -> None:
+    """If the current lock's lease has expired, rename it aside (the
+    single-winner break primitive) so the acquire loop can retry."""
+    try:
+        with open(path, "r") as f:
+            meta = json.load(f)
+        age = time.time() - float(meta.get("acquired_at", 0.0))
+        lease = float(meta.get("lease_seconds", 0.0))
+    except (OSError, ValueError):
+        # mid-write or already gone; let the acquire loop retry
+        return
+    if age <= lease:
+        return
+    stale = f"{path}.stale.{token}"
+    try:
+        os.rename(path, stale)  # one concurrent renamer wins
+    except OSError:
+        return
+    try:
+        os.unlink(stale)
+    except OSError:
+        pass
+
+
+def _release(path: str, token: str) -> None:
+    try:
+        with open(path, "r") as f:
+            holder = json.load(f).get("token")
+    except (OSError, ValueError):
+        holder = None
+    if holder != token:
+        raise LockLost(
+            f"{path}: lease was taken over while held (holder token "
+            f"{holder!r}); critical section was not exclusive to the end"
+        )
+    os.unlink(path)

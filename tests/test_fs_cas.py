@@ -1,0 +1,129 @@
+"""Cross-job CAS: the filesystem table lease (feed/lock.py) and
+FeedStore.create_users(exclusive=True) — the LWT twin (reference
+internal/store/feed.go:41-74) without delta-spark."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from golang_cassandra_kafka_feed_spark.feed import FeedStore
+from golang_cassandra_kafka_feed_spark.feed.lock import (
+    LockLost,
+    LockTimeout,
+    _lock_path,
+    table_lock,
+)
+
+
+def test_lock_mutual_exclusion(tmp_path):
+    """Two threads contending for the lease never overlap their critical
+    sections."""
+    base = str(tmp_path)
+    in_critical = []
+    overlaps = []
+
+    def worker(i):
+        with table_lock(base, "users", timeout_seconds=10):
+            overlaps.append(len(in_critical) > 0)
+            in_critical.append(i)
+            time.sleep(0.05)
+            in_critical.remove(i)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert overlaps == [False, False, False, False]
+    assert not os.path.exists(_lock_path(base, "users"))
+
+
+def test_lock_timeout(tmp_path):
+    base = str(tmp_path)
+    with table_lock(base, "users"):
+        with pytest.raises(LockTimeout):
+            with table_lock(base, "users", timeout_seconds=0.3):
+                pass
+
+
+def test_stale_lease_takeover(tmp_path):
+    """A lock whose lease has expired (crashed holder) is broken and
+    re-acquired; the crashed holder's release raises LockLost instead of
+    deleting the new holder's lock."""
+    base = str(tmp_path)
+    cm = table_lock(base, "users", lease_seconds=0.1)
+    cm.__enter__()  # simulated crashed/slow holder
+    time.sleep(0.15)
+    with table_lock(base, "users", timeout_seconds=5) as _:
+        # the new holder owns the lock file now
+        with open(_lock_path(base, "users")) as f:
+            new_token = json.load(f)["token"]
+        with pytest.raises(LockLost):
+            cm.__exit__(None, None, None)
+        # LockLost must NOT have removed the new holder's lock
+        with open(_lock_path(base, "users")) as f:
+            assert json.load(f)["token"] == new_token
+    assert not os.path.exists(_lock_path(base, "users"))
+
+
+def test_takeover_single_winner(tmp_path):
+    """Many waiters racing to break one expired lease: exactly one
+    acquires at a time (the rename-aside break cannot double-fire)."""
+    base = str(tmp_path)
+    cm = table_lock(base, "users", lease_seconds=0.05)
+    cm.__enter__()
+    time.sleep(0.1)
+    holders = []
+    lock = threading.Lock()
+
+    def waiter():
+        with table_lock(base, "users", timeout_seconds=10):
+            with lock:
+                holders.append(threading.get_ident())
+                assert len(holders) == 1
+                time.sleep(0.01)
+                holders.pop()
+
+    ts = [threading.Thread(target=waiter) for _ in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not os.path.exists(_lock_path(base, "users"))
+
+
+def test_concurrent_create_users_one_winner_per_username(spark, tmp_path):
+    """The property the reference's LWT guarantees (feed.go:46-59):
+    overlapping concurrent batches with colliding usernames yield
+    EXACTLY ONE (user_id, username) row per username."""
+    store = FeedStore(spark, str(tmp_path / "store"))
+    batches = [
+        ["alice", "bob", "carol"],
+        ["bob", "carol", "dave"],
+        ["carol", "dave", "alice", "erin"],
+        ["erin", "alice", "bob"],
+    ]
+    errs = []
+
+    def job(names):
+        try:
+            df = spark.createDataFrame([(n,) for n in names], "username string")
+            store.create_users(df, exclusive=True)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [threading.Thread(target=job, args=(b,)) for b in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    rows = store.table("users").collect()
+    names = sorted(r.username for r in rows)
+    assert names == ["alice", "bob", "carol", "dave", "erin"], names
+    assert len({r.user_id for r in rows}) == 5
