@@ -2,11 +2,15 @@
 with typed metadata, processed in Arrow-batched Pandas stages.
 
 The Spark-side architecture is fully real — schemas, partition-preserving
-``mapInPandas`` stages, batch iteration — while the media decode itself is
-STUBBED (the container has no image/audio libraries): ``decode_media``
-raises NotImplementedError unless a decoder is importable, and
-``fake_feature_extract`` computes deterministic features from the raw bytes
-so the pipeline shape is testable end-to-end.
+``mapInPandas`` stages, batch iteration — and ``decode_media`` performs a
+TRUE byte-level decode for the formats with vendored pure-Python codecs
+(24-bit BMP, PCM16 WAV — operators/codecs.py); ``resize_media`` does a
+real nearest-neighbor downsample for BMP.  Compressed formats
+(PNG/JPEG/MP3/...) still need a codec library the container does not
+ship: for those content types the NotImplementedError gate remains (now
+narrowed to exactly them), and ``fake_feature_extract`` computes
+deterministic features from the raw bytes so every pipeline shape stays
+testable end-to-end.
 
 At 100 TB: binary payloads ride the columnar path (parquet binary +
 Arrow); mapInPandas streams batches (spark.sql.execution.arrow
@@ -63,22 +67,161 @@ def attach_binary_payload(
     )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """Real media decode — STUB.
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("n_values", T.LongType(), False),
+        T.StructField("mean_value", T.DoubleType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
 
-    Gated on an importable decoder (PIL); the container ships none, so this
-    raises.  The Arrow/batch plumbing is identical to
-    ``fake_feature_extract`` below, which is the tested path.
+# content types the vendored pure-Python codecs (operators/codecs.py)
+# decode for real; everything else stays behind the library gate.
+VENDORED_DECODERS = ("image/bmp", "audio/wav", "audio/x-wav")
+
+
+def decode_media(
+    df: DataFrame, on_error: str = "raise", n_bins: int = 8
+) -> DataFrame:
+    """TRUE media decode over the opaque payload column, Arrow-batched.
+
+    ``image/bmp`` payloads are pixel-decoded and ``audio/wav`` payloads
+    sample-decoded by the vendored pure-Python codecs
+    (operators/codecs.py) — a real byte-level parse, not a stand-in.
+    Output per row: typed dimensions (width/height or
+    sample_rate/n_channels), decoded-value count, mean of the decoded
+    values normalized to [0, 1], and an ``n_bins``-bin normalized
+    histogram of the decoded values as the content feature.
+
+    ``on_error``: ``"raise"`` (default) surfaces malformed payloads and
+    NON-VENDORED content types (PNG/JPEG/MP3/... still need a codec
+    library — the NotImplementedError gate, now narrowed to exactly
+    those); ``"skip"`` drops both, the bad-record path of the JSON
+    decoder (streaming/fanout.py).
+
+    Scale shape: identical to ``fake_feature_extract`` — a narrow
+    mapInPandas stage, no shuffle; peak memory bounded by the Arrow
+    batch size.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no decoder in image
-        raise NotImplementedError(
-            "media decoding requires an image library (e.g. Pillow) which "
-            "is not available in this environment; use "
-            "fake_feature_extract() for the pipeline-shape path"
-        ) from exc
-    raise NotImplementedError("real decoder wiring lands with the library")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        MediaFormatError,
+        decode_bmp,
+        decode_wav,
+    )
+
+    def _rows(pdf: pd.DataFrame) -> Iterator[dict]:
+        for doc_id, ctype, payload in zip(
+            pdf["doc_id"], pdf["content_type"], pdf["payload"]
+        ):
+            raw = bytes(payload)
+            try:
+                if ctype == "image/bmp":
+                    w, h, rgb = decode_bmp(raw)
+                    vals = list(rgb)
+                    scale = 255.0
+                    meta = ("image", w, h, 0, 0)
+                elif ctype in ("audio/wav", "audio/x-wav"):
+                    rate, ch, samples = decode_wav(raw)
+                    vals = samples
+                    scale = 32768.0
+                    meta = ("audio", 0, 0, rate, ch)
+                else:
+                    raise NotImplementedError(
+                        f"no vendored decoder for {ctype!r} (have "
+                        f"{VENDORED_DECODERS}); compressed formats need a "
+                        "codec library"
+                    )
+            except (MediaFormatError, NotImplementedError):
+                if on_error == "skip":
+                    continue
+                raise
+            n = len(vals)
+            mean = (sum(vals) / n / scale) if n else 0.0
+            hist = [0] * n_bins
+            for v in vals:
+                # values in [-scale, scale); map to [0, 1) then bin
+                u = (v / scale + 1.0) / 2.0 if scale == 32768.0 else v / 256.0
+                hist[min(n_bins - 1, int(u * n_bins))] += 1
+            yield {
+                "doc_id": doc_id,
+                "content_type": ctype,
+                "kind": meta[0],
+                "width": meta[1],
+                "height": meta[2],
+                "sample_rate": meta[3],
+                "n_channels": meta[4],
+                "n_values": n,
+                "mean_value": mean,
+                "feature": [c / n if n else 0.0 for c in hist],
+            }
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = list(_rows(pdf))
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in DECODED_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def attach_media_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL media payloads deterministically from text: even
+    doc_ids become 4x4 24-bit BMPs, odd doc_ids PCM16 WAVs, with pixel /
+    sample values derived from sha256(text) — so decode tests exercise
+    the true codec path on bytes that round-trip through the vendored
+    encoders.  Same Arrow-batched shape as the other stages."""
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.sha256(str(text).encode()).digest()
+                if int(doc_id) % 2 == 0:
+                    rgb = (digest * 3)[: 4 * 4 * 3]
+                    payload = encode_bmp(4, 4, rgb)
+                    ctype = "image/bmp"
+                else:
+                    samples = [
+                        int.from_bytes(
+                            digest[2 * i : 2 * i + 2], "little", signed=True
+                        )
+                        for i in range(16)
+                    ]
+                    payload = encode_wav(samples, sample_rate=8000)
+                    ctype = "audio/wav"
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "content_type": ctype,
+                        "payload": payload,
+                        "byte_len": len(payload),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(_gen, MEDIA_SCHEMA)
 
 
 def fake_feature_extract(
@@ -125,22 +268,46 @@ RESIZED_SCHEMA = T.StructType(
 def resize_media(
     media: DataFrame, width: int = 8, height: int = 8
 ) -> DataFrame:
-    """Thumbnail/resize stage — Arrow-batched mapInPandas with the exact
-    signature a real image resize would have (payload in, width x height
-    thumbnail bytes out, narrow, no shuffle).
+    """Thumbnail/resize stage — Arrow-batched mapInPandas (payload in,
+    width x height thumbnail bytes out, narrow, no shuffle).
 
-    Without an image library the pixel decode is STUBBED deterministically:
-    the "thumbnail" is ``width*height`` bytes stride-sampled evenly across
-    the payload (repeating for short payloads), so output size and batch
-    shape match the real operator and tests can pin determinism.
+    ``image/bmp`` payloads get a REAL nearest-neighbor resize: the
+    vendored codec decodes the pixels, the grid is sampled to
+    width x height, and each sampled pixel becomes one grayscale byte
+    ((r+g+b)//3).  Other content types keep the deterministic
+    stride-sampling stand-in (``width*height`` bytes sampled evenly
+    across the payload, repeating for short payloads) so output size and
+    batch shape always match the real operator.
     """
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        MediaFormatError,
+        decode_bmp,
+    )
+
     n_out = width * height
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             thumbs = []
-            for p in pdf["payload"]:
+            for ctype, p in zip(pdf["content_type"], pdf["payload"]):
                 raw = bytes(p)
+                if ctype == "image/bmp":
+                    try:
+                        w, h, rgb = decode_bmp(raw)
+                    except MediaFormatError:
+                        thumbs.append(b"\x00" * n_out)
+                        continue
+                    gray = bytearray(n_out)
+                    for ty in range(height):
+                        sy = ty * h // height
+                        for tx in range(width):
+                            sx = tx * w // width
+                            o = (sy * w + sx) * 3
+                            gray[ty * width + tx] = (
+                                rgb[o] + rgb[o + 1] + rgb[o + 2]
+                            ) // 3
+                    thumbs.append(bytes(gray))
+                    continue
                 if not raw:
                     thumbs.append(b"\x00" * n_out)
                     continue
