@@ -5,8 +5,12 @@ EXISTS/NOT EXISTS, scalar-subquery comparison, ROLLUP, window analytics
 (LAG/LEAD, frame aggregates, the rank family), INTERSECT/EXCEPT) plus the
 round-4 extension grammar (LATERAL joins, SQL-standard PIVOT/UNPIVOT,
 bag-semantics EXCEPT ALL/INTERSECT ALL, decimal scale/rounding edges,
-date +- INTERVAL arithmetic), executed as the SAME SQL text on Spark and
-DuckDB over the same in-memory tables.
+date +- INTERVAL arithmetic) and the round-5 growth (window RANGE
+value-distance frames incl. NULL ordering groups, CUBE / partial ROLLUP
+/ duplicate GROUPING SETS with GROUPING() disambiguation, and binary-
+collation trailing-space/case string edges over data that really
+carries them), executed as the SAME SQL text on Spark and DuckDB over
+the same in-memory tables.
 
 The 73 declared queries prove fixed points of the semantics; this suite
 hardens the space between them — coercion rules, NULL propagation,
@@ -37,7 +41,7 @@ import random
 from collections import Counter
 
 SEED = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260813"))
-N_CASES = int(os.environ.get("SPARK_GRAFT_FUZZ_CASES", "500"))
+N_CASES = int(os.environ.get("SPARK_GRAFT_FUZZ_CASES", "1000"))
 
 _VOCAB = ["alpha", "bravo", "china", "delta", "echo", "fox", "golf", "hotel"]
 
@@ -48,6 +52,16 @@ def _gen_rows(rng: random.Random):
         k = None if rng.random() < 0.1 else rng.randrange(7)
         v = None if rng.random() < 0.15 else rng.randrange(-1000, 1001)
         s = None if rng.random() < 0.1 else rng.choice(_VOCAB)
+        # round-5 collation edges: some strings carry trailing/leading
+        # spaces or an uppercased head — exercised by kind 26 and by
+        # every existing comparison/sort/LIKE via the shared column
+        r = rng.random()
+        if s is not None and r < 0.15:
+            s = s + " " * rng.randrange(1, 3)
+        elif s is not None and r < 0.25:
+            s = " " + s
+        elif s is not None and r < 0.35:
+            s = s.capitalize()
         c = chr(ord("a") + rng.randrange(5))
         dt = datetime.date(2020, 1, 1) + datetime.timedelta(
             days=rng.randrange(365)
@@ -116,7 +130,101 @@ _AGGS = [
 
 
 def _gen_query(rng: random.Random) -> str:
-    kind = rng.randrange(24)
+    kind = rng.randrange(27)
+    if kind == 24:  # window RANGE frames (round-5 grammar growth):
+        # value-distance frames over the numeric order key.  NULL order
+        # keys are allowed — both engines put the whole NULL ordering
+        # group in one peer set, and RANGE offsets over it yield the
+        # same all-NULL-peers frame; exact aggregates only.
+        frame = rng.choice(
+            [
+                f"RANGE BETWEEN {rng.randrange(10, 300)} PRECEDING "
+                "AND CURRENT ROW",
+                f"RANGE BETWEEN CURRENT ROW AND "
+                f"{rng.randrange(10, 300)} FOLLOWING",
+                f"RANGE BETWEEN {rng.randrange(5, 100)} PRECEDING AND "
+                f"{rng.randrange(5, 100)} FOLLOWING",
+                "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            ]
+        )
+        agg = rng.choice(
+            [
+                "CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)",
+                "MIN(v) OVER w",
+                "MAX(v) OVER w",
+                "COUNT(v) OVER w",
+                "COUNT(*) OVER w",
+            ]
+        )
+        direction = rng.choice(["ASC NULLS FIRST", "DESC NULLS LAST"])
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.4 else ""
+        return (
+            f"SELECT id, k, v, {agg} AS w_agg FROM f1{where} "
+            f"WINDOW w AS (PARTITION BY k ORDER BY v {direction} {frame})"
+        )
+    if kind == 25:  # CUBE / partial ROLLUP / GROUPING() disambiguation
+        # (round-5 grammar growth).  GROUPING(col) separates NULL-key
+        # rows from super-aggregate rows, the exact ambiguity rollup
+        # fuzzing is for; CAST pins the tinyint-vs-int return type.
+        # Same empty-input harmonization as plain ROLLUP (HAVING).
+        aggs = ", ".join(rng.sample(_AGGS, rng.randrange(1, 3)))
+        form = rng.choice(
+            [
+                "GROUP BY CUBE(k, c)",
+                "GROUP BY k, ROLLUP(c)",
+                "GROUP BY ROLLUP(k, c)",
+                "GROUP BY GROUPING SETS ((k, c), (k), ())",
+                "GROUP BY GROUPING SETS ((c), (k, c), (c))",  # dup set
+            ]
+        )
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.5 else ""
+        return (
+            "SELECT k, c, CAST(GROUPING(k) AS INT) AS gk, "
+            f"CAST(GROUPING(c) AS INT) AS gc, {aggs} FROM f1{where} "
+            f"{form} HAVING COUNT(*) > 0"
+        )
+    if kind == 26:  # collation / trailing-space string edges (round-5
+        # grammar growth): binary-collation comparisons, sorts, and
+        # TRIM-family interplay over strings that really carry leading/
+        # trailing spaces and case variants (_gen_rows).  VARCHAR
+        # semantics in both engines: no PAD SPACE — 'alpha ' <> 'alpha',
+        # and 0x20 sorts before every letter.
+        pick = rng.randrange(4)
+        if pick == 0:
+            rhs = rng.choice(
+                ["'alpha'", "'alpha '", "' alpha'", "'Alpha'", "'bravo  '"]
+            )
+            op = rng.choice(["=", "<>", "<", ">="])
+            return (
+                f"SELECT id, s, LENGTH(s) AS ln FROM f1 "
+                f"WHERE s {op} {rhs}"
+            )
+        if pick == 1:
+            fn = rng.choice(
+                [
+                    "RTRIM(s)",
+                    "LTRIM(s)",
+                    "TRIM(BOTH ' ' FROM s)",
+                    "TRIM(TRAILING 'a' FROM RTRIM(s))",
+                    "RTRIM(s || '  ')",
+                    "LENGTH(s) - LENGTH(RTRIM(s))",
+                ]
+            )
+            return (
+                f"SELECT id, s, {fn} AS sv FROM f1 "
+                f"WHERE {_pred(rng)}"
+            )
+        if pick == 2:  # sort position of spaced/cased strings
+            return (
+                "SELECT id, s FROM f1 WHERE s IS NOT NULL "
+                f"ORDER BY s {rng.choice(['ASC', 'DESC'])}, id "
+                f"LIMIT {rng.randrange(5, 40)}"
+            )
+        # grouping: 'alpha' vs 'alpha ' vs 'Alpha' are distinct keys
+        return (
+            "SELECT s, COUNT(*) AS n, MIN(id) AS min_id FROM f1 "
+            "GROUP BY s HAVING COUNT(*) > 0"
+        )
     if kind == 22:  # string-function battery.  FUZZER FINDINGS (round
         # 4): SPLIT_PART(NULL, ...) DIVERGES — Spark propagates NULL,
         # DuckDB returns '' — so split_part always wraps its input in
