@@ -106,12 +106,22 @@ def table_lock(
 
 def _maybe_take_over(path: str, token: str) -> None:
     """If the current lock's lease has expired, rename it aside (the
-    single-winner break primitive) so the acquire loop can retry."""
+    single-winner break primitive) so the acquire loop can retry.
+
+    TOCTOU guard: between reading the expired metadata and winning the
+    rename, the lock can change hands (expired holder releases, a fresh
+    holder acquires) — the rename would then break a LIVE lease.  After
+    the rename the renamed file's token is re-checked against the one
+    read; on mismatch the live lock is restored via ``os.link``, which
+    atomically fails if yet another waiter already created a new lock at
+    the path (in that residual double-race the displaced holder's
+    release raises ``LockLost`` — detected, never silent)."""
     try:
         with open(path, "r") as f:
             meta = json.load(f)
         age = time.time() - float(meta.get("acquired_at", 0.0))
         lease = float(meta.get("lease_seconds", 0.0))
+        expired_token = meta.get("token")
     except (OSError, ValueError):
         # mid-write or already gone; let the acquire loop retry
         return
@@ -122,6 +132,16 @@ def _maybe_take_over(path: str, token: str) -> None:
         os.rename(path, stale)  # one concurrent renamer wins
     except OSError:
         return
+    try:
+        with open(stale, "r") as f:
+            renamed_token = json.load(f).get("token")
+    except (OSError, ValueError):
+        renamed_token = None
+    if renamed_token is not None and renamed_token != expired_token:
+        try:
+            os.link(stale, path)  # atomic: fails if a new lock exists
+        except OSError:
+            pass
     try:
         os.unlink(stale)
     except OSError:

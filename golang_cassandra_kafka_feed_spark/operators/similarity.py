@@ -578,8 +578,6 @@ def pq_adc_audit(
     from golang_cassandra_kafka_feed_spark.operators.topk import (
         top_k_per_key,
     )
-    from pyspark.sql import Window
-
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
     d_sub = dim // m
@@ -607,14 +605,23 @@ def pq_adc_audit(
     )
     books = cells.groupBy("s", "code").agg(F.min_by("sv", "hh").alias("cw"))
 
-    w = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
+    # argmin codeword per (vec, subspace) as a map-side-combine MIN over
+    # struct(dist, code, cw) — the same (dist, code) ordering the
+    # previous row_number-over-window form used, but the n_codes-fold
+    # row blowup collapses in the partial aggregation BEFORE the
+    # exchange (the window form shuffled and sorted corpus x m x n_codes
+    # rows just to keep rank 1 — a 16x exchange at scale); cw rides in
+    # the struct, fully determined by (s, code) so it never affects the
+    # ordering outcome.
     assigned = (
         cells.select("vec_id", "s", "sv")
         .join(F.broadcast(books), "s")
         .withColumn("dist", _l2sq(F.col("sv"), F.col("cw")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "s", "cw")
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct("dist", "code", "cw")).alias("__best")
+        )
+        .select("vec_id", "s", F.col("__best.cw").alias("cw"))
     )
 
     q = queries.select(
