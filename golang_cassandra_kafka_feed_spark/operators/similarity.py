@@ -306,7 +306,6 @@ def ivf_topk(
     and ``math.sqrt`` match the JVM op-for-op), so results are
     bit-identical to the previous form and to the DuckDB oracle.
     """
-    from golang_cassandra_kafka_feed_spark.operators.dedup import _md5_32
     from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
 
     c = corpus.select(
