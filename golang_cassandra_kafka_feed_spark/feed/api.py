@@ -131,6 +131,26 @@ class FeedStore:
     def _append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self._path(name))
 
+    def _table_lease(self, table: str):
+        """Cross-job mutual exclusion on a table's read-modify-write
+        (feed/lock.py — the LWT twin).  Filesystem base dirs only; on an
+        object store swap the atomic-create primitive per the lock module
+        docstring."""
+        from golang_cassandra_kafka_feed_spark.feed.lock import table_lock
+
+        lock_base = self.base
+        for scheme in ("file://", "file:"):
+            if lock_base.startswith(scheme):
+                lock_base = lock_base[len(scheme):]
+                break
+        if "://" in lock_base:
+            raise NotImplementedError(
+                f"exclusive {table} mutation needs a filesystem base dir "
+                "(object stores: swap the atomic-create primitive, see "
+                "feed/lock.py docstring)"
+            )
+        return table_lock(lock_base, table)
+
     # -- CreateUser (feed.go:41-74): CAS -> batch dedup + anti-join --------
 
     def create_users(
@@ -155,22 +175,7 @@ class FeedStore:
         batch ingest needs no lock.
         """
         if exclusive:
-            from golang_cassandra_kafka_feed_spark.feed.lock import (
-                table_lock,
-            )
-
-            lock_base = self.base
-            for scheme in ("file://", "file:"):
-                if lock_base.startswith(scheme):
-                    lock_base = lock_base[len(scheme):]
-                    break
-            if "://" in lock_base:
-                raise NotImplementedError(
-                    "exclusive create_users needs a filesystem base dir "
-                    "(object stores: swap the atomic-create primitive, "
-                    "see feed/lock.py docstring)"
-                )
-            with table_lock(lock_base, "users"):
+            with self._table_lease("users"):
                 return self.create_users(usernames, exclusive=False)
         valid = usernames.filter(valid_length("username", 1, 50))
         fresh = (
@@ -247,14 +252,27 @@ class FeedStore:
         self._append(valid, "posts")
         return valid
 
-    def fan_out(self, posts: DataFrame) -> None:
+    def fan_out(self, posts: DataFrame, exclusive: bool = False) -> None:
         """posts ⋈ follows ON author_id = followee_id -> feed rows
         (worker.go:138-154; mock parity: mock_kafka.go:22-47).
 
         Idempotent on (user_id, post_id) — replays of at-least-once
         delivery (kafka.go:92) are dropped by the anti-join, emulating the
         Cassandra primary-key upsert (cql:36).
+
+        The anti-join dedups against the feed state read at plan time, so
+        idempotency is within-job by default: two CONCURRENT batch jobs
+        fanning out overlapping posts can both pass the anti-join and
+        double-write (the Cassandra upsert has no such race — the PK
+        write is the dedup).  ``exclusive=True`` serializes the
+        anti-join + append under the feed table lease (feed/lock.py) for
+        multi-writer batch deployments; the streaming pipeline does not
+        need it (one writer per checkpoint, epoch-replay covered by the
+        same anti-join re-read).
         """
+        if exclusive:
+            with self._table_lease("feed_by_user"):
+                return self.fan_out(posts, exclusive=False)
         follows = self.table("follows")
         feed_rows = (
             posts.alias("p")

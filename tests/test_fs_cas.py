@@ -127,3 +127,42 @@ def test_concurrent_create_users_one_winner_per_username(spark, tmp_path):
     names = sorted(r.username for r in rows)
     assert names == ["alice", "bob", "carol", "dave", "erin"], names
     assert len({r.user_id for r in rows}) == 5
+
+
+def test_concurrent_fanout_no_duplicate_feed_rows(spark, tmp_path):
+    """Two concurrent batch jobs fanning out OVERLAPPING posts under
+    exclusive=True never double-write a (user_id, post_id) feed row —
+    the Cassandra-PK-upsert property (cql:36) across jobs."""
+    import datetime as dt
+
+    store = FeedStore(spark, str(tmp_path / "store2"), feed_buckets=4)
+    store.create_follows(
+        spark.createDataFrame(
+            [(f"u{i}", "author") for i in range(5)],
+            "user_id string, followee_id string",
+        )
+    )
+    base = dt.datetime(2026, 1, 1)
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(f"p{i}", "author", f"body {i}", base) for i in ids],
+        "post_id string, author_id string, body string, created_at timestamp",
+    )
+    batches = [mk(range(0, 6)), mk(range(3, 9))]  # posts 3-5 overlap
+    errs = []
+
+    def job(posts):
+        try:
+            store.fan_out(posts, exclusive=True)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [threading.Thread(target=job, args=(b,)) for b in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    feed = store.table("feed_by_user")
+    total = feed.count()
+    distinct = feed.select("user_id", "post_id").distinct().count()
+    assert total == distinct == 5 * 9, (total, distinct)
