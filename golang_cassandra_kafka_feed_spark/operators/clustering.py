@@ -105,6 +105,17 @@ def kmeans_assign(
     """
     pts = df.select(F.col(id_col).alias("__id"), quantize(vec_col).alias("__q"))
     pts = pts.withColumn("__n2", _dot(F.col("__q"), F.col("__q")))
+    # The iterative-algorithm persist idiom: every Lloyd pass (init scan,
+    # iters x (assignment + per-dim join), final assignment) references
+    # ``pts`` — without materialization each reference re-reads the
+    # parquet AND re-runs the quantize/norm folds (6-8 scans in the q65/
+    # q66 plans).  localCheckpoint stores the quantized ints once in
+    # executor storage and truncates the lineage (measured: q65 steady
+    # 1.83 -> 1.45 s, cold 8.4 -> 1.7 s at sf0.1).  Executor loss under
+    # local checkpoint fails-and-retries the job; swap for
+    # reliable-checkpoint (graph.py::_checkpoint pattern) on clusters
+    # where that tradeoff is wrong.
+    pts = pts.localCheckpoint(eager=True)
 
     # init = the k SMALLEST ids, selected by rank, not by `id < k`:
     # the filter form silently seeds fewer (or zero) centroids whenever
