@@ -225,6 +225,10 @@ def semantic_dedup_pairs(
     pts = df.select(
         F.col(id_col).alias("__id"), quantize(vec_col).alias("__q")
     ).withColumn("__n", F.sqrt(_dot(F.col("__q"), F.col("__q")).cast("double")))
+    # Both pair sides (a/b below) reference this frame; materialize once
+    # (same idiom as kmeans_assign's pts) so the quantize/norm pass and
+    # parquet scan don't run per side (q66 cold 11.9 -> 4.6 s at sf0.1).
+    pts = pts.localCheckpoint(eager=True)
     a = pts.select(
         F.col("__id").alias("keep_id"),
         F.col("__q").alias("__qa"),
