@@ -130,7 +130,26 @@ _AGGS = [
 
 
 def _gen_query(rng: random.Random) -> str:
-    kind = rng.randrange(27)
+    kind = rng.randrange(28)
+    if kind == 27:  # FILTER-clause aggregates (round-5 growth; probed
+        # fully portable incl. COUNT(DISTINCT ...) FILTER and NULL-
+        # predicate filters — Spark and DuckDB agree on empty-filter
+        # groups too: COUNT -> 0, SUM/MIN -> NULL)
+        aggs = rng.sample(
+            [
+                f"COUNT(*) FILTER (WHERE v > {rng.randrange(-200, 200)}) AS f_n",
+                "COUNT(*) FILTER (WHERE v IS NULL) AS f_nn",
+                "CAST(SUM(CAST(v AS DECIMAL(18,2))) FILTER (WHERE k IS NOT NULL) "
+                "AS DOUBLE) AS f_s",
+                f"MIN(v) FILTER (WHERE id > {rng.randrange(100)}) AS f_min",
+                f"MAX(dt) FILTER (WHERE c <> '{rng.choice('abcde')}') AS f_dt",
+                "COUNT(DISTINCT s) FILTER (WHERE v <> 0) AS f_nd",
+            ],
+            rng.randrange(2, 4),
+        )
+        g = rng.choice(["k", "c", "k, c"])
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.4 else ""
+        return f"SELECT {g}, {', '.join(aggs)} FROM f1{where} GROUP BY {g}"
     if kind == 24:  # window RANGE frames (round-5 grammar growth):
         # value-distance frames over the numeric order key.  NULL order
         # keys are allowed — both engines put the whole NULL ordering
