@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: the Spark-side schema/partitioning/batching
-is real; the decode is stubbed (no media libs in this environment)."""
+"""Multimodal tests: Spark-side schema/partitioning/batching plus the
+REAL byte-level BMP/WAV decode via the vendored codecs (compressed
+formats stay library-gated — no media libs in this environment)."""
 
 from __future__ import annotations
 
@@ -205,3 +206,39 @@ def test_resize_media_shape_and_determinism(media):
     assert again == {k: bytes(v.thumbnail) for k, v in rows.items()}
     # narrow: partitioning preserved
     assert resize_media(media.repartition(4)).rdd.getNumPartitions() == 4
+
+
+def test_decode_media_composes_with_structured_streaming(spark, sf_dir, tmp_path):
+    """The decode stage is a narrow mapInPandas, so it must run
+    unchanged inside a streaming query: file-source payloads ->
+    decode_media -> memory sink equals the batch decode of the same
+    payloads."""
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        attach_media_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    payloads = attach_media_payload(docs)
+    src = tmp_path / "media"
+    payloads.write.parquet(str(src))
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(str(src))
+    q = (
+        decode_media(stream)
+        .writeStream.format("memory")
+        .queryName("media_decode_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.kind, r.n_values, r.mean_value)
+        for r in spark.sql("SELECT * FROM media_decode_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.kind, r.n_values, r.mean_value)
+        for r in decode_media(payloads).collect()
+    }
+    assert got == want and len(got) == 12
