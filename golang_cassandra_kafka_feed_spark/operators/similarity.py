@@ -13,6 +13,13 @@ Three tiers, all UDF-free (higher-order-function dot products, codegen'd):
 
 Hyperplanes are deterministic (seeded NumPy), shipped as literal arrays —
 no fit/state, reproducible across runs (no Date/random at plan time).
+
+Data contract: embedding vectors must have non-zero norm — cosine is
+undefined for the zero vector, and under ANSI mode the division
+surfaces as DIVIDE_BY_ZERO (identically in every tier, brute-force
+through IVF; DuckDB would return inf instead, so defining it away with
+try_divide would trade a loud error for silent cross-engine drift).
+Filter zero vectors out upstream.
 """
 
 from __future__ import annotations
@@ -312,6 +319,19 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
     cents = _ivf_centroids(c, n_cells)
+    if not cents:
+        # empty corpus -> empty codebook: the literal projection below
+        # would be array_max(array()) (VOID) — return the contract
+        # schema with zero rows instead.
+        return (
+            queries.select(F.col(query_id_col).alias("query_id"))
+            .limit(0)
+            .withColumn(
+                "vec_id", F.lit(None).cast(corpus.schema[id_col].dataType)
+            )
+            .withColumn("sim", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("long"))
+        )
 
     def cell_sims(vcol: Column, vnorm: Column) -> Column:
         # array<struct<d: cosine, negc: -cell>>: struct ordering gives

@@ -311,3 +311,18 @@ def test_pq_adc_rejects_nondividing_subspaces(spark):
     )
     with _pytest.raises(ValueError, match="subspaces"):
         pq_adc_audit(df, df.select(F.col("vec_id").alias("query_id"), "embedding"), m=7)
+
+
+def test_ivf_empty_corpus_returns_no_rows(spark):
+    """An empty corpus yields an empty codebook (zero cells) and an
+    empty result — not a crash in the literal-centroid projection."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        DEFAULT_DIM,
+        ivf_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0] * DEFAULT_DIM)], "query_id long, embedding array<double>"
+    )
+    assert ivf_topk(empty, q, k=3).count() == 0
