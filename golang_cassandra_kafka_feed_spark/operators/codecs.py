@@ -128,8 +128,10 @@ def decode_wav(raw: bytes) -> tuple[int, int, list[int]]:
         cid, size = struct.unpack_from("<4sI", raw, pos)
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
-                raise MediaFormatError("short fmt chunk")
+            # size is the CLAIMED length — a truncated buffer must fail
+            # as a format error, not a raw struct.error
+            if size < 16 or len(body) < 16:
+                raise MediaFormatError("short or truncated fmt chunk")
             audio_fmt, n_channels, sample_rate = struct.unpack_from(
                 "<HHI", body, 0
             )

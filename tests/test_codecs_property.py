@@ -68,3 +68,29 @@ def test_decoders_reject_junk_without_crashing(junk):
         except MediaFormatError:
             continue
         assert isinstance(out, tuple) and len(out) == 3
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    body=st.binary(min_size=0, max_size=40),
+    size=st.integers(min_value=0, max_value=0xFFFFFFFF),
+)
+def test_wav_semi_valid_riff_prefixes_fail_cleanly(body, size):
+    """RIFF/WAVE framing with arbitrary claimed chunk sizes and
+    truncated bodies must raise MediaFormatError, never a raw
+    struct.error (chunk sizes are attacker/corruption-controlled)."""
+    import struct as _s
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        MediaFormatError,
+    )
+
+    raw = (
+        b"RIFF" + _s.pack("<I", min(size, 0xFFFFFFFF)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", size) + body
+    )
+    try:
+        out = decode_wav(raw)
+    except MediaFormatError:
+        return
+    assert isinstance(out, tuple) and len(out) == 3
