@@ -379,7 +379,20 @@ class FeedStore:
         renames can still see a brief missing-path window: compact() is
         LOCAL-MODE maintenance tooling (shutil/os.rename); on a
         cluster, rewrite through a distributed-FS commit instead.
+
+        Holds the table lease (feed/lock.py) for the whole
+        read-rewrite-swap: a concurrent EXCLUSIVE writer (create_users /
+        fan_out(exclusive=True)) serializes against the swap instead of
+        appending into a directory that is about to be renamed away —
+        an append that lands between the staging read and the swap
+        would otherwise be silently dropped with the .old copy.
+        Non-exclusive writers give no such guarantee; in multi-writer
+        deployments run every mutator exclusive.
         """
+        with self._table_lease(table):
+            return self._compact_locked(table)
+
+    def _compact_locked(self, table: str) -> int:
         import shutil
 
         path = self._path(table)

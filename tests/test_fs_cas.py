@@ -166,3 +166,54 @@ def test_concurrent_fanout_no_duplicate_feed_rows(spark, tmp_path):
     total = feed.count()
     distinct = feed.select("user_id", "post_id").distinct().count()
     assert total == distinct == 5 * 9, (total, distinct)
+
+
+def test_compact_serializes_against_exclusive_writers(spark, tmp_path):
+    """compact() holds the table lease, so a concurrent
+    fan_out(exclusive=True) append cannot land between compact's staging
+    read and its directory swap (where the .old drop would silently
+    discard it) — every appended row survives the rewrite."""
+    import datetime as dt
+
+    store = FeedStore(spark, str(tmp_path / "store3"), feed_buckets=4)
+    store.create_follows(
+        spark.createDataFrame(
+            [(f"u{i}", "author") for i in range(3)],
+            "user_id string, followee_id string",
+        )
+    )
+    base = dt.datetime(2026, 1, 1)
+
+    def posts(ids):
+        return spark.createDataFrame(
+            [(f"p{i}", "author", f"b{i}", base) for i in ids],
+            "post_id string, author_id string, body string, "
+            "created_at timestamp",
+        )
+
+    store.fan_out(posts(range(4)), exclusive=True)
+    errs = []
+
+    def writer():
+        try:
+            for lo in range(4, 20, 4):
+                store.fan_out(posts(range(lo, lo + 4)), exclusive=True)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    def compactor():
+        try:
+            for _ in range(3):
+                store.compact("feed_by_user")
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [threading.Thread(target=writer), threading.Thread(target=compactor)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    feed = store.table("feed_by_user")
+    assert feed.count() == 3 * 20
+    assert feed.select("user_id", "post_id").distinct().count() == 3 * 20
