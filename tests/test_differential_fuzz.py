@@ -31,8 +31,8 @@ dialect the oracle contract already relies on:
 Seeded and deterministic: SPARK_GRAFT_FUZZ_SEED / SPARK_GRAFT_FUZZ_CASES
 (default 1000 cases) reproduce any failure, and every divergence report
 carries the offending SQL.  Round-5 soak record (full grammar incl. the
-round-5 kinds): seeds 20260813 x 1000, 20260814 x 800, 20260815 x 1200 —
-zero divergences.
+round-5 kinds): seeds 20260813 x 1000, 20260814 x 800, 20260815 x 1200,
+20260816 x 1000 — zero divergences.
 """
 
 from __future__ import annotations
