@@ -2200,7 +2200,19 @@ ORACLES["q91_salted_join"] = """
 # q92: interval-overlap join — the oracle is the plain overlap join over
 # the same session/SCD2 derivations (checks the result; the bucketing +
 # first-overlap-bucket dedup is the Spark mechanism).
-ORACLES["q92_interval_join"] = """
+#
+# session_id MUST be cast: DuckDB's sum() over INTEGER yields HUGEINT
+# (int128), and the round-5 registry-wide dtype audit found this was the
+# ONLY oracle emitting a HUGEINT output column — and also the only
+# driver hash-fail ever (CORRECTNESS_r05: rows/schema match, hash
+# differs; not reproducible with a fetchall-based digest, which
+# normalizes HUGEINT to Python int).  A fetch path that materializes
+# HUGEINT as Arrow decimal128 or float64 renders the same value as
+# "5.0"/"Decimal('5')" instead of "5" and flips the value hash with
+# identical logical results.  Every other oracle already casts its
+# integer sums; guarded registry-wide by
+# tests/test_oracle_dtypes.py.
+_Q92_CTES = """
     WITH lagd AS (
         SELECT user_id, event_id, ts,
                lag(ts) OVER (PARTITION BY user_id
@@ -2215,9 +2227,10 @@ ORACLES["q92_interval_join"] = """
                        THEN 1 ELSE 0 END AS nw
         FROM lagd
     ), sess_rows AS (
-        SELECT *, sum(nw) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+        SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_id
         FROM flagged
     ), sess AS (
         SELECT user_id, session_id,
@@ -2235,7 +2248,25 @@ ORACLES["q92_interval_join"] = """
                coalesce(valid_to, m) AS valid_to
         FROM scd JOIN mts ON scd.user_id = mts.user_id
     )
+"""
+
+ORACLES["q92_interval_join"] = _Q92_CTES + """
     SELECT s.user_id, s.session_id, h.event_id
+    FROM sess s JOIN hist h
+      ON s.user_id = h.user_id
+     AND s.s_start <= h.valid_to AND h.valid_from <= s.s_end
+    ORDER BY s.user_id, s.session_id, h.event_id
+"""
+
+# q92b: debug twin of q92 emitting the session/validity boundaries as
+# epoch micros (verdict-r5 ask #1b) — a future red row localizes itself
+# to sessionization vs SCD2 bounds vs interval pairing.
+ORACLES["q92b_interval_join_bounds"] = _Q92_CTES + """
+    SELECT s.user_id, s.session_id, h.event_id,
+           epoch_us(s.s_start) AS s_start_us,
+           epoch_us(s.s_end) AS s_end_us,
+           epoch_us(h.valid_from) AS valid_from_us,
+           epoch_us(h.valid_to) AS valid_to_us
     FROM sess s JOIN hist h
       ON s.user_id = h.user_id
      AND s.s_start <= h.valid_to AND h.valid_from <= s.s_end
@@ -2612,6 +2643,7 @@ for _k in (
     "q88_cohort_retention",
     "q89_scd2_intervals",
     "q92_interval_join",
+    "q92b_interval_join_bounds",
     "q100_markov_transitions",
     "q101_rolling_median",
     "q102_drawdown",

@@ -1958,13 +1958,8 @@ def q91(spark, sf_dir):
     )
 
 
-def q92(spark, sf_dir):
-    """Interval-overlap join (operators/range_join.py::interval_join):
-    per user, which SCD2 value-intervals (q89, open ends clamped to the
-    user's last event) were in effect during each 30-minute-gap session
-    (q27's sessionizer rolled to intervals) — the session x history
-    temporal join.  Bucketed to an equi key with a residual overlap
-    filter; each pair emitted once via the first-overlap-bucket rule."""
+def _q92_pairs(spark, sf_dir):
+    """Shared session x SCD2-history interval join for q92/q92b."""
     from golang_cassandra_kafka_feed_spark.operators.events import (
         scd2_intervals,
     )
@@ -1993,7 +1988,7 @@ def q92(spark, sf_dir):
         "valid_from",
         F.coalesce("valid_to", "__mts").alias("valid_to"),
     )
-    out = interval_join(
+    return interval_join(
         sess,
         hist,
         on=["user_id"],
@@ -2002,8 +1997,34 @@ def q92(spark, sf_dir):
         r_start="valid_from",
         r_end="valid_to",
     )
-    return out.select(
+
+
+def q92(spark, sf_dir):
+    """Interval-overlap join (operators/range_join.py::interval_join):
+    per user, which SCD2 value-intervals (q89, open ends clamped to the
+    user's last event) were in effect during each 30-minute-gap session
+    (q27's sessionizer rolled to intervals) — the session x history
+    temporal join.  Bucketed to an equi key with a residual overlap
+    filter; each pair emitted once via the first-overlap-bucket rule."""
+    return _q92_pairs(spark, sf_dir).select(
         "user_id", "session_id", "event_id"
+    ).orderBy("user_id", "session_id", "event_id")
+
+
+def q92b(spark, sf_dir):
+    """q92 debug twin (verdict-r5 ask #1b): the same pairs plus the
+    session/validity boundaries as epoch micros, so a driver
+    hash-mismatch on q92 localizes itself — boundary drift shows up in
+    the *_us columns, pairing drift in the key triples."""
+    out = _q92_pairs(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "session_id",
+        "event_id",
+        F.unix_micros("s_start").alias("s_start_us"),
+        F.unix_micros("s_end").alias("s_end_us"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
     ).orderBy("user_id", "session_id", "event_id")
 
 
@@ -2543,18 +2564,24 @@ def q108(spark, sf_dir):
 
 
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
-# this insertion-ordered registry.  The high-risk families — hash-idiom
-# ANN composites, iterative graph fixpoints, the funnel/interval joins,
-# and the heaviest shared-SQL TPC-H twins — are deliberately rotated
-# into that window (round-4 verdict ask #2) so cross-engine drift in
-# exactly the places it would hide gets externally oracle-checked every
-# round; the displaced q39-q47 keys are 4x-driver-green and their ANN
-# hash idioms stay represented in-window via q82/q84.  All 133 keys
-# remain registered and are swept by scripts/driver_sim.py + pytest.
+# this insertion-ordered registry.  Round-6 rotation (verdict-r5 ask
+# #3): q92 + its new bounds twin lead the window (the only red row
+# ever — pinned until driver-green), the high-risk families stay pinned
+# (hash-idiom ANN composites, iterative fixpoints, funnel, heavy
+# shared-SQL TPC-H), and the remaining 38 slots take the q48–q93 tier —
+# keys that had NEVER been externally oracle-checked in rounds 1–5.
+# After this round, ever-driver-checked coverage reaches 99/134; the
+# final never-checked tier (q94–q108 + the 19 remaining TPC-H twins)
+# rotates in next round.  The displaced q01–q47 keys are all 1x–5x
+# driver-green.  All keys remain registered and are swept by
+# scripts/driver_sim.py + pytest every round regardless of window.
 from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_QUERIES  # noqa: E402
 
 QUERIES = {
-    "q01_scan_project": q01,
+    # -- the red row + its debug twin (verdict-r5 ask #1) --
+    "q92_interval_join": q92,
+    "q92b_interval_join_bounds": q92b,
+    # -- pinned high-risk families --
     "q66_semantic_dedup": q66,
     "q71_dup_components": q71,
     "q78_minhash_accuracy": q78,
@@ -2562,10 +2589,50 @@ QUERIES = {
     "q83_pagerank": q83,
     "q84_pq_adc_audit": q84,
     "q87_funnel": q87,
-    "q92_interval_join": q92,
     "tpch_q1": TPCH_QUERIES["tpch_q1"],
     "tpch_q18": TPCH_QUERIES["tpch_q18"],
     "tpch_q21": TPCH_QUERIES["tpch_q21"],
+    # -- round-6 fresh rotation: never driver-checked before --
+    "q48_sketch_stats": q48,
+    "q49_bpe_token_count": q49,
+    "q50_window_battery": q50,
+    "q51_string_battery": q51,
+    "q52_null_datetime_battery": q52,
+    "q53_in_null_semantics": q53,
+    "q54_hash_split": q54,
+    "q55_per_source_cap": q55,
+    "q56_mixture_downsample": q56,
+    "q57_sequence_pack": q57,
+    "q58_moments_battery": q58,
+    "q59_kmv_distinct": q59,
+    "q60_repetition_stats": q60,
+    "q61_quality_flags": q61,
+    "q62_duplicate_spans": q62,
+    "q63_decontamination": q63,
+    "q64_tfidf_top_terms": q64,
+    "q65_kmeans_assign": q65,
+    "q67_doc_chunking": q67,
+    "q68_vocab_coverage": q68,
+    "q69_temperature_mixture": q69,
+    "q70_bigram_typicality": q70,
+    "q72_length_histogram": q72,
+    "q73_dsir_weights": q73,
+    "q74_typicality_buckets": q74,
+    "q75_line_dedup": q75,
+    "q76_weighted_sample": q76,
+    "q77_lateral_topk": q77,
+    "q79_token_diversity": q79,
+    "q80_length_zscore": q80,
+    "q81_bm25_search": q81,
+    "q85_collocations": q85,
+    "q86_asof_nearest": q86,
+    "q88_cohort_retention": q88,
+    "q89_scd2_intervals": q89,
+    "q90_bloom_fp_audit": q90,
+    "q91_salted_join": q91,
+    "q93_array_battery": q93,
+    # ---- end of the first-50 driver window ----
+    "q01_scan_project": q01,
     "q02_point_lookup": q02,
     "q03_range_filter": q03,
     "q04_inner_join": q04,
@@ -2615,44 +2682,6 @@ QUERIES = {
     "q45_scalar_subquery": q45,
     "q46_correlated_exists": q46,
     "q47_ngram_jaccard": q47,
-    "q48_sketch_stats": q48,
-    "q60_repetition_stats": q60,
-    "q61_quality_flags": q61,
-    "q62_duplicate_spans": q62,
-    "q63_decontamination": q63,
-    "q64_tfidf_top_terms": q64,
-    "q49_bpe_token_count": q49,
-    "q50_window_battery": q50,
-    "q51_string_battery": q51,
-    "q52_null_datetime_battery": q52,
-    "q53_in_null_semantics": q53,
-    "q54_hash_split": q54,
-    "q55_per_source_cap": q55,
-    "q56_mixture_downsample": q56,
-    "q57_sequence_pack": q57,
-    "q58_moments_battery": q58,
-    "q59_kmv_distinct": q59,
-    "q65_kmeans_assign": q65,
-    "q67_doc_chunking": q67,
-    "q68_vocab_coverage": q68,
-    "q69_temperature_mixture": q69,
-    "q70_bigram_typicality": q70,
-    "q72_length_histogram": q72,
-    "q73_dsir_weights": q73,
-    "q74_typicality_buckets": q74,
-    "q75_line_dedup": q75,
-    "q76_weighted_sample": q76,
-    "q77_lateral_topk": q77,
-    "q79_token_diversity": q79,
-    "q80_length_zscore": q80,
-    "q81_bm25_search": q81,
-    "q85_collocations": q85,
-    "q86_asof_nearest": q86,
-    "q88_cohort_retention": q88,
-    "q89_scd2_intervals": q89,
-    "q90_bloom_fp_audit": q90,
-    "q91_salted_join": q91,
-    "q93_array_battery": q93,
     "q94_multiset_ops": q94,
     "q95_regex_battery": q95,
     "q96_table_profile": q96,
