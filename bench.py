@@ -25,6 +25,32 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+# Fields allowed on the final stdout line.  The external driver
+# tail-captures only the LAST ~2,000 chars of stdout: round 4 printed
+# the full record (~20 KB) and round 5 still embedded the 133-key
+# `queries` map (3,801 chars) — BOTH came back `parsed: null`, losing
+# two rounds of external perf signal.  So the stdout line is SCALAR
+# SUMMARIES ONLY; every per-query map (steady, cold, spreads, deltas)
+# lives in BENCH_LOCAL.json.  Guarded by
+# tests/test_bench_contract.py::test_stdout_line_fits_driver_tail_window.
+_COMPACT_FIELDS = (
+    "metric", "value", "unit", "sf", "n_queries",
+    "query_sec_p50", "query_sec_p90", "query_sec_p99",
+    "value_cold", "fanout_posts", "fanout_sec",
+    "fanout_events_per_sec", "fanout_rel_spread",
+    "pipeline_sec", "pipeline_feed_rows",
+    "pipeline_events_per_sec", "pipeline_rel_spread",
+    "steady_runs_per_query", "load_1m_at_start",
+    "machine_idle_at_start", "query_rel_spread_p50",
+    "query_rel_spread_p90",
+)
+
+
+def compact_summary(result: dict) -> dict:
+    """The driver-facing stdout subset of a full bench record."""
+    return {k: result[k] for k in _COMPACT_FIELDS if k in result}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -242,28 +268,11 @@ def main() -> None:
     if runs > 1:
         prev_path.write_text(json.dumps(result, indent=1) + "\n")
 
-    # Driver output protocol: the harness tail-captures stdout, so the
-    # final line must be COMPACT — round 4's full record (four 133-key
-    # maps, ~20 KB) got head-truncated into `parsed: null`.  The stdout
-    # line carries the contract fields + scalar summaries only; the full
-    # per-query record (cold series, spreads, deltas) lives in
-    # BENCH_LOCAL.json.
-    compact = {
-        k: result[k]
-        for k in (
-            "metric", "value", "unit", "queries", "sf", "n_queries",
-            "query_sec_p50", "query_sec_p90", "query_sec_p99",
-            "value_cold", "fanout_posts", "fanout_sec",
-            "fanout_events_per_sec", "fanout_rel_spread",
-            "pipeline_sec", "pipeline_feed_rows",
-            "pipeline_events_per_sec", "pipeline_rel_spread",
-            "steady_runs_per_query", "load_1m_at_start",
-            "machine_idle_at_start", "query_rel_spread_p50",
-            "query_rel_spread_p90",
-        )
-    }
     sys.stdout.flush()
-    print(json.dumps(compact, separators=(",", ":")), flush=True)
+    print(
+        json.dumps(compact_summary(result), separators=(",", ":")),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
