@@ -27,10 +27,14 @@ Mechanics:
   renamer of the same source succeeds, so two waiters cannot both
   "break" the lock and then both acquire) and retries the atomic
   create.
-- release verifies the stored token still matches before unlinking: if
-  this holder's lease was taken over mid-run, releasing would otherwise
-  delete the NEW holder's lock; instead ``LockLost`` is raised so the
-  caller knows its critical section was not exclusive to the end.
+- release renames the lock to a holder-private name, verifies the
+  stored token on that pinned inode, and only then unlinks: if this
+  holder's lease was taken over mid-run, the successor's lock is
+  restored and ``LockLost`` is raised so the caller knows its critical
+  section was not exclusive to the end.
+- a holder that crashes BETWEEN the atomic create and the metadata
+  write leaves an empty lock file; waiters treat an unparseable lock
+  older than their grace period (the lease) as abandoned, via mtime.
 """
 
 from __future__ import annotations
@@ -85,7 +89,7 @@ def table_lock(
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            _maybe_take_over(path, token)
+            _maybe_take_over(path, token, grace_seconds=lease_seconds)
             if time.monotonic() >= deadline:
                 raise LockTimeout(
                     f"{path}: held for > {timeout_seconds}s"
@@ -100,11 +104,23 @@ def table_lock(
         break
     try:
         yield
-    finally:
+    except BaseException as primary:
+        # A LockLost raised by release must not REPLACE the critical
+        # section's own failure (the primary diagnostic); it is attached
+        # as a note instead (round-5 advice).
+        try:
+            _release(path, token)
+        except LockLost as lost:
+            if hasattr(primary, "add_note"):
+                primary.add_note(f"also: {lost}")
+        raise
+    else:
         _release(path, token)
 
 
-def _maybe_take_over(path: str, token: str) -> None:
+def _maybe_take_over(
+    path: str, token: str, grace_seconds: float = 300.0
+) -> None:
     """If the current lock's lease has expired, rename it aside (the
     single-winner break primitive) so the acquire loop can retry.
 
@@ -122,8 +138,22 @@ def _maybe_take_over(path: str, token: str) -> None:
         age = time.time() - float(meta.get("acquired_at", 0.0))
         lease = float(meta.get("lease_seconds", 0.0))
         expired_token = meta.get("token")
-    except (OSError, ValueError):
-        # mid-write or already gone; let the acquire loop retry
+    except ValueError:
+        # Unreadable metadata is EITHER a holder mid-write (empty file
+        # between O_EXCL create and os.write — fresh mtime, wait it out)
+        # OR a holder that crashed inside that window (the file stays
+        # unparseable forever; without this branch every future acquire
+        # would block until LockTimeout — round-5 advice).  The file's
+        # mtime is the only clock such a file carries: older than the
+        # waiter's grace period -> treat as abandoned and take over.
+        try:
+            if time.time() - os.stat(path).st_mtime <= grace_seconds:
+                return
+        except OSError:
+            return  # already gone; let the acquire loop retry
+        age, lease, expired_token = 1.0, 0.0, None
+    except OSError:
+        # already gone; let the acquire loop retry
         return
     if age <= lease:
         return
@@ -149,14 +179,46 @@ def _maybe_take_over(path: str, token: str) -> None:
 
 
 def _release(path: str, token: str) -> None:
+    """Token-verified release via rename-then-verify.
+
+    A plain read-check-unlink has a race: if the lease expires between
+    the token read and the unlink, a waiter can take over and acquire,
+    and the unlink then silently deletes the NEW holder's lock (round-5
+    advice).  Renaming the lock to a holder-private name FIRST pins the
+    exact inode being verified: the token check and the delete now
+    operate on the same file, so a live successor's lock can never be
+    unlinked by a stale holder — at worst it is renamed aside for one
+    beat and restored via the same ``os.link`` primitive the takeover
+    path uses (and if yet another waiter slipped in meanwhile, the link
+    fails and BOTH displaced holders see LockLost at their own release —
+    detected, never silent)."""
+    mine = f"{path}.rel.{token}"
     try:
-        with open(path, "r") as f:
+        os.rename(path, mine)
+    except OSError:
+        # lock gone entirely: taken over AND released/re-broken
+        raise LockLost(
+            f"{path}: lock file vanished while held; critical section "
+            "was not exclusive to the end"
+        ) from None
+    try:
+        with open(mine, "r") as f:
             holder = json.load(f).get("token")
     except (OSError, ValueError):
         holder = None
-    if holder != token:
-        raise LockLost(
-            f"{path}: lease was taken over while held (holder token "
-            f"{holder!r}); critical section was not exclusive to the end"
-        )
-    os.unlink(path)
+    if holder == token:
+        os.unlink(mine)
+        return
+    # We renamed a SUCCESSOR's live lock aside: restore it.
+    try:
+        os.link(mine, path)  # atomic: fails if a newer lock exists
+    except OSError:
+        pass
+    try:
+        os.unlink(mine)
+    except OSError:
+        pass
+    raise LockLost(
+        f"{path}: lease was taken over while held (holder token "
+        f"{holder!r}); critical section was not exclusive to the end"
+    )

@@ -238,9 +238,15 @@ def _ivf_centroids(
 
     from golang_cassandra_kafka_feed_spark.operators.dedup import _md5_32
 
+    # semanticHash covers the PLAN, not the data: the same parquet path
+    # appended/overwritten within one application would otherwise serve
+    # stale centroids (round-5 advice).  inputFiles() is driver-side
+    # scan metadata (no job), and Spark writers always emit fresh
+    # part-file names, so any append/overwrite changes the list.
     key = (
         c.sparkSession.sparkContext.applicationId,
         c.semanticHash(),
+        tuple(sorted(c.inputFiles())),
         n_cells,
     )
     if key in _IVF_CODEBOOKS:

@@ -97,6 +97,67 @@ def test_takeover_single_winner(tmp_path):
     assert not os.path.exists(_lock_path(base, "users"))
 
 
+def test_unparseable_stale_lock_is_taken_over(tmp_path):
+    """A holder that crashed between the O_EXCL create and the metadata
+    write leaves an empty lock file.  Waiters must not wait on it
+    forever: once its mtime is older than the waiter's lease (the grace
+    period), it is treated as abandoned (round-5 advice)."""
+    base = str(tmp_path)
+    path = _lock_path(base, "users")
+    with open(path, "w"):
+        pass  # empty: exactly what the crash window leaves behind
+    old = time.time() - 3600
+    os.utime(path, (old, old))
+    with table_lock(base, "users", lease_seconds=1.0, timeout_seconds=5):
+        with open(path) as f:
+            assert json.load(f)["token"]  # a real lock replaced the husk
+    assert not os.path.exists(path)
+
+
+def test_unparseable_fresh_lock_is_waited_on(tmp_path):
+    """An empty lock file with a FRESH mtime is a holder mid-write, not
+    a crash — takeover must NOT fire inside the grace period."""
+    base = str(tmp_path)
+    path = _lock_path(base, "users")
+    with open(path, "w"):
+        pass
+    with pytest.raises(LockTimeout):
+        with table_lock(
+            base, "users", lease_seconds=60, timeout_seconds=0.3
+        ):
+            pass
+    # the mid-write husk must still be there, untouched
+    assert os.path.exists(path) and os.path.getsize(path) == 0
+
+
+def test_release_of_vanished_lock_raises_lock_lost(tmp_path):
+    base = str(tmp_path)
+    cm = table_lock(base, "users")
+    cm.__enter__()
+    os.unlink(_lock_path(base, "users"))  # external breakage
+    with pytest.raises(LockLost):
+        cm.__exit__(None, None, None)
+
+
+def test_critical_section_error_not_masked_by_lock_lost(tmp_path):
+    """If the critical section itself raised, a LockLost from the
+    release must not REPLACE it (round-5 advice): the primary error
+    propagates, the lost lease rides along as a note."""
+    base = str(tmp_path)
+    path = _lock_path(base, "users")
+    with pytest.raises(ValueError, match="primary failure") as exc_info:
+        with table_lock(base, "users", lease_seconds=0.05):
+            time.sleep(0.1)
+            # simulate a takeover while held
+            os.unlink(path)
+            with open(path, "w") as f:
+                json.dump({"token": "someone-else"}, f)
+            raise ValueError("primary failure")
+    notes = getattr(exc_info.value, "__notes__", [])
+    assert any("taken over" in n for n in notes)
+    os.unlink(path)
+
+
 def test_concurrent_create_users_one_winner_per_username(spark, tmp_path):
     """The property the reference's LWT guarantees (feed.go:46-59):
     overlapping concurrent batches with colliding usernames yield
