@@ -94,6 +94,8 @@ def kmeans_assign(
     iters: int = DEFAULT_ITERS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Quantized Lloyd's k-means: returns (id, cluster_id, dist2).
 
@@ -112,10 +114,15 @@ def kmeans_assign(
     # q66 plans).  localCheckpoint stores the quantized ints once in
     # executor storage and truncates the lineage (measured: q65 steady
     # 1.83 -> 1.45 s, cold 8.4 -> 1.7 s at sf0.1).  Executor loss under
-    # local checkpoint fails-and-retries the job; swap for
-    # reliable-checkpoint (graph.py::_checkpoint pattern) on clusters
-    # where that tradeoff is wrong.
-    pts = pts.localCheckpoint(eager=True)
+    # local checkpoint fails-and-retries the job; ``reliable=True``
+    # swaps to durable parquet under ``checkpoint_dir``
+    # (graph.py::_checkpointer) for cluster jobs where that tradeoff is
+    # wrong.  Hashes are unchanged either way.
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        _checkpointer,
+    )
+
+    pts = _checkpointer(pts, reliable, checkpoint_dir)(pts)
 
     # init = the k SMALLEST ids, selected by rank, not by `id < k`:
     # the filter form silently seeds fewer (or zero) centroids whenever
@@ -186,6 +193,8 @@ def semantic_dedup_pairs(
     cluster_cap: int = DEFAULT_CLUSTER_CAP,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup: near-duplicate pairs *within* k-means clusters.
 
@@ -209,7 +218,10 @@ def semantic_dedup_pairs(
     are joined back per side from the raw quantized scan, with each
     side's norm computed once per id, not once per pair.
     """
-    assigned = kmeans_assign(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = kmeans_assign(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        reliable=reliable, checkpoint_dir=checkpoint_dir,
+    )
     pair_ids = (
         assigned.groupBy("cluster_id")
         .agg(
@@ -228,7 +240,11 @@ def semantic_dedup_pairs(
     # Both pair sides (a/b below) reference this frame; materialize once
     # (same idiom as kmeans_assign's pts) so the quantize/norm pass and
     # parquet scan don't run per side (q66 cold 11.9 -> 4.6 s at sf0.1).
-    pts = pts.localCheckpoint(eager=True)
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        _checkpointer,
+    )
+
+    pts = _checkpointer(pts, reliable, checkpoint_dir)(pts)
     a = pts.select(
         F.col("__id").alias("keep_id"),
         F.col("__q").alias("__qa"),

@@ -362,11 +362,24 @@ def minhash_near_duplicates(
     hasher: str = "xxhash",
     max_bucket_width: int = MAX_BUCKET_WIDTH,
     width_observation: Observation | None = None,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard over shingle sets —
     false positives from banding are filtered, so the output depends on
     the threshold only (plus LSH recall; raise ``bands`` for higher
-    recall at lower thresholds)."""
+    recall at lower thresholds).
+
+    ``reliable=True`` swaps the shingle-set materialization from
+    executor-memory ``localCheckpoint`` (lost on executor failure —
+    fine on local[n]) to durable parquet under ``checkpoint_dir``
+    (graph.py::_checkpointer), the mode for multi-hour cluster dedup
+    jobs that must survive executor loss.  Hashes are unchanged either
+    way — only where the materialized frame lives."""
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        _checkpointer,
+    )
+
     cands = minhash_lsh_candidates(
         df,
         text_col,
@@ -386,7 +399,9 @@ def minhash_near_duplicates(
     # extraction once (iterative/multi-reference persist idiom; q37 cold
     # 13.4 -> 2.7 s, steady -9% at sf0.1).  Executor storage holds one
     # shingle array per doc, the same volume the two joins move anyway.
-    shingle_sets = shingle_sets.localCheckpoint(eager=True)
+    shingle_sets = _checkpointer(shingle_sets, reliable, checkpoint_dir)(
+        shingle_sets
+    )
     return (
         cands.join(
             shingle_sets.select(
@@ -418,6 +433,8 @@ def minhash_accuracy_audit(
     bands: int = 16,
     shingle_size: int = 3,
     max_bucket_width: int = MAX_BUCKET_WIDTH,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Sketch-accuracy audit of the MinHash mechanism itself: for every
     LSH-candidate pair, the signature-agreement Jaccard ESTIMATE
@@ -495,8 +512,13 @@ def minhash_accuracy_audit(
         F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
     )
     # same double-reference as minhash_near_duplicates' verify sides:
-    # materialize the shingle extraction once.
-    sets = sets.localCheckpoint(eager=True)
+    # materialize the shingle extraction once (durable parquet instead
+    # of executor memory when reliable=True — graph.py::_checkpointer).
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        _checkpointer,
+    )
+
+    sets = _checkpointer(sets, reliable, checkpoint_dir)(sets)
     joined = pairs.join(
         sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",
