@@ -108,6 +108,9 @@ def decode_bmp(raw: bytes) -> tuple[int, int, bytes]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _BPP = 3  # bytes per pixel for color type 2 at bit depth 8
+# Decode ceiling (~64 MP RGB): far above any corpus thumbnail, far
+# below what a crafted header + DEFLATE bomb could demand per row.
+_PNG_MAX_DECODED_BYTES = 256 * 1024 * 1024
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -279,15 +282,27 @@ def decode_png(raw: bytes) -> tuple[int, int, bytes]:
         raise MediaFormatError("missing IEND chunk")
     if not idat:
         raise MediaFormatError("missing IDAT chunk")
+    stride = 1 + width * _BPP
+    expected = stride * height
+    # Decompression-bomb guard: payloads are untrusted corpus bytes and
+    # DEFLATE expands >1000:1, so (a) refuse headers claiming absurd
+    # pixel counts before allocating, (b) inflate with a hard output
+    # bound instead of trusting the stream to stop at the header's size.
+    if expected > _PNG_MAX_DECODED_BYTES:
+        raise MediaFormatError(
+            f"image {width}x{height} exceeds the decode limit "
+            f"({expected} > {_PNG_MAX_DECODED_BYTES} bytes)"
+        )
     try:
-        scan = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        scan = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise MediaFormatError(f"bad IDAT zlib stream: {e}") from None
-    stride = 1 + width * _BPP
-    if len(scan) != stride * height:
+    if len(scan) != expected or not d.eof:
         raise MediaFormatError(
-            f"scanline data is {len(scan)} bytes, expected "
-            f"{stride * height}"
+            f"scanline data is {len(scan)} bytes "
+            f"({'unterminated' if not d.eof else 'complete'}), "
+            f"expected exactly {expected}"
         )
     out = bytearray()
     prior = bytes(width * _BPP)

@@ -196,3 +196,41 @@ def test_png_negative_paths_exact():
     # not a PNG at all
     with pytest.raises(MediaFormatError, match="signature"):
         decode_png(b"GIF89a")
+
+
+def test_png_decompression_bombs_rejected():
+    """Untrusted corpus bytes: a crafted header must be rejected BEFORE
+    allocation, and an IDAT stream inflating past the header's claimed
+    size must stop at the bound (DEFLATE expands >1000:1)."""
+    import struct as _s
+    import zlib as _z
+
+    import pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        _PNG_SIG,
+        MediaFormatError,
+        _png_chunk,
+    )
+
+    # absurd claimed dimensions, tiny actual stream
+    ihdr = _s.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaFormatError, match="decode limit"):
+        decode_png(bomb)
+
+    # small claimed dimensions, oversize actual stream
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 1000))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaFormatError, match="expected exactly"):
+        decode_png(bomb)
