@@ -1,3 +1,6 @@
+from golang_cassandra_kafka_feed_spark.streaming.ingest import (
+    dedup_documents_stream,
+)
 from golang_cassandra_kafka_feed_spark.streaming.fanout import (
     decode_post_events,
     deduped_post_stream,
@@ -15,6 +18,7 @@ from golang_cassandra_kafka_feed_spark.streaming.windows import (
 
 __all__ = [
     "decode_post_events",
+    "dedup_documents_stream",
     "deduped_post_stream",
     "fanout_stream",
     "fanout_stream_stream",
