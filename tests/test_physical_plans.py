@@ -69,6 +69,23 @@ def test_declared_queries_have_no_python_udfs(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_declared_queries_emit_no_decimal_outputs(spark, sf_dir):
+    """Spark-side twin of tests/test_oracle_dtypes.py (the q92 HUGEINT
+    lesson): a DecimalType OUTPUT column stringifies with trailing
+    scale zeros (Decimal('1.50') vs the oracle double's '1.5'), so a
+    fetch-path-sensitive hash divergence can hide in it.  Decimals are
+    an internal accumulation idiom (_dec_sum) and must always leave
+    the plan through a terminal double cast."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString().startswith("decimal")
+        ]
+        assert not bad, f"{name} emits decimal output columns: {bad}"
+
+
 def test_get_feed_prunes_user_bucket_partitions(spark, tmp_path):
     """The feed sink is partitioned by user_bucket; a single-user read
     must carry a PartitionFilters entry (the per-user Cassandra partition
