@@ -1894,12 +1894,21 @@ def q89(spark, sf_dir):
     out = scd2_intervals(
         ev, key_cols=["user_id"], ts_col="ts", tie_cols=["event_id"]
     )
+    # The ONLY declared query with timestamp OUTPUT columns, so it is
+    # the first-of-class for the driver's value compare (the q92
+    # lesson).  Emit TIMESTAMP_NTZ: plain TIMESTAMP (LTZ) is converted
+    # to the COLLECTING PYTHON PROCESS's local timezone by
+    # TimestampType.fromInternal, so a non-UTC driver host would shift
+    # every Spark value while DuckDB's naive TIMESTAMP stays as
+    # written.  Under the UTC session pin the NTZ wall time equals the
+    # parquet value, and NTZ collects process-tz-independently.
+    ntz = lambda c: F.col(c).cast("timestamp_ntz").alias(c)  # noqa: E731
     return out.select(
         "user_id",
         "event_id",
         _round2(F.col("value")).alias("value"),
-        "valid_from",
-        "valid_to",
+        ntz("valid_from"),
+        ntz("valid_to"),
         "is_current",
     ).orderBy("user_id", "valid_from", "event_id")
 

@@ -86,6 +86,50 @@ def test_declared_queries_emit_no_decimal_outputs(spark, sf_dir):
         assert not bad, f"{name} emits decimal output columns: {bad}"
 
 
+def test_declared_queries_emit_no_ltz_timestamp_outputs(spark, sf_dir):
+    """Plain TIMESTAMP (LTZ) output columns are converted to the
+    COLLECTING Python process's LOCAL timezone by
+    TimestampType.fromInternal, so a non-UTC driver host shifts every
+    Spark value while the DuckDB oracle's naive TIMESTAMP stays as
+    written — a guaranteed hash-fail that no UTC-host test can see
+    (proven: a New-York-TZ process collects '2024-01-01 12:00' LTZ as
+    07:00, NTZ as 12:00).  Timestamp outputs must be TIMESTAMP_NTZ
+    (q89 is the one carrier today)."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "timestamp"
+        ]
+        assert not bad, (
+            f"{name} emits process-tz-dependent TIMESTAMP (LTZ) "
+            f"columns (cast to timestamp_ntz): {bad}"
+        )
+
+
+def test_q89_timestamps_collect_process_tz_independently(spark, sf_dir):
+    """End-to-end: collecting q89 from a non-UTC Python process yields
+    the same wall-clock values as from a UTC one."""
+    import os
+    import time as _time
+
+    df = QUERIES["q89_scd2_intervals"](spark, sf_dir).limit(20)
+    utc_rows = [(r.valid_from, r.valid_to) for r in df.collect()]
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        ny_rows = [(r.valid_from, r.valid_to) for r in df.collect()]
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()
+    assert ny_rows == utc_rows
+
+
 def test_get_feed_prunes_user_bucket_partitions(spark, tmp_path):
     """The feed sink is partitioned by user_bucket; a single-user read
     must carry a PartitionFilters entry (the per-user Cassandra partition
