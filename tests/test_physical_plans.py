@@ -69,43 +69,38 @@ def test_declared_queries_have_no_python_udfs(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
 
 
-def test_declared_queries_emit_no_decimal_outputs(spark, sf_dir):
+def test_declared_queries_emit_no_fetch_sensitive_output_types(
+    spark, sf_dir
+):
     """Spark-side twin of tests/test_oracle_dtypes.py (the q92 HUGEINT
-    lesson): a DecimalType OUTPUT column stringifies with trailing
-    scale zeros (Decimal('1.50') vs the oracle double's '1.5'), so a
-    fetch-path-sensitive hash divergence can hide in it.  Decimals are
-    an internal accumulation idiom (_dec_sum) and must always leave
-    the plan through a terminal double cast."""
+    lesson), one registry pass for both banned classes:
+
+    - DecimalType outputs stringify with trailing scale zeros
+      (Decimal('1.50') vs the oracle double's '1.5') — decimals are an
+      internal accumulation idiom (_dec_sum) and must leave the plan
+      through a terminal double cast.
+    - plain TIMESTAMP (LTZ) outputs are converted to the COLLECTING
+      Python process's LOCAL timezone (TimestampType.fromInternal), so
+      a non-UTC driver host shifts every Spark value while the DuckDB
+      oracle's naive TIMESTAMP stays as written — a hash-fail no
+      UTC-host test can see (proven: a New-York-TZ process collects a
+      12:00 LTZ literal as 07:00, NTZ as 12:00).  Timestamp outputs
+      must be TIMESTAMP_NTZ (q89 is the one carrier today)."""
+    offenders = {}
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         bad = [
-            f.name
+            (f.name, f.dataType.simpleString())
             for f in df.schema.fields
             if f.dataType.simpleString().startswith("decimal")
+            or f.dataType.simpleString() == "timestamp"
         ]
-        assert not bad, f"{name} emits decimal output columns: {bad}"
-
-
-def test_declared_queries_emit_no_ltz_timestamp_outputs(spark, sf_dir):
-    """Plain TIMESTAMP (LTZ) output columns are converted to the
-    COLLECTING Python process's LOCAL timezone by
-    TimestampType.fromInternal, so a non-UTC driver host shifts every
-    Spark value while the DuckDB oracle's naive TIMESTAMP stays as
-    written — a guaranteed hash-fail that no UTC-host test can see
-    (proven: a New-York-TZ process collects '2024-01-01 12:00' LTZ as
-    07:00, NTZ as 12:00).  Timestamp outputs must be TIMESTAMP_NTZ
-    (q89 is the one carrier today)."""
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        bad = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.simpleString() == "timestamp"
-        ]
-        assert not bad, (
-            f"{name} emits process-tz-dependent TIMESTAMP (LTZ) "
-            f"columns (cast to timestamp_ntz): {bad}"
-        )
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "fetch-path-sensitive output columns (cast decimals to double, "
+        f"LTZ timestamps to timestamp_ntz): {offenders}"
+    )
 
 
 def test_q89_timestamps_collect_process_tz_independently(spark, sf_dir):
