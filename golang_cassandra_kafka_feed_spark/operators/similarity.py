@@ -230,7 +230,8 @@ def _ivf_centroids(
     """Materialize the n_cells deterministic centroids of ``c`` (columns
     ``vec_id``, ``e``) driver-side — a bounded collect, same precedent as
     the Bloom bit-set (sketches.py) — memoized on the corpus plan's
-    semantic hash.  Norms are pre-folded in Python in the identical
+    semantic hash plus its input file list (so a same-path
+    append/overwrite within one application invalidates the memo).  Norms are pre-folded in Python in the identical
     left-fold order as ``_norm``'s F.aggregate (binary64 adds +
     ``math.sqrt`` match the JVM op-for-op), so downstream cosines are
     bit-identical to an in-plan computation."""

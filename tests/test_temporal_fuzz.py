@@ -29,7 +29,10 @@ observable order ends in a unique key.
 Seeded and deterministic: SPARK_GRAFT_TFUZZ_SEED /
 SPARK_GRAFT_TFUZZ_CASES reproduce any failure; divergence reports
 carry the offending SQL.  Round-6 soak record: seeds 20260815 x 1000,
-20260816 x 1000 — zero divergences.
+20260816 x 1000 (7-kind grammar), then 20260818 x 1000,
+20260819 x 1000 (full 10-kind grammar incl. as-of state
+reconstruction, overlap-duration aggregation, daily session buckets)
+— zero divergences.
 """
 
 from __future__ import annotations
@@ -312,6 +315,65 @@ def _q_session_pairs(rng: random.Random) -> str:
     """
 
 
+def _q_state_asof(rng: random.Random) -> str:
+    """Warehouse AS-OF reconstruction: every user's in-effect SCD2 row
+    at one random instant T (half-open validity), T drawn near the data
+    range so boundary-equal probes occur."""
+    scd, _ = _scd2_cte(rng)
+    t_us = _BASE_US + rng.randrange(0, 3_700_000_000)
+    t_us -= t_us % rng.choice([1, 1000, 1_000_000])
+    t = _us_to_dt(t_us).strftime("%Y-%m-%d %H:%M:%S.%f")
+    return f"""
+    WITH {scd}
+    SELECT user_id, event_id, value
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{t}'
+      AND TIMESTAMP '{t}' < valid_to
+    ORDER BY user_id, event_id
+    """
+
+
+def _q_overlap_duration(rng: random.Random) -> str:
+    """Session x history overlap LENGTH aggregation: greatest/least on
+    the BIGINT twins (the engines' timestamp greatest/least stay
+    un-exercised on purpose — duration arithmetic belongs on the
+    portable integers), summed per session with the mandatory cast."""
+    gap = rng.choice(_GAPS_MS)
+    scd, _ = _scd2_cte(rng)
+    return f"""
+    WITH {_sessions_cte(gap)}, {scd}
+    SELECT s.user_id, s.session_id,
+           CAST(sum(
+               CASE WHEN s.s_end_us < h.valid_to_us
+                    THEN s.s_end_us ELSE h.valid_to_us END
+             - CASE WHEN s.s_start_us > h.valid_from_us
+                    THEN s.s_start_us ELSE h.valid_from_us END
+           ) AS BIGINT) AS overlap_us
+    FROM sess s JOIN hist h
+      ON s.user_id = h.user_id
+     AND s.s_start <= h.valid_to AND h.valid_from <= s.s_end
+    GROUP BY s.user_id, s.session_id
+    ORDER BY s.user_id, s.session_id
+    """
+
+
+def _q_daily_sessions(rng: random.Random) -> str:
+    """Sessions bucketed to the calendar day they START (DATE_TRUNC is
+    in the proven portable intersection): counts + the longest session
+    per (user, day)."""
+    gap = rng.choice(_GAPS_MS)
+    return f"""
+    WITH {_sessions_cte(gap)}
+    SELECT user_id,
+           CAST(DATE_TRUNC('day', s_start) AS DATE) AS day,
+           count(*) AS n_sessions,
+           CAST(max(s_end_us - s_start_us) AS BIGINT) AS longest_us
+    FROM sess
+    GROUP BY user_id, CAST(DATE_TRUNC('day', s_start) AS DATE)
+    ORDER BY user_id, day
+    """
+
+
 _KINDS = [
     _q_session_rollup,
     _q_session_stats,
@@ -320,6 +382,9 @@ _KINDS = [
     _q_asof,
     _q_interevent,
     _q_session_pairs,
+    _q_state_asof,
+    _q_overlap_duration,
+    _q_daily_sessions,
 ]
 
 
