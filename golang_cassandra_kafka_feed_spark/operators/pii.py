@@ -1,0 +1,73 @@
+"""Corpus-scale PII detection and redaction.
+
+The reference anonymizes PII in its LOG pipeline — emails, bearer
+tokens, UUID-shaped ids (internal/logger/logger.go:41-55, the op #26
+scalar in functions/scalars.py).  A training-data pipeline needs the
+same scrub at corpus scale, with an audit trail: per-document match
+counts for each PII class plus the redacted text, so a curation run
+can both clean and quantify.
+
+Everything is JVM-side regexp (codegen'd, no Python in the hot path),
+and every pattern stays in the Java-regex/RE2 portable intersection
+(character classes, bounded quantifiers, alternation — no lookaround,
+no backrefs) so the DuckDB oracle reproduces matches exactly.
+
+Scale shape: pure per-row projection — zero exchanges; at 100 TB this
+is embarrassingly parallel and bounded by scan + regex throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.functions.scalars import (
+    _EMAIL,
+    _UUID,
+)
+
+# Portable-intersection patterns (shared literally with the oracle).
+PII_EMAIL = _EMAIL
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"  # +CC-NNN-NNNN shape
+PII_URL = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
+PII_UUID = _UUID
+
+_CLASSES = [
+    ("email", PII_EMAIL, "[email]"),
+    ("phone", PII_PHONE, "[phone]"),
+    ("url", PII_URL, "[url]"),
+    ("uuid", PII_UUID, "[id]"),
+]
+
+
+def pii_counts(col: str | Column) -> list[Column]:
+    """One BIGINT match-count column per PII class (n_email, ...)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in _CLASSES
+    ]
+
+
+def pii_scrub(col: str | Column) -> Column:
+    """Chain of regexp_replace redactions over all PII classes (the
+    corpus-scale form of functions.scalars.anonymize).  Order matters
+    and is fixed: URLs can embed email-shaped userinfo, so emails are
+    redacted first, exactly as in the oracle twin."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in _CLASSES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_audit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_email, n_phone, n_url, n_uuid, redacted) per document."""
+    return df.select(
+        id_col,
+        *pii_counts(text_col),
+        pii_scrub(text_col).alias("redacted"),
+    )

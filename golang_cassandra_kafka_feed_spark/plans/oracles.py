@@ -2626,6 +2626,55 @@ ORACLES["q108_topk_with_ties"] = """
 """
 
 
+
+# q109: corpus-scale PII audit — patterns shared literally with
+# operators/pii.py (Java-regex/RE2 portable intersection); DuckDB
+# regexp_replace needs the explicit 'g' flag to match Spark's
+# replace-all; redaction order email -> phone -> url -> uuid is fixed
+# on both sides.
+ORACLES["q109_pii_audit"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               coalesce(text, '') || ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@example.com or admin@'
+               || source || '.org tel +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' see https://' || source || '.example.net/p/'
+               || CAST(doc_id % 7 AS VARCHAR) AS p
+        FROM documents
+    ), r AS (
+        SELECT doc_id, p,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(p,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '[email]', 'g'),
+                           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+                           '[phone]', 'g'),
+                       'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?',
+                       '[url]', 'g'),
+                   '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                   '[id]', 'g') AS redacted
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(p,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+               AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(p,
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', 0)) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(p,
+               'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?', 0))
+               AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(p,
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+               0)) AS BIGINT) AS n_uuid,
+           md5(redacted) AS redacted_md5
+    FROM r ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # ns -> us normalization for the newer event oracles.  The Spark read
 # path truncates events.ts to microseconds (sources/testdata.py:

@@ -2572,6 +2572,45 @@ def q108(spark, sf_dir):
     )
 
 
+def q109(spark, sf_dir):
+    """Corpus-scale PII audit + redaction (operators/pii.py) — the
+    reference's log-anonymization scrub (op #26,
+    internal/logger/logger.go:41-55) elevated to the documents table.
+    The synthetic corpus carries no natural PII, so the query PLANTS a
+    deterministic email / phone / URL per document from its own fields
+    (the param-sweep planted-corpus idiom) — both engines build the
+    same text, making the detection counts nonzero and the redaction
+    md5 a real cross-engine check of the regex semantics."""
+    from golang_cassandra_kafka_feed_spark.operators.pii import pii_audit
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin@"),
+            F.col("source"),
+            F.lit(".org tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" see https://"),
+            F.col("source"),
+            F.lit(".example.net/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    out = pii_audit(planted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_url",
+        "n_uuid",
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
 # this insertion-ordered registry.  Round-6 rotation (verdict-r5 ask
 # #3): q92 + its new bounds twin lead the window (the only red row
@@ -2706,6 +2745,7 @@ QUERIES = {
     "q106_trailing_wau": q106,
     "q107_wow_growth": q107,
     "q108_topk_with_ties": q108,
+    "q109_pii_audit": q109,
 }
 
 # TPC-H subset (shared-SQL: the same string is the Spark query AND the
