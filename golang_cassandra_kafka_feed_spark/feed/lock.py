@@ -146,6 +146,13 @@ def _maybe_take_over(
         # would block until LockTimeout — round-5 advice).  The file's
         # mtime is the only clock such a file carries: older than the
         # waiter's grace period -> treat as abandoned and take over.
+        # CAVEAT: this compares the waiter's time.time() against the
+        # lock FILESYSTEM's mtime — a shared-storage server clock more
+        # than grace_seconds behind the waiters could break a live
+        # mid-write lock.  The parseable path below has no such skew
+        # exposure (acquired_at is writer wall-clock, and writers and
+        # waiters are peer jobs); on storage with known skew, size
+        # lease_seconds above the skew bound.
         try:
             if time.time() - os.stat(path).st_mtime <= grace_seconds:
                 return

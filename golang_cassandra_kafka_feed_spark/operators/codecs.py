@@ -108,9 +108,12 @@ def decode_bmp(raw: bytes) -> tuple[int, int, bytes]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _BPP = 3  # bytes per pixel for color type 2 at bit depth 8
-# Decode ceiling (~64 MP RGB): far above any corpus thumbnail, far
-# below what a crafted header + DEFLATE bomb could demand per row.
-_PNG_MAX_DECODED_BYTES = 256 * 1024 * 1024
+# Decode ceiling, default ~21 MP RGB (a 4K photo is ~8.3 MP).  This is
+# a CPU bound as much as a memory bound: the per-byte Python unfilter
+# costs ~0.5 s per MP (measured), so the default caps one hostile-but-
+# valid payload at ~12 s; pass a smaller ``max_decoded_bytes`` to
+# decode_png for latency-sensitive stages.
+_PNG_MAX_DECODED_BYTES = 64 * 1024 * 1024
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -125,6 +128,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _predict(ftype: int, left: int, up: int, ul: int) -> int:
+    """The five spec predictors (one dispatch shared by filter and
+    unfilter, so encode/decode cannot drift)."""
+    if ftype == 0:
+        return 0
+    if ftype == 1:
+        return left
+    if ftype == 2:
+        return up
+    if ftype == 3:
+        return (left + up) // 2
+    if ftype == 4:
+        return _paeth(left, up, ul)
+    raise MediaFormatError(f"bad scanline filter type {ftype}")
+
+
 def _filter_scanline(
     ftype: int, raw: bytes, prior: bytes, width: int
 ) -> bytes:
@@ -132,23 +151,9 @@ def _filter_scanline(
     n = width * _BPP
     out = bytearray(n)
     for x in range(n):
-        cur = raw[x]
         left = raw[x - _BPP] if x >= _BPP else 0
-        up = prior[x]
         ul = prior[x - _BPP] if x >= _BPP else 0
-        if ftype == 0:
-            pred = 0
-        elif ftype == 1:
-            pred = left
-        elif ftype == 2:
-            pred = up
-        elif ftype == 3:
-            pred = (left + up) // 2
-        elif ftype == 4:
-            pred = _paeth(left, up, ul)
-        else:
-            raise ValueError(f"bad filter type {ftype}")
-        out[x] = (cur - pred) & 0xFF
+        out[x] = (raw[x] - _predict(ftype, left, prior[x], ul)) & 0xFF
     return bytes(out)
 
 
@@ -162,21 +167,8 @@ def _unfilter_scanline(
     out = bytearray(n)
     for x in range(n):
         left = out[x - _BPP] if x >= _BPP else 0
-        up = prior[x]
         ul = prior[x - _BPP] if x >= _BPP else 0
-        if ftype == 0:
-            pred = 0
-        elif ftype == 1:
-            pred = left
-        elif ftype == 2:
-            pred = up
-        elif ftype == 3:
-            pred = (left + up) // 2
-        elif ftype == 4:
-            pred = _paeth(left, up, ul)
-        else:
-            raise MediaFormatError(f"bad scanline filter type {ftype}")
-        out[x] = (filt[x] + pred) & 0xFF
+        out[x] = (filt[x] + _predict(ftype, left, prior[x], ul)) & 0xFF
     return bytes(out)
 
 
@@ -221,7 +213,9 @@ def encode_png(
     )
 
 
-def decode_png(raw: bytes) -> tuple[int, int, bytes]:
+def decode_png(
+    raw: bytes, max_decoded_bytes: int = _PNG_MAX_DECODED_BYTES
+) -> tuple[int, int, bytes]:
     """Decode a non-interlaced 8-bit truecolor (color type 2) PNG ->
     (width, height, top-down RGB bytes).
 
@@ -288,10 +282,10 @@ def decode_png(raw: bytes) -> tuple[int, int, bytes]:
     # DEFLATE expands >1000:1, so (a) refuse headers claiming absurd
     # pixel counts before allocating, (b) inflate with a hard output
     # bound instead of trusting the stream to stop at the header's size.
-    if expected > _PNG_MAX_DECODED_BYTES:
+    if expected > max_decoded_bytes:
         raise MediaFormatError(
             f"image {width}x{height} exceeds the decode limit "
-            f"({expected} > {_PNG_MAX_DECODED_BYTES} bytes)"
+            f"({expected} > {max_decoded_bytes} bytes)"
         )
     try:
         d = zlib.decompressobj()

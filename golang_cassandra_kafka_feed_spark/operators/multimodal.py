@@ -109,8 +109,11 @@ def decode_media(
     decoder (streaming/fanout.py).
 
     Scale shape: identical to ``fake_feature_extract`` — a narrow
-    mapInPandas stage, no shuffle; peak memory bounded by the Arrow
-    batch size.
+    mapInPandas stage, no shuffle; peak memory is the Arrow batch plus
+    ONE decoded payload (for PNG that can exceed the encoded size by
+    the DEFLATE ratio — decode_png bounds it at 64 MB decoded, and
+    lowering that cap is the knob for latency-sensitive stages, since
+    the pure-Python unfilter also costs ~0.5 s per MP).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
@@ -130,12 +133,12 @@ def decode_media(
             try:
                 if ctype == "image/bmp":
                     w, h, rgb = decode_bmp(raw)
-                    vals = list(rgb)
+                    vals = rgb  # bytes iterate as ints — no 8x list blowup
                     scale = 255.0
                     meta = ("image", w, h, 0, 0)
                 elif ctype == "image/png":
                     w, h, rgb = decode_png(raw)
-                    vals = list(rgb)
+                    vals = rgb
                     scale = 255.0
                     meta = ("image", w, h, 0, 0)
                 elif ctype in ("audio/wav", "audio/x-wav"):

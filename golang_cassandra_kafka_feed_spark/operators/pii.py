@@ -27,21 +27,35 @@ from golang_cassandra_kafka_feed_spark.functions.scalars import (
 )
 
 # Portable-intersection patterns (shared literally with the oracle).
+# The URL pattern includes optional userinfo so a URL like
+# https://user@host.com/reset?x=1 is consumed WHOLE by the URL pass —
+# scheme, host, and the often-PII-dense path all go; without it the
+# email pass would eat just the userinfo and leave the rest standing.
 PII_EMAIL = _EMAIL
 PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"  # +CC-NNN-NNNN shape
-PII_URL = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
+PII_URL = (
+    r"https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
+)
 PII_UUID = _UUID
 
+# Detection-count column order (the q109 output contract).
 _CLASSES = [
     ("email", PII_EMAIL, "[email]"),
     ("phone", PII_PHONE, "[phone]"),
     ("url", PII_URL, "[url]"),
     ("uuid", PII_UUID, "[id]"),
 ]
+# Redaction order: URLs FIRST (they may embed email-shaped userinfo —
+# the whole URL must become one [url], not an [email] with the scheme
+# and path left standing), then the free-standing classes.
+_SCRUB_ORDER = ["url", "email", "phone", "uuid"]
 
 
 def pii_counts(col: str | Column) -> list[Column]:
-    """One BIGINT match-count column per PII class (n_email, ...)."""
+    """One BIGINT match-count column per PII class (n_email, ...),
+    each counted on the ORIGINAL text independently — a URL with
+    email-shaped userinfo contributes to BOTH n_email and n_url (it is
+    both, for audit purposes)."""
     c = F.col(col) if isinstance(col, str) else col
     return [
         F.size(F.regexp_extract_all(c, F.lit(pat), 0))
@@ -53,11 +67,12 @@ def pii_counts(col: str | Column) -> list[Column]:
 
 def pii_scrub(col: str | Column) -> Column:
     """Chain of regexp_replace redactions over all PII classes (the
-    corpus-scale form of functions.scalars.anonymize).  Order matters
-    and is fixed: URLs can embed email-shaped userinfo, so emails are
-    redacted first, exactly as in the oracle twin."""
+    corpus-scale form of functions.scalars.anonymize), in the fixed
+    ``_SCRUB_ORDER`` (URLs first), exactly as in the oracle twin."""
+    by_name = {name: (pat, token) for name, pat, token in _CLASSES}
     out = F.col(col) if isinstance(col, str) else col
-    for _, pat, token in _CLASSES:
+    for name in _SCRUB_ORDER:
+        pat, token = by_name[name]
         out = F.regexp_replace(out, pat, token)
     return out
 

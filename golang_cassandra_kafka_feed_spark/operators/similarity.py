@@ -208,20 +208,24 @@ def lsh_bucketed_topk(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
-# IVF codebook cache: (applicationId, corpus-plan semanticHash, n_cells)
+# IVF codebook cache: (applicationId, corpus-plan semanticHash, sorted
+# input-file tuple, n_cells)
 # -> list of (cell, Literal-array Column of the centroid vector,
 # centroid_norm).  The codebook is DERIVED INDEX STATE — a pure
 # deterministic function of the corpus plan and n_cells (md5-hash cells,
 # min-hash member per cell) — so computing it once per process is the IVF
 # build/search phase split every ANN system has, not a benchmark
-# shortcut; entries are n_cells small vectors (bounded).  The cached
+# shortcut; entries are n_cells small vectors, and the dict itself is
+# FIFO-capped (a long-lived application overwriting the same corpus
+# path would otherwise grow one entry per write).  The cached
 # Column objects hold JVM expression references, hence the applicationId
 # in the key (a restarted session invalidates them); caching the
 # CONSTRUCTED literals matters because building 16 x 64-double array
 # literals through py4j costs ~2 s per call otherwise.
 _IVF_CODEBOOKS: dict[
-    tuple[str, int, int], list[tuple[int, Column, float]]
+    tuple[str, int, tuple[str, ...], int], list[tuple[int, Column, float]]
 ] = {}
+_IVF_CODEBOOKS_MAX = 32
 
 
 def _ivf_centroids(
@@ -272,6 +276,8 @@ def _ivf_centroids(
             for r in rows
         )
     ]
+    while len(_IVF_CODEBOOKS) >= _IVF_CODEBOOKS_MAX:
+        _IVF_CODEBOOKS.pop(next(iter(_IVF_CODEBOOKS)))  # FIFO evict
     _IVF_CODEBOOKS[key] = cents
     return cents
 

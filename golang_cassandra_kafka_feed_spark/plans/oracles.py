@@ -2630,8 +2630,9 @@ ORACLES["q108_topk_with_ties"] = """
 # q109: corpus-scale PII audit — patterns shared literally with
 # operators/pii.py (Java-regex/RE2 portable intersection); DuckDB
 # regexp_replace needs the explicit 'g' flag to match Spark's
-# replace-all; redaction order email -> phone -> url -> uuid is fixed
-# on both sides.
+# replace-all; redaction order url -> email -> phone -> uuid is fixed
+# on both sides (URLs first: userinfo-bearing URLs must be consumed
+# whole).  Counts run on the original text per class.
 ORACLES["q109_pii_audit"] = r"""
     WITH t AS (
         SELECT doc_id,
@@ -2648,12 +2649,12 @@ ORACLES["q109_pii_audit"] = r"""
                    regexp_replace(
                        regexp_replace(
                            regexp_replace(p,
-                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                               '[email]', 'g'),
-                           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
-                           '[phone]', 'g'),
-                       'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?',
-                       '[url]', 'g'),
+                               'https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?',
+                               '[url]', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[email]', 'g'),
+                       '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+                       '[phone]', 'g'),
                    '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
                    '[id]', 'g') AS redacted
         FROM t
@@ -2665,8 +2666,8 @@ ORACLES["q109_pii_audit"] = r"""
            CAST(len(regexp_extract_all(p,
                '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', 0)) AS BIGINT) AS n_phone,
            CAST(len(regexp_extract_all(p,
-               'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?', 0))
-               AS BIGINT) AS n_url,
+               'https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?',
+               0)) AS BIGINT) AS n_url,
            CAST(len(regexp_extract_all(p,
                '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
                0)) AS BIGINT) AS n_uuid,

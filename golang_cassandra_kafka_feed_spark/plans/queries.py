@@ -2618,9 +2618,9 @@ def q109(spark, sf_dir):
 # (hash-idiom ANN composites, iterative fixpoints, funnel, heavy
 # shared-SQL TPC-H), and the remaining 38 slots take the q48–q93 tier —
 # keys that had NEVER been externally oracle-checked in rounds 1–5.
-# After this round, ever-driver-checked coverage reaches 99/134; the
-# final never-checked tier (q94–q108 + the 19 remaining TPC-H twins)
-# rotates in next round.  The displaced q01–q47 keys are all 1x–5x
+# After this round, ever-driver-checked coverage reaches 99/135; the
+# final never-checked tier (q94–q109 + the 19 remaining TPC-H twins,
+# 35 keys) rotates in next round.  The displaced q01–q47 keys are all 1x–5x
 # driver-green.  All keys remain registered and are swept by
 # scripts/driver_sim.py + pytest every round regardless of window.
 from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_QUERIES  # noqa: E402

@@ -23,10 +23,14 @@ Semantics and their batch relationship:
   redelivery window (hours), and let the periodic batch
   ``exact_dedup`` sweep own cross-horizon duplicates — the standard
   lambda split.
-- the hash is ``xxhash64`` of the raw text (one JVM expression, no
-  Python in the stream); pass ``normalize=True`` to collapse
-  case/whitespace first, the near-miss-tolerant admission used by
-  line-level dedup (same normalization shape as textstats tokens).
+- the hash is ``md5`` of the raw text (one JVM expression, no Python
+  in the stream).  128 bits, not xxhash64: at billions of documents a
+  64-bit birthday collision is EXPECTED (~50% by ~5B distinct docs)
+  and would silently drop a distinct document forever; at 128 bits the
+  same risk needs ~2^64 documents.  Pass ``normalize=True`` to
+  collapse case/whitespace first, the near-miss-tolerant admission
+  used by line-level dedup (same normalization shape as textstats
+  tokens).
 
 Reference tie: the reference's only dedup is key-level PK idempotency
 (internal/store/feed.go:46-59, cql:36); content-level admission is
@@ -52,16 +56,16 @@ def dedup_documents_stream(
     ``ts_col``).  Output: the input rows minus later same-content
     arrivals within the watermark horizon, original columns preserved.
 
-    Scale shape: one shuffle on the 64-bit content hash (the dedup
+    Scale shape: one shuffle on the 128-bit content hash (the dedup
     state is hash-partitioned); state per distinct document is one
-    store entry that the watermark reclaims.  The hash column is
-    dropped from the output but computed scan-side, so column pruning
-    still reaches the source for everything else.
+    32-char store entry that the watermark reclaims.  The hash column
+    is dropped from the output but computed scan-side, so column
+    pruning still reaches the source for everything else.
     """
     h = F.col(text_col)
     if normalize:
         h = F.trim(F.regexp_replace(F.lower(h), r"\s+", " "))
-    hashed = docs.withColumn("__content_hash", F.xxhash64(h))
+    hashed = docs.withColumn("__content_hash", F.md5(h))
     return (
         hashed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__content_hash"])

@@ -20,7 +20,7 @@ SAFETY_MARGIN = 100
 
 
 def _worst_case_record() -> dict:
-    # 200 registered queries (headroom over today's 134), worst-case
+    # 200 registered queries (headroom over today's 135), worst-case
     # key lengths and full-precision floats in every scalar field.
     queries = {
         f"q{i:03d}_{'x' * 30}": 123.456 for i in range(200)

@@ -36,11 +36,12 @@ def test_counts_and_redaction(spark):
     assert out[4].redacted == "id [id] here"
 
 
-def test_email_redacted_before_url_userinfo(spark):
-    """Fixed order: an email-shaped userinfo inside a URL is taken by
-    the email pass first (documented in pii_scrub), identically to the
-    oracle's nesting order."""
-    rows = [(1, "fetch https://user@host.com/path ok")]
+def test_userinfo_url_consumed_whole(spark):
+    """A URL with email-shaped userinfo is consumed WHOLE by the URL
+    pass (scheme, userinfo, host, and the PII-dense path all go); the
+    detection counts still see it as both an email and a URL."""
+    rows = [(1, "fetch https://user@host.com/reset/tok123 ok")]
     out = pii_audit(spark.createDataFrame(rows, _SCHEMA)).collect()[0]
-    assert out.n_email == 1
-    assert "[email]" in out.redacted
+    assert out.n_email == 1  # audit counts run on the original text
+    assert out.n_url == 1
+    assert out.redacted == "fetch [url] ok"
