@@ -27,14 +27,21 @@ from golang_cassandra_kafka_feed_spark.functions.scalars import (
 )
 
 # Portable-intersection patterns (shared literally with the oracle).
-# The URL pattern includes optional userinfo so a URL like
-# https://user@host.com/reset?x=1 is consumed WHOLE by the URL pass —
-# scheme, host, and the often-PII-dense path all go; without it the
-# email pass would eat just the userinfo and leave the rest standing.
+# The URL pattern covers optional userinfo, port, path, query string,
+# and fragment, so https://user@host.com/reset?token=abc#frag is
+# consumed WHOLE by the URL pass — scheme, host, and the PII-dense
+# query tail (session tokens, email= params) all go.  Without the
+# userinfo arm the email pass would eat just the userinfo and leave
+# the rest standing; without the query/fragment tail a ?token= suffix
+# would survive every pass (the round-6 gap).  The host must END on an
+# alphanumeric so trailing sentence punctuation ("see https://a.com.")
+# is not swallowed into the redaction.
 PII_EMAIL = _EMAIL
 PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"  # +CC-NNN-NNNN shape
 PII_URL = (
-    r"https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
+    r"https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]*[A-Za-z0-9]"
+    r"(:[0-9]+)?(/[A-Za-z0-9._/-]*)?"
+    r"(\?[A-Za-z0-9._%&=+-]*)?(#[A-Za-z0-9._%&=+-]*)?"
 )
 PII_UUID = _UUID
 

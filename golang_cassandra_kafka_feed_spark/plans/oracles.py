@@ -2627,13 +2627,23 @@ ORACLES["q108_topk_with_ties"] = """
 
 
 
-# q109: corpus-scale PII audit — patterns shared literally with
-# operators/pii.py (Java-regex/RE2 portable intersection); DuckDB
+# q109: corpus-scale PII audit — patterns interpolated from
+# operators/pii.py (Java-regex/RE2 portable intersection), so the
+# one-pattern-two-engines invariant is mechanical, not copy-paste
+# (the round-6 query-string gap lived exactly in that copy).  DuckDB
 # regexp_replace needs the explicit 'g' flag to match Spark's
 # replace-all; redaction order url -> email -> phone -> uuid is fixed
 # on both sides (URLs first: userinfo-bearing URLs must be consumed
-# whole).  Counts run on the original text per class.
-ORACLES["q109_pii_audit"] = r"""
+# whole, query/fragment tail included).  Counts run on the original
+# text per class.
+from golang_cassandra_kafka_feed_spark.operators.pii import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL,
+    PII_PHONE as _PII_PHONE,
+    PII_URL as _PII_URL,
+    PII_UUID as _PII_UUID,
+)
+
+ORACLES["q109_pii_audit"] = f"""
     WITH t AS (
         SELECT doc_id,
                coalesce(text, '') || ' contact user'
@@ -2641,7 +2651,8 @@ ORACLES["q109_pii_audit"] = r"""
                || source || '.org tel +1-555-'
                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                || ' see https://' || source || '.example.net/p/'
-               || CAST(doc_id % 7 AS VARCHAR) AS p
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '?token=tk' || CAST(doc_id % 97 AS VARCHAR) AS p
         FROM documents
     ), r AS (
         SELECT doc_id, p,
@@ -2649,30 +2660,102 @@ ORACLES["q109_pii_audit"] = r"""
                    regexp_replace(
                        regexp_replace(
                            regexp_replace(p,
-                               'https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?',
+                               '{_PII_URL}',
                                '[url]', 'g'),
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '{_PII_EMAIL}',
                            '[email]', 'g'),
-                       '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+                       '{_PII_PHONE}',
                        '[phone]', 'g'),
-                   '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                   '{_PII_UUID}',
                    '[id]', 'g') AS redacted
         FROM t
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(p,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+               '{_PII_EMAIL}', 0))
                AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(p,
-               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', 0)) AS BIGINT) AS n_phone,
+               '{_PII_PHONE}', 0)) AS BIGINT) AS n_phone,
            CAST(len(regexp_extract_all(p,
-               'https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?',
+               '{_PII_URL}',
                0)) AS BIGINT) AS n_url,
            CAST(len(regexp_extract_all(p,
-               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+               '{_PII_UUID}',
                0)) AS BIGINT) AS n_uuid,
            md5(redacted) AS redacted_md5
     FROM r ORDER BY doc_id
+"""
+
+
+# q110: incremental MinHash-LSH via the persisted band index — the
+# oracle recomputes the q37 mechanism from first principles over the
+# FULL corpus and keeps only delta-touching pairs (doc_id % 5 = 0 on
+# either side).  The Spark side answers from the stored index + a
+# delta-only signature pass; hash-equality here is the proof that the
+# incremental path emits exactly the full-run pair set (per-document
+# signatures are corpus-independent, and the width cap sees the same
+# union membership per bucket).
+ORACLES["q110_incremental_minhash"] = """
+    WITH toks AS (
+        SELECT doc_id, """ + _TOKS + """ AS toks FROM documents
+    ), sets AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(
+                                  list_slice(toks, i, i + 2), ' '))
+                 END) AS sh
+        FROM toks
+    ), shingles AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM sets
+    ), hv AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)
+                 % """ + str(MINHASH_P) + """ AS hb
+        FROM shingles
+    ), hashed AS (
+        SELECT doc_id, s.seed AS seed,
+               min((""" + _MH_A + """[s.seed + 1] * hb
+                    + """ + _MH_B + """[s.seed + 1])
+                   % """ + str(MINHASH_P) + """) AS mh
+        FROM hv, range(0, 64) s(seed)
+        GROUP BY doc_id, s.seed
+    ), sig AS (
+        SELECT doc_id, list(mh ORDER BY seed) AS sig
+        FROM hashed GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, b.band AS band,
+               array_to_string(
+                   list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                   ',') AS bucket
+        FROM sig, range(0, 16) b(band)
+    ), kept AS (
+        -- bucket-width cap: same """ + str(MAX_BUCKET_WIDTH) + """-smallest-ids
+        -- truncation the Spark index path applies per (band, bucket)
+        SELECT doc_id, band, bucket FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY band, bucket ORDER BY doc_id) AS brn
+            FROM banded
+        ) WHERE brn <= """ + str(MAX_BUCKET_WIDTH) + """
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               len(list_intersect(sa.sh, sb.sh))
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        FROM cand
+        JOIN sets sa ON sa.doc_id = id_a
+        JOIN sets sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
 """
 
 

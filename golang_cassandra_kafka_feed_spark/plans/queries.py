@@ -2580,7 +2580,10 @@ def q109(spark, sf_dir):
     deterministic email / phone / URL per document from its own fields
     (the param-sweep planted-corpus idiom) — both engines build the
     same text, making the detection counts nonzero and the redaction
-    md5 a real cross-engine check of the regex semantics."""
+    md5 a real cross-engine check of the regex semantics.  The planted
+    URL carries a ?token= query string so the redaction hash proves
+    the URL pass consumes the PII-dense query tail (the round-6
+    gap: the old pattern left ?token=... standing)."""
     from golang_cassandra_kafka_feed_spark.operators.pii import pii_audit
 
     d = _t(spark, sf_dir, "documents")
@@ -2598,6 +2601,8 @@ def q109(spark, sf_dir):
             F.col("source"),
             F.lit(".example.net/p/"),
             (F.col("doc_id") % 7).cast("string"),
+            F.lit("?token=tk"),
+            (F.col("doc_id") % 97).cast("string"),
         ).alias("text"),
     )
     out = pii_audit(planted)
@@ -2611,75 +2616,61 @@ def q109(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q110(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup via a PERSISTED band index
+    (operators/minhash_index.py) — the daily-crawl shape: the corpus
+    slice (doc_id % 5 != 0) is indexed once, then the delta slice
+    (doc_id % 5 == 0) is near-dup-checked against the stored index
+    WITHOUT re-signaturing the corpus.  md5 hasher, so the DuckDB twin
+    reproduces the signatures/buckets/pairs bit-for-bit; the oracle
+    computes the same delta-touching pair set from first principles
+    (the q37 mechanism twin + the delta membership filter), proving the
+    index path emits exactly what a full run would.  The index build is
+    part of the query here only to keep the key self-contained and
+    deterministic; the incremental-vs-full equivalence on a SPLIT
+    corpus (index A, delta B) is asserted in
+    tests/test_minhash_index.py.  Reference tie: CAS create-if-absent
+    (internal/store/feed.go:46-59) at content level."""
+    import hashlib
+
+    from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
+        build_minhash_index,
+        minhash_near_duplicates_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    idx = "/tmp/gckfs_q110_index_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:12]
+    build_minhash_index(corpus, idx, hasher="md5")
+    # jaccard is int/int division — IEEE-exact in both engines (q37
+    # precedent), so no rounding idiom is needed.
+    return minhash_near_duplicates_incremental(
+        delta, idx, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
-# this insertion-ordered registry.  Round-6 rotation (verdict-r5 ask
-# #3): q92 + its new bounds twin lead the window (the only red row
-# ever — pinned until driver-green), the high-risk families stay pinned
+# this insertion-ordered registry.  Round-7 rotation (verdict-r6 ask
+# #1): q92 + its bounds twin stay in front as regression sentinels
+# (one more round per the verdict's retire-after-two-green rule), the
+# 35 keys that have NEVER been externally driver-checked in rounds 1-6
+# (q94-q109 + the 19 TPC-H twins beyond q1/q18/q21) fill the fresh
+# tier, and the remaining 13 slots re-pin the high-risk families
 # (hash-idiom ANN composites, iterative fixpoints, funnel, heavy
-# shared-SQL TPC-H), and the remaining 38 slots take the q48–q93 tier —
-# keys that had NEVER been externally oracle-checked in rounds 1–5.
-# After this round, ever-driver-checked coverage reaches 99/135; the
-# final never-checked tier (q94–q109 + the 19 remaining TPC-H twins,
-# 35 keys) rotates in next round.  The displaced q01–q47 keys are all 1x–5x
-# driver-green.  All keys remain registered and are swept by
-# scripts/driver_sim.py + pytest every round regardless of window.
+# shared-SQL TPC-H, minhash/kmeans/bloom hash mechanisms).  After this
+# round every one of the registry's keys has been externally
+# driver-verified at least once (ever-checked 135/135).  The displaced
+# q01-q91 tier keys are all 1x+ driver-green.  All keys remain
+# registered and are swept by scripts/driver_sim.py + pytest every
+# round regardless of window.
 from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_QUERIES  # noqa: E402
 
-QUERIES = {
-    # -- the red row + its debug twin (verdict-r5 ask #1) --
-    "q92_interval_join": q92,
-    "q92b_interval_join_bounds": q92b,
-    # -- pinned high-risk families --
-    "q66_semantic_dedup": q66,
-    "q71_dup_components": q71,
-    "q78_minhash_accuracy": q78,
-    "q82_ann_rrf_fusion": q82,
-    "q83_pagerank": q83,
-    "q84_pq_adc_audit": q84,
-    "q87_funnel": q87,
-    "tpch_q1": TPCH_QUERIES["tpch_q1"],
-    "tpch_q18": TPCH_QUERIES["tpch_q18"],
-    "tpch_q21": TPCH_QUERIES["tpch_q21"],
-    # -- round-6 fresh rotation: never driver-checked before --
-    "q48_sketch_stats": q48,
-    "q49_bpe_token_count": q49,
-    "q50_window_battery": q50,
-    "q51_string_battery": q51,
-    "q52_null_datetime_battery": q52,
-    "q53_in_null_semantics": q53,
-    "q54_hash_split": q54,
-    "q55_per_source_cap": q55,
-    "q56_mixture_downsample": q56,
-    "q57_sequence_pack": q57,
-    "q58_moments_battery": q58,
-    "q59_kmv_distinct": q59,
-    "q60_repetition_stats": q60,
-    "q61_quality_flags": q61,
-    "q62_duplicate_spans": q62,
-    "q63_decontamination": q63,
-    "q64_tfidf_top_terms": q64,
-    "q65_kmeans_assign": q65,
-    "q67_doc_chunking": q67,
-    "q68_vocab_coverage": q68,
-    "q69_temperature_mixture": q69,
-    "q70_bigram_typicality": q70,
-    "q72_length_histogram": q72,
-    "q73_dsir_weights": q73,
-    "q74_typicality_buckets": q74,
-    "q75_line_dedup": q75,
-    "q76_weighted_sample": q76,
-    "q77_lateral_topk": q77,
-    "q79_token_diversity": q79,
-    "q80_length_zscore": q80,
-    "q81_bm25_search": q81,
-    "q85_collocations": q85,
-    "q86_asof_nearest": q86,
-    "q88_cohort_retention": q88,
-    "q89_scd2_intervals": q89,
-    "q90_bloom_fp_audit": q90,
-    "q91_salted_join": q91,
-    "q93_array_battery": q93,
-    # ---- end of the first-50 driver window ----
+# Full registry in stable numeric order (the post-window remainder
+# ordering); the driver window below is a reordering view of this.
+_REGISTRY = {
     "q01_scan_project": q01,
     "q02_point_lookup": q02,
     "q03_range_filter": q03,
@@ -2730,6 +2721,53 @@ QUERIES = {
     "q45_scalar_subquery": q45,
     "q46_correlated_exists": q46,
     "q47_ngram_jaccard": q47,
+    "q48_sketch_stats": q48,
+    "q49_bpe_token_count": q49,
+    "q50_window_battery": q50,
+    "q51_string_battery": q51,
+    "q52_null_datetime_battery": q52,
+    "q53_in_null_semantics": q53,
+    "q54_hash_split": q54,
+    "q55_per_source_cap": q55,
+    "q56_mixture_downsample": q56,
+    "q57_sequence_pack": q57,
+    "q58_moments_battery": q58,
+    "q59_kmv_distinct": q59,
+    "q60_repetition_stats": q60,
+    "q61_quality_flags": q61,
+    "q62_duplicate_spans": q62,
+    "q63_decontamination": q63,
+    "q64_tfidf_top_terms": q64,
+    "q65_kmeans_assign": q65,
+    "q66_semantic_dedup": q66,
+    "q67_doc_chunking": q67,
+    "q68_vocab_coverage": q68,
+    "q69_temperature_mixture": q69,
+    "q70_bigram_typicality": q70,
+    "q71_dup_components": q71,
+    "q72_length_histogram": q72,
+    "q73_dsir_weights": q73,
+    "q74_typicality_buckets": q74,
+    "q75_line_dedup": q75,
+    "q76_weighted_sample": q76,
+    "q77_lateral_topk": q77,
+    "q78_minhash_accuracy": q78,
+    "q79_token_diversity": q79,
+    "q80_length_zscore": q80,
+    "q81_bm25_search": q81,
+    "q82_ann_rrf_fusion": q82,
+    "q83_pagerank": q83,
+    "q84_pq_adc_audit": q84,
+    "q85_collocations": q85,
+    "q86_asof_nearest": q86,
+    "q87_funnel": q87,
+    "q88_cohort_retention": q88,
+    "q89_scd2_intervals": q89,
+    "q90_bloom_fp_audit": q90,
+    "q91_salted_join": q91,
+    "q92_interval_join": q92,
+    "q92b_interval_join_bounds": q92b,
+    "q93_array_battery": q93,
     "q94_multiset_ops": q94,
     "q95_regex_battery": q95,
     "q96_table_profile": q96,
@@ -2746,10 +2784,68 @@ QUERIES = {
     "q107_wow_growth": q107,
     "q108_topk_with_ties": q108,
     "q109_pii_audit": q109,
+    "q110_incremental_minhash": q110,
 }
+_REGISTRY.update(TPCH_QUERIES)
 
-# TPC-H subset (shared-SQL: the same string is the Spark query AND the
-# DuckDB oracle — see plans/tpch.py)
-from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_QUERIES  # noqa: E402
+# The round-7 driver window (first 50 keys): sentinels + the final
+# never-checked tier + the pinned high-risk families.
+_R7_WINDOW = [
+    # -- regression sentinels (kept one more green round, verdict #7) --
+    "q92_interval_join",
+    "q92b_interval_join_bounds",
+    # -- final fresh tier: never driver-checked in rounds 1-6 --
+    "q94_multiset_ops",
+    "q95_regex_battery",
+    "q96_table_profile",
+    "q97_quality_checks",
+    "q98_share_of_total",
+    "q99_mad_outliers",
+    "q100_markov_transitions",
+    "q101_rolling_median",
+    "q102_drawdown",
+    "q103_triangles",
+    "q104_time_to_convert",
+    "q105_interevent_gaps",
+    "q106_trailing_wau",
+    "q107_wow_growth",
+    "q108_topk_with_ties",
+    "q109_pii_audit",
+    "q110_incremental_minhash",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    # -- pinned high-risk families --
+    "q66_semantic_dedup",
+    "q71_dup_components",
+    "q78_minhash_accuracy",
+    "q82_ann_rrf_fusion",
+    "q83_pagerank",
+    "q84_pq_adc_audit",
+    "q87_funnel",
+    "tpch_q1",
+    "tpch_q18",
+    "tpch_q21",
+    "q37_minhash_lsh_neardup",
+    "q65_kmeans_assign",
+]
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 
-QUERIES.update(TPCH_QUERIES)
+QUERIES = {k: _REGISTRY[k] for k in _R7_WINDOW}
+QUERIES.update(_REGISTRY)

@@ -45,3 +45,43 @@ def test_userinfo_url_consumed_whole(spark):
     assert out.n_email == 1  # audit counts run on the original text
     assert out.n_url == 1
     assert out.redacted == "fetch [url] ok"
+
+
+def test_url_query_string_and_fragment_consumed(spark):
+    """The round-6 gap: a session token in the query string must not
+    survive redaction.  Ports and fragments go too; nothing PII-shaped
+    may remain in the redacted text."""
+    rows = [
+        (1, "reset https://host.com/reset?token=abc123 now"),
+        (2, "ref https://a.io/p?email=x%40y.io&u=7#frag-2 end"),
+        (3, "port http://h.example.org:8443/x?k=v done"),
+        (4, "bare https://h.net?sid=99 tail"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in pii_audit(spark.createDataFrame(rows, _SCHEMA)).collect()
+    }
+    assert out[1].redacted == "reset [url] now"
+    assert out[2].redacted == "ref [url] end"
+    assert out[3].redacted == "port [url] done"
+    assert out[4].redacted == "bare [url] tail"
+    for r in out.values():
+        assert "token" not in r.redacted
+        assert "email" not in r.redacted.replace("[email]", "")
+        assert r.n_url == 1
+
+
+def test_url_trailing_punctuation_preserved(spark):
+    """The host class ends on an alphanumeric, so sentence punctuation
+    after a URL survives redaction instead of being swallowed."""
+    rows = [
+        (1, "see https://a.com. Next sentence"),
+        (2, "really https://b.example.org/p/1, then more"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in pii_audit(spark.createDataFrame(rows, _SCHEMA)).collect()
+    }
+    assert out[1].redacted == "see [url]. Next sentence"
+    # path class includes '.' and '-' but not ','
+    assert out[2].redacted == "really [url], then more"
