@@ -272,6 +272,59 @@ def _minhash_per_seed(
     return hashed.groupBy("id", "seed").agg(F.min("h").alias("mh"))
 
 
+def banded_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    hasher: str = "xxhash",
+) -> DataFrame:
+    """(id, band, bucket) LSH band rows, pre-cap — the per-document
+    banding stage shared by the one-shot candidate pipeline and the
+    persistent index (minhash_index.py).  A document's rows depend only
+    on its OWN text and the parameters, never on the rest of the
+    corpus — the property that makes an incrementally-built index emit
+    exactly the rows a full rebuild would.
+
+    Bands aggregate directly at (id, band) granularity from the
+    (id, seed, mh) rows — NOT by slicing a materialized signature
+    array: a band transform over ``sig`` gets the signature expression
+    (array_sort over 64 structs) inlined into its lambda by
+    CollapseProject and re-evaluates it per band — 16x interpreted
+    re-evaluation, ~6s of pure overhead at sf0.1.
+
+    ``bucket`` is a STRING for both hashers (md5: the band's signature
+    slice joined as text — the DuckDB-portable key; xxhash: the band
+    hash cast to string) so index storage has one schema regardless of
+    hasher."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"bands ({bands}) — each band hashes num_hashes/bands rows"
+        )
+    r = num_hashes // bands
+    mh = _minhash_per_seed(df, text_col, id_col, num_hashes, shingle_size, hasher)
+    grouped = mh.groupBy(
+        "id", F.floor(F.col("seed") / r).cast("int").alias("band")
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm")
+    )
+    if hasher == "md5":
+        # Oracle-portable bucket key: the band's signature slice joined as
+        # a string — DuckDB groups on the identical array_to_string value.
+        # (The xxhash bucket below is narrower per row but has no twin.)
+        bucket = F.array_join(
+            F.transform("sm", lambda s: s["mh"].cast("string")), ","
+        )
+    else:
+        bucket = F.xxhash64(
+            F.transform("sm", lambda s: s["mh"]), F.col("band")
+        ).cast("string")
+    return grouped.select("id", "band", bucket.alias("bucket"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -307,31 +360,8 @@ def minhash_lsh_candidates(
       its smallest ids BEFORE the bucket list is collected — see
       ``MAX_BUCKET_WIDTH`` / ``_cap_bucket_width``.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into "
-            f"bands ({bands}) — each band hashes num_hashes/bands rows"
-        )
-    r = num_hashes // bands
-    mh = _minhash_per_seed(df, text_col, id_col, num_hashes, shingle_size, hasher)
-    grouped = mh.groupBy(
-        "id", F.floor(F.col("seed") / r).cast("int").alias("band")
-    ).agg(
-        F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm")
-    )
-    if hasher == "md5":
-        # Oracle-portable bucket key: the band's signature slice joined as
-        # a string — DuckDB groups on the identical array_to_string value.
-        # (The xxhash bucket below is narrower per row but has no twin.)
-        bucket = F.array_join(
-            F.transform("sm", lambda s: s["mh"].cast("string")), ","
-        )
-    else:
-        bucket = F.xxhash64(
-            F.transform("sm", lambda s: s["mh"]), F.col("band")
-        )
     banded = _cap_bucket_width(
-        grouped.select("id", "band", bucket.alias("bucket")),
+        banded_rows(df, text_col, id_col, num_hashes, bands, shingle_size, hasher),
         ["band", "bucket"],
         "id",
         max_bucket_width,

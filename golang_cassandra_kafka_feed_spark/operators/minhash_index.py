@@ -1,0 +1,279 @@
+"""Persistent MinHash-LSH index + delta-batch near-dup detection.
+
+``minhash_near_duplicates`` (dedup.py) re-signatures the FULL corpus on
+every run — the right shape for a one-shot dedup, the wrong one for a
+100 TB pipeline that ingests a new crawl batch daily and needs
+new-vs-corpus near-dups without re-hashing 100 TB.  This module
+persists the two per-document artifacts the banded algorithm needs —
+
+- ``bands/``:    (id, band, bucket, bucket_mod) LSH band rows, laid out
+  in ``bucket_mod`` partition directories so a delta batch that
+  collides with a subset of mods reads only those directories
+  (partition pruning against the delta's bucket list);
+- ``shingles/``: (id, sh) distinct shingle sets for the exact-Jaccard
+  verification stage;
+- ``meta/``:     the signature parameters, pinned at build time so an
+  append or delta run cannot silently mix incompatible signatures —
+
+and answers ``minhash_near_duplicates_incremental(new_docs, path)``:
+signature the DELTA ONLY, join its band rows against the stored index,
+and emit exactly the verified near-dup pairs a full re-run over
+(corpus + delta) would emit restricted to pairs touching the delta.
+That equivalence is exact, not approximate: a document's band rows and
+shingle set depend only on its own text and the pinned parameters
+(dedup.banded_rows), so the incremental candidate/verify stages see the
+same bucket memberships and the same Jaccard values as the full run
+(asserted in tests/test_minhash_index.py::test_split_equals_full).
+
+Reference tie: this is the CAS create-if-absent pattern
+(internal/store/feed.go:46-59) applied at content level — the index is
+the "existing usernames" side, the crawl batch the insert attempt.
+
+Scale shape (the daily-crawl cost): signature build over the BATCH
+only; one broadcast semi-join of the stored bands against the batch's
+distinct (band, bucket) keys — the index is scanned but never
+shuffled, and the ``bucket_mod`` layout prunes the scan itself; one
+shuffle of the surviving sliver + batch rows into bucket groups; a
+shingle-verify join that touches only candidate ids (semi-join pruned
+on the stored side).  Nothing is proportional to corpus size except
+the pruned index scan.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    MAX_BUCKET_WIDTH,
+    _cap_bucket_width,
+    _md5_32,
+    _shingles,
+    banded_rows,
+)
+
+_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket", T.StringType(), False),
+        T.StructField("bucket_mod", T.IntegerType(), True),
+    ]
+)
+_SHINGLES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("sh", T.ArrayType(T.StringType()), False),
+    ]
+)
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("num_hashes", T.IntegerType(), False),
+        T.StructField("bands", T.IntegerType(), False),
+        T.StructField("shingle_size", T.IntegerType(), False),
+        T.StructField("hasher", T.StringType(), False),
+        T.StructField("bucket_mods", T.IntegerType(), False),
+    ]
+)
+
+_BUCKET_MODS = 32
+
+
+def _p(path: str, part: str) -> str:
+    return posixpath.join(path, part)
+
+
+def _index_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    meta: dict,
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingles) frames for ``df`` under pinned parameters."""
+    bands = banded_rows(
+        df,
+        text_col,
+        id_col,
+        meta["num_hashes"],
+        meta["bands"],
+        meta["shingle_size"],
+        meta["hasher"],
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        "band",
+        "bucket",
+        F.pmod(_md5_32(F.col("bucket")), F.lit(meta["bucket_mods"]))
+        .cast("int")
+        .alias("bucket_mod"),
+    )
+    shingles = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_distinct(_shingles(text_col, meta["shingle_size"])).alias(
+            "sh"
+        ),
+    )
+    return bands, shingles
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    hasher: str = "xxhash",
+    bucket_mods: int = _BUCKET_MODS,
+) -> dict:
+    """Materialize the index for ``df`` at ``path`` (overwrite) and
+    return the pinned meta.  The heavy frames land as parquet; meta
+    goes through the same Spark writer (a 1-row json dataset) so the
+    index works on any Hadoop-visible filesystem without extra FS
+    plumbing."""
+    meta = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_size": shingle_size,
+        "hasher": hasher,
+        "bucket_mods": bucket_mods,
+    }
+    band_rows, shingle_rows = _index_rows(df, text_col, id_col, meta)
+    (
+        band_rows.write.mode("overwrite")
+        .partitionBy("bucket_mod")
+        .parquet(_p(path, "bands"))
+    )
+    shingle_rows.write.mode("overwrite").parquet(_p(path, "shingles"))
+    spark = df.sparkSession
+    spark.createDataFrame([tuple(meta.values())], _META_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").json(_p(path, "meta"))
+    return meta
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    row = (
+        spark.read.schema(_META_SCHEMA).json(_p(path, "meta")).head()
+    )
+    if row is None:
+        raise FileNotFoundError(f"no index meta under {path}")
+    return json.loads(json.dumps(row.asDict()))
+
+
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Signature ONLY the delta and append its band/shingle rows under
+    the index's pinned parameters — the daily-crawl admission write.
+    Caller contract: ids must be new (dedup/admission decided upstream,
+    e.g. by minhash_near_duplicates_incremental + policy); appending an
+    id twice would double its band rows."""
+    meta = read_index_meta(new_docs.sparkSession, path)
+    band_rows, shingle_rows = _index_rows(new_docs, text_col, id_col, meta)
+    (
+        band_rows.write.mode("append")
+        .partitionBy("bucket_mod")
+        .parquet(_p(path, "bands"))
+    )
+    shingle_rows.write.mode("append").parquet(_p(path, "shingles"))
+
+
+def minhash_near_duplicates_incremental(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+) -> DataFrame:
+    """Verified near-dup pairs (id_a, id_b, jaccard), id_a < id_b,
+    where AT LEAST ONE side is in ``new_docs`` — delta-vs-corpus and
+    delta-internal — computed without re-signaturing the corpus.
+
+    Equivalence to the full run: for buckets below the width cap the
+    result equals ``minhash_near_duplicates(corpus + delta)`` filtered
+    to delta-touching pairs (per-document band rows and shingle sets
+    are corpus-independent, and the width cap is applied to the UNION
+    of stored and delta membership per bucket — the same membership the
+    full run caps).  For buckets AT the cap the full run over a
+    different historical split may keep different smallest-ids; cap
+    semantics are per-run, documented not hidden.
+    """
+    spark = new_docs.sparkSession
+    meta = read_index_meta(spark, path)
+    delta_bands, delta_shingles = _index_rows(
+        new_docs, text_col, id_col, meta
+    )
+    stored_bands = spark.read.schema(_BANDS_SCHEMA).parquet(
+        _p(path, "bands")
+    )
+
+    # The delta's distinct bucket keys are small (batch-sized): broadcast
+    # them so the stored index is pruned by a semi-join with NO shuffle
+    # of the index — and carry bucket_mod so partition pruning can drop
+    # whole directories before the scan.
+    hot = delta_bands.select("bucket_mod", "band", "bucket").distinct()
+    relevant = stored_bands.join(
+        F.broadcast(hot), ["bucket_mod", "band", "bucket"], "left_semi"
+    )
+
+    members = relevant.withColumn("is_new", F.lit(False)).unionByName(
+        delta_bands.withColumn("is_new", F.lit(True))
+    )
+    # Width cap over the COMBINED membership — identical truncation to a
+    # full run whose bucket membership is the same union.
+    capped = _cap_bucket_width(
+        members, ["band", "bucket"], "id", max_bucket_width, None
+    )
+    buckets = (
+        capped.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "is_new")).alias("ms"))
+        .filter(
+            (F.size("ms") > 1)
+            & F.exists("ms", lambda m: m["is_new"])
+        )
+    )
+    cands = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    stored_shingles = spark.read.schema(_SHINGLES_SCHEMA).parquet(
+        _p(path, "shingles")
+    )
+    # Verification needs each candidate id's shingle set exactly once;
+    # delta ids resolve from the delta frame, corpus ids from the stored
+    # table pruned to candidate ids (semi-join — the corpus-sized side
+    # never fans out).
+    sets = stored_shingles.unionByName(delta_shingles)
+    return (
+        cands.join(
+            sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

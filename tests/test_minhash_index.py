@@ -1,0 +1,143 @@
+"""Persistent MinHash-LSH index (operators/minhash_index.py): the
+delta-run-equals-full-run contract on a split corpus, index append,
+meta pinning, and the no-corpus-rescan plan property."""
+
+from __future__ import annotations
+
+import pytest
+
+from golang_cassandra_kafka_feed_spark.operators.dedup import (
+    minhash_near_duplicates,
+)
+from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
+    append_to_minhash_index,
+    build_minhash_index,
+    minhash_near_duplicates_incremental,
+    read_index_meta,
+)
+
+_SCHEMA = "doc_id long, text string"
+
+
+def _corpus(spark, n=60, dup_every=4):
+    """Synthetic corpus with planted near-dup families: every
+    ``dup_every``-th doc is a light mutation of its family head, so
+    near-dup pairs exist both inside and across any id-based split."""
+    rows = []
+    for i in range(n):
+        fam = i - (i % dup_every)
+        base = (
+            f"the quick document {fam} talks about topic {fam % 7} "
+            f"with shared phrasing across its family members and "
+            f"enough tokens to shingle meaningfully {fam * 13}"
+        )
+        if i % dup_every == 0:
+            text = base
+        else:
+            text = base + f" variant tail {i % dup_every}"
+        rows.append((i, text))
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _pairs(df):
+    return {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("hasher", ["xxhash", "md5"])
+def test_split_equals_full(spark, tmp_path, hasher):
+    """index(A) + incremental(B) emits exactly the delta-touching slice
+    of a full run over A+B, and together with the A-only run it
+    reconstructs the full pair set."""
+    full = _corpus(spark)
+    a = full.filter("doc_id % 3 != 0")
+    b = full.filter("doc_id % 3 = 0")
+    idx = str(tmp_path / f"idx_{hasher}")
+
+    build_minhash_index(a, idx, hasher=hasher)
+    inc = _pairs(
+        minhash_near_duplicates_incremental(b, idx, threshold=0.5)
+    )
+
+    full_pairs = _pairs(
+        minhash_near_duplicates(full, threshold=0.5, hasher=hasher)
+    )
+    b_ids = {r.doc_id for r in b.select("doc_id").collect()}
+    expected_inc = {
+        p for p in full_pairs if p[0] in b_ids or p[1] in b_ids
+    }
+    assert inc == expected_inc
+    assert inc, "planted families must collide across the split"
+
+    a_only = _pairs(
+        minhash_near_duplicates(a, threshold=0.5, hasher=hasher)
+    )
+    assert a_only | inc == full_pairs
+
+
+def test_append_extends_the_index(spark, tmp_path):
+    """After appending the first delta, a SECOND delta near-dups
+    against corpus + first delta — the daily-crawl loop."""
+    full = _corpus(spark)
+    a = full.filter("doc_id % 3 = 1")
+    b = full.filter("doc_id % 3 = 2")
+    c = full.filter("doc_id % 3 = 0")
+    idx = str(tmp_path / "idx")
+
+    build_minhash_index(a, idx)
+    append_to_minhash_index(b, idx)
+    inc = _pairs(minhash_near_duplicates_incremental(c, idx, threshold=0.5))
+
+    full_pairs = _pairs(minhash_near_duplicates(full, threshold=0.5))
+    c_ids = {r.doc_id for r in c.select("doc_id").collect()}
+    assert inc == {
+        p for p in full_pairs if p[0] in c_ids or p[1] in c_ids
+    }
+    assert inc
+
+
+def test_meta_is_pinned_at_build_time(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_minhash_index(
+        _corpus(spark, n=12),
+        idx,
+        num_hashes=32,
+        bands=8,
+        shingle_size=2,
+        hasher="md5",
+    )
+    meta = read_index_meta(spark, idx)
+    assert meta["num_hashes"] == 32
+    assert meta["bands"] == 8
+    assert meta["shingle_size"] == 2
+    assert meta["hasher"] == "md5"
+    # append + incremental pick the pinned params up without being told
+    delta = spark.createDataFrame([(100, "short delta doc text")], _SCHEMA)
+    append_to_minhash_index(delta, idx)
+    assert (
+        minhash_near_duplicates_incremental(delta.limit(0), idx).count()
+        == 0
+    )
+
+
+def test_incremental_never_rescans_the_corpus_source(spark, tmp_path):
+    """The 100 TB property, asserted on the plan: the incremental
+    query's scans touch the INDEX parquet and the delta source only —
+    the corpus parquet path appears nowhere."""
+    corpus_path = str(tmp_path / "corpus_parquet")
+    _corpus(spark).filter("doc_id % 3 != 0").write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx)
+
+    delta = _corpus(spark).filter("doc_id % 3 = 0")
+    plan = minhash_near_duplicates_incremental(
+        delta, idx, threshold=0.5
+    )._sc._jvm.PythonSQLUtils.explainString(
+        minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+        ._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "corpus_parquet" not in plan
+    assert "bands" in plan and "shingles" in plan
