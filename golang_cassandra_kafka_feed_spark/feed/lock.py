@@ -105,14 +105,16 @@ def table_lock(
     try:
         yield
     except BaseException as primary:
-        # A LockLost raised by release must not REPLACE the critical
-        # section's own failure (the primary diagnostic); it is attached
-        # as a note instead (round-5 advice).
+        # NOTHING release raises may REPLACE the critical section's own
+        # failure (the primary diagnostic) — not LockLost, and not an
+        # incidental OSError from the unlink/link calls either (round-6
+        # advice widened the round-5 LockLost-only shield).  Any release
+        # failure is attached as a note instead.
         try:
             _release(path, token)
-        except LockLost as lost:
+        except BaseException as lost:  # noqa: BLE001 — see above
             if hasattr(primary, "add_note"):
-                primary.add_note(f"also: {lost}")
+                primary.add_note(f"also, releasing the lock: {lost!r}")
         raise
     else:
         _release(path, token)
@@ -175,14 +177,34 @@ def _maybe_take_over(
     except (OSError, ValueError):
         renamed_token = None
     if renamed_token is not None and renamed_token != expired_token:
-        try:
-            os.link(stale, path)  # atomic: fails if a new lock exists
-        except OSError:
-            pass
+        _restore(stale, path)
     try:
         os.unlink(stale)
     except OSError:
         pass
+
+
+def _restore(src: str, path: str) -> None:
+    """Put a mistakenly-renamed LIVE lock back at ``path``.
+
+    ``os.link`` is the preferred primitive: atomic, and fails with
+    EEXIST if yet another waiter already created a fresh lock (that
+    residual race is left to detect-at-release).  A NON-EEXIST link
+    failure means the primitive itself is unavailable (object stores
+    and some network filesystems have no hard links) — there, falling
+    through would delete the displaced holder's live lock outright;
+    instead restore by rename, which clobbers a just-created waiter
+    lock in the worst case (that waiter then detects the loss at its
+    own release — round-6 advice: strictly narrower than the delete)."""
+    try:
+        os.link(src, path)
+    except FileExistsError:
+        pass
+    except OSError:
+        try:
+            os.rename(src, path)
+        except OSError:
+            pass
 
 
 def _release(path: str, token: str) -> None:
@@ -216,11 +238,9 @@ def _release(path: str, token: str) -> None:
     if holder == token:
         os.unlink(mine)
         return
-    # We renamed a SUCCESSOR's live lock aside: restore it.
-    try:
-        os.link(mine, path)  # atomic: fails if a newer lock exists
-    except OSError:
-        pass
+    # We renamed a SUCCESSOR's live lock aside: restore it (EEXIST-aware
+    # with a rename fallback for no-hardlink filesystems — _restore).
+    _restore(mine, path)
     try:
         os.unlink(mine)
     except OSError:

@@ -246,6 +246,11 @@ def decode_png(
             raise MediaFormatError("first chunk is not IHDR")
         first = False
         if ctype == b"IHDR":
+            if width is not None:
+                # A second IHDR would silently redefine the geometry
+                # after IDAT data accumulated (round-6 advice) — the
+                # spec allows exactly one, as the first chunk.
+                raise MediaFormatError("duplicate IHDR chunk")
             if length != 13:
                 raise MediaFormatError(f"IHDR length {length} != 13")
             width, height, depth, color, comp, filt, interlace = (
@@ -297,6 +302,14 @@ def decode_png(
             f"scanline data is {len(scan)} bytes "
             f"({'unterminated' if not d.eof else 'complete'}), "
             f"expected exactly {expected}"
+        )
+    if d.unused_data:
+        # Bytes after the DEFLATE stream end inside the IDAT payload:
+        # well-formed encoders emit none; accepting them would decode
+        # malformed files as valid (round-6 advice).
+        raise MediaFormatError(
+            f"{len(d.unused_data)} trailing bytes after the zlib "
+            "stream end in IDAT"
         )
     out = bytearray()
     prior = bytes(width * _BPP)

@@ -235,7 +235,9 @@ def _ivf_centroids(
     ``vec_id``, ``e``) driver-side — a bounded collect, same precedent as
     the Bloom bit-set (sketches.py) — memoized on the corpus plan's
     semantic hash plus its input file list (so a same-path
-    append/overwrite within one application invalidates the memo).  Norms are pre-folded in Python in the identical
+    append/overwrite within one application invalidates the memo);
+    memoization applies ONLY to file-backed corpora — in-memory plans
+    have an empty inputFiles() and are re-collected every call.  Norms are pre-folded in Python in the identical
     left-fold order as ``_norm``'s F.aggregate (binary64 adds +
     ``math.sqrt`` match the JVM op-for-op), so downstream cosines are
     bit-identical to an in-plan computation."""
@@ -248,13 +250,21 @@ def _ivf_centroids(
     # stale centroids (round-5 advice).  inputFiles() is driver-side
     # scan metadata (no job), and Spark writers always emit fresh
     # part-file names, so any append/overwrite changes the list.
+    input_files = tuple(sorted(c.inputFiles()))
+    # For NON-file-based corpus plans (createDataFrame, in-memory
+    # views) inputFiles() is empty and the staleness component above is
+    # inert — there the memo would silently degrade to plan-hash-only
+    # keying (round-6 advice).  Such plans are cheap to re-collect and
+    # have no append/overwrite channel to guard, so skip memoization
+    # entirely: the cache guarantee is file-backed-corpus-only.
+    memoize = bool(input_files)
     key = (
         c.sparkSession.sparkContext.applicationId,
         c.semanticHash(),
-        tuple(sorted(c.inputFiles())),
+        input_files,
         n_cells,
     )
-    if key in _IVF_CODEBOOKS:
+    if memoize and key in _IVF_CODEBOOKS:
         return _IVF_CODEBOOKS[key]
     id_hash = _md5_32(F.col("vec_id").cast("string"))
     rows = (
@@ -276,9 +286,10 @@ def _ivf_centroids(
             for r in rows
         )
     ]
-    while len(_IVF_CODEBOOKS) >= _IVF_CODEBOOKS_MAX:
-        _IVF_CODEBOOKS.pop(next(iter(_IVF_CODEBOOKS)))  # FIFO evict
-    _IVF_CODEBOOKS[key] = cents
+    if memoize:
+        while len(_IVF_CODEBOOKS) >= _IVF_CODEBOOKS_MAX:
+            _IVF_CODEBOOKS.pop(next(iter(_IVF_CODEBOOKS)))  # FIFO evict
+        _IVF_CODEBOOKS[key] = cents
     return cents
 
 

@@ -234,3 +234,52 @@ def test_png_decompression_bombs_rejected():
     )
     with pytest.raises(MediaFormatError, match="expected exactly"):
         decode_png(bomb)
+
+
+def test_png_duplicate_ihdr_rejected():
+    """A second IHDR must not silently redefine the geometry after
+    IDAT data has accumulated (round-6 advice)."""
+    import struct as _s
+
+    import pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        MediaFormatError,
+        _png_chunk,
+    )
+
+    good = encode_png(2, 2, bytes(12))
+    sig, rest = good[:8], good[8:]
+    second = _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+    # splice the second IHDR right after the first chunk
+    first_len = 8 + 13 + 4
+    doctored = sig + rest[:first_len] + second + rest[first_len:]
+    with pytest.raises(MediaFormatError, match="duplicate IHDR"):
+        decode_png(doctored)
+
+
+def test_png_trailing_garbage_after_zlib_stream_rejected():
+    """Bytes inside IDAT after the DEFLATE stream end mean a malformed
+    file; it must raise, not decode (round-6 advice)."""
+    import struct as _s
+    import zlib as _z
+
+    import pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        _PNG_SIG,
+        MediaFormatError,
+        _png_chunk,
+    )
+
+    # valid 1x1 stream (1 filter byte + 3 RGB bytes) + trailing junk
+    scan = _z.compress(bytes(4))
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    doctored = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", scan + b"JUNK")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaFormatError, match="trailing bytes"):
+        decode_png(doctored)
