@@ -71,3 +71,116 @@ def dedup_documents_stream(
         .dropDuplicatesWithinWatermark(["__content_hash"])
         .drop("__content_hash")
     )
+
+
+def near_dedup_band_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-dup admission, phase 1: first-seen-only LSH band
+    rows within the watermark horizon.
+
+    Each document is signatured IN-STREAM — a pure per-row projection
+    (nested higher-order functions, zero Python, no aggregation: a
+    streaming-legal twin of operators/dedup.banded_rows, bit-identical
+    bucket values) — then exploded into its ``bands`` (band, bucket)
+    rows and run through ``dropDuplicatesWithinWatermark`` on the
+    bucket key: the SAME single-stateful-op admission the exact-content
+    guard above uses, at near-dup granularity.  A later document
+    sharing a bucket with ANY earlier-arrived document (admitted or
+    not — state remembers every bucket seen in the horizon, exactly
+    like the batch family's bucket-min rule) loses that row.
+
+    Output: the surviving band rows, original columns preserved plus
+    (band, bucket).  A document's rows always land in the SAME
+    micro-batch (explode of one input row), so doc-level admission is a
+    stateless per-batch decision — compose with ``admitted_documents``
+    in ``foreachBatch``.  Cross-horizon near-dups belong to the batch
+    family (the same lambda split documented for the exact guard).
+
+    Scale shape: one shuffle of bands x docs rows on the bucket key;
+    state is one entry per distinct bucket seen in the horizon,
+    reclaimed by the watermark.  Per-row CPU is the honest minhash cost
+    (num_hashes x shingles hashes); the shingle array is bound ONCE per
+    row via the one-element-array lambda trick, so CollapseProject
+    cannot re-inline the shingle construction into all 64 seed lambdas
+    (the batch pipeline's measured 50x trap).
+    """
+    banded = stream_banded_rows(
+        docs, text_col, num_hashes, bands, shingle_size
+    )
+    return (
+        banded.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["band", "bucket"])
+    )
+
+
+def stream_banded_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per-ROW LSH banding — a streaming-legal (aggregation-free) twin
+    of operators/dedup.banded_rows's xxhash path, bit-identical bucket
+    values (asserted in tests/test_streaming_neardup.py).  Works on
+    batch frames too; the batch pipeline keeps the explode+groupBy form
+    because map-side combine beats per-row HOF loops when the corpus is
+    large and shuffles anyway."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"bands ({bands})"
+        )
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _shingles,
+    )
+
+    r = num_hashes // bands
+    sh_arr = F.array_distinct(_shingles(text_col, shingle_size))
+
+    def _buckets(sh):
+        def _band_bucket(b):
+            sig_slice = F.transform(
+                F.sequence(b * r, (b + 1) * r - 1),
+                lambda s: F.array_min(
+                    F.transform(sh, lambda x: F.xxhash64(x, s))
+                ),
+            )
+            return F.xxhash64(sig_slice, b.cast("int"))
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)), _band_bucket
+        )
+
+    # one-element-array let-binding: sh_arr is evaluated once per row
+    return docs.withColumn(
+        "__bb", F.transform(F.array(sh_arr), _buckets)[0]
+    ).select(
+        "*", F.posexplode("__bb").alias("band", "bucket")
+    ).drop("__bb")
+
+
+def admitted_documents(
+    band_survivors: DataFrame, bands: int = 16
+) -> DataFrame:
+    """Phase 2 (stateless, per micro-batch inside ``foreachBatch``):
+    a document is ADMITTED iff all ``bands`` of its band rows survived
+    phase 1 — i.e. it shares no bucket with any earlier-arrived
+    document in the horizon.  Batch-equivalence (asserted in
+    tests/test_streaming_neardup.py): the admitted set equals the
+    batch rule "doc_id == min(doc_id) in every one of its (band,
+    bucket) groups" over a single-horizon corpus fed in id order."""
+    keep = [c for c in band_survivors.columns if c not in ("band", "bucket")]
+    return (
+        band_survivors.groupBy(*[F.col(c) for c in keep])
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") == bands)
+        .drop("__n")
+    )
