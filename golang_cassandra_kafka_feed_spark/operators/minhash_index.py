@@ -193,6 +193,8 @@ def minhash_near_duplicates_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_width: int = MAX_BUCKET_WIDTH,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs (id_a, id_b, jaccard), id_a < id_b,
     where AT LEAST ONE side is in ``new_docs`` — delta-vs-corpus and
@@ -207,10 +209,24 @@ def minhash_near_duplicates_incremental(
     different historical split may keep different smallest-ids; cap
     semantics are per-run, documented not hidden.
     """
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        _checkpointer,
+    )
+
     spark = new_docs.sparkSession
     meta = read_index_meta(spark, path)
     delta_bands, delta_shingles = _index_rows(
         new_docs, text_col, id_col, meta
+    )
+    # The delta band frame feeds BOTH the hot-bucket broadcast and the
+    # union membership; separately-referenced HOF-bearing subtrees never
+    # reuse the exchange (ReuseExchange exprId trap), so materialize the
+    # delta signature pass once — batch-sized, not corpus-sized.
+    # ``reliable=True`` swaps executor-memory localCheckpoint for
+    # durable parquet under ``checkpoint_dir`` (the cluster mode the
+    # other minhash entry points thread through).
+    delta_bands = _checkpointer(delta_bands, reliable, checkpoint_dir)(
+        delta_bands
     )
     stored_bands = spark.read.schema(_BANDS_SCHEMA).parquet(
         _p(path, "bands")

@@ -103,6 +103,20 @@ def near_dedup_band_stream(
     in ``foreachBatch``.  Cross-horizon near-dups belong to the batch
     family (the same lambda split documented for the exact guard).
 
+    GRANULARITY CONTRACT: admission is exact for documents arriving in
+    DIFFERENT micro-batches (the tested ordered-feed equivalence).
+    Within one micro-batch the per-bucket winner is arbitrary (state
+    updates race across partitions), so a novel near-dup family
+    arriving entirely inside one batch can split its bucket wins among
+    members and end up partially or even wholly unadmitted — a data
+    LOSS mode, not just duplicate leakage.  Size micro-batches small
+    relative to the novelty rate (``maxOffsetsPerTrigger`` /
+    ``maxFilesPerTrigger``), or use the deterministic batch-granular
+    admission ``operators/corpus_store.py::CorpusStore.ingest`` (min-id
+    wins within each batch by construction) when per-batch volumes are
+    large; this operator is the low-latency state-store variant of that
+    pattern.
+
     Scale shape: one shuffle of bands x docs rows on the bucket key;
     state is one entry per distinct bucket seen in the horizon,
     reclaimed by the watermark.  Per-row CPU is the honest minhash cost

@@ -19,22 +19,31 @@ from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
 _SCHEMA = "doc_id long, text string"
 
 
+def _w(n):
+    """Letterify a number — the shingle tokenizer keeps [a-z]+ runs
+    only, so family-distinguishing tokens must differ in letters
+    (digits are stripped)."""
+    return "".join("abcdefghij"[int(c)] for c in str(n))
+
+
 def _corpus(spark, n=60, dup_every=4):
-    """Synthetic corpus with planted near-dup families: every
+    """Synthetic corpus with planted near-dup families (families
+    mutually DISTINCT, members near-identical): every
     ``dup_every``-th doc is a light mutation of its family head, so
     near-dup pairs exist both inside and across any id-based split."""
     rows = []
     for i in range(n):
         fam = i - (i % dup_every)
         base = (
-            f"the quick document {fam} talks about topic {fam % 7} "
-            f"with shared phrasing across its family members and "
-            f"enough tokens to shingle meaningfully {fam * 13}"
+            f"the quick document {_w(fam)} talks about topic "
+            f"{_w(fam % 7)} with shared phrasing across its family "
+            f"members and enough tokens to shingle meaningfully "
+            f"{_w(fam * 13)}"
         )
         if i % dup_every == 0:
             text = base
         else:
-            text = base + f" variant tail {i % dup_every}"
+            text = base + f" variant tail {_w(i % dup_every)}"
         rows.append((i, text))
     return spark.createDataFrame(rows, _SCHEMA)
 

@@ -20,16 +20,24 @@ from golang_cassandra_kafka_feed_spark.streaming.ingest import (
 _SCHEMA = "doc_id long, text string, ts timestamp"
 
 
+def _w(n):
+    """Letterify a number: the shingle tokenizer keeps [a-z]+ runs
+    only, so distinguishing tokens must differ in letters, not
+    digits."""
+    return "".join("abcdefghij"[int(c)] for c in str(n))
+
+
 def _corpus(n=18, dup_every=3):
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = []
     for i in range(n):
         fam = i - (i % dup_every)
         base = (
-            f"streaming family {fam} shares its phrasing on topic "
-            f"{fam % 4} across members with enough shingle mass {fam}"
+            f"streaming family {_w(fam)} shares its phrasing on topic "
+            f"{_w(fam % 4)} across members with enough shingle mass "
+            f"{_w(fam * 13)}"
         )
-        text = base if i % dup_every == 0 else base + f" tail {i}"
+        text = base if i % dup_every == 0 else base + f" tail {_w(i)}"
         rows.append((i, text, t0 + dt.timedelta(seconds=i)))
     return rows
 
