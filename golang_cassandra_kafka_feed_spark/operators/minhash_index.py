@@ -55,6 +55,7 @@ from golang_cassandra_kafka_feed_spark.operators.dedup import (
     _shingles,
     banded_rows,
 )
+from golang_cassandra_kafka_feed_spark.sources.fsutil import path_exists
 
 _BANDS_SCHEMA = T.StructType(
     [
@@ -119,6 +120,34 @@ def _index_rows(
     return bands, shingles
 
 
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Write the pinned-parameter record as ONE json file through the
+    Hadoop FileSystem API (works for file://, hdfs://, s3a://, ...).
+    Meta is written LAST by every build path, so its presence is the
+    index's commit marker: a build that crashed mid-write leaves no
+    meta and ``ensure_minhash_index`` rebuilds from scratch.  A Spark
+    1-row-dataset writer would be FS-portable too, but it pays a full
+    job submission (~4 s measured) for a 100-byte record."""
+    jvm = spark._jvm
+    meta_dir = jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+        _p(path, "meta")
+    )
+    fs = meta_dir.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+    )
+    fs.delete(meta_dir, True)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+            _p(path, "meta/part-00000.json")
+        ),
+        True,
+    )
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
 def build_minhash_index(
     df: DataFrame,
     path: str,
@@ -129,12 +158,23 @@ def build_minhash_index(
     shingle_size: int = 3,
     hasher: str = "xxhash",
     bucket_mods: int = _BUCKET_MODS,
+    signature_partitions: int | None = None,
 ) -> dict:
     """Materialize the index for ``df`` at ``path`` (overwrite) and
-    return the pinned meta.  The heavy frames land as parquet; meta
-    goes through the same Spark writer (a 1-row json dataset) so the
-    index works on any Hadoop-visible filesystem without extra FS
-    plumbing."""
+    return the pinned meta.
+
+    ``signature_partitions`` widens the signature pass when the source
+    arrives as too few splits (a small-file corpus reads as ONE task,
+    serializing the whole minhash computation onto one core).  At
+    cluster scale leave it None — file splits already parallelize the
+    scan, and the repartition would shuffle raw text once for nothing.
+
+    Write shape: band rows are repartitioned BY ``bucket_mod`` before
+    the partitioned write, so each task owns whole partition
+    directories — O(bucket_mods) output files instead of the
+    tasks x dirs spray partitionBy produces from an unaligned
+    partitioning (the small-files anti-pattern that poisons the later
+    pruned reads)."""
     meta = {
         "num_hashes": num_hashes,
         "bands": bands,
@@ -142,18 +182,71 @@ def build_minhash_index(
         "hasher": hasher,
         "bucket_mods": bucket_mods,
     }
+    if signature_partitions is not None:
+        df = df.repartition(signature_partitions, id_col)
     band_rows, shingle_rows = _index_rows(df, text_col, id_col, meta)
     (
-        band_rows.write.mode("overwrite")
+        band_rows.repartition(bucket_mods, "bucket_mod")
+        .write.mode("overwrite")
         .partitionBy("bucket_mod")
         .parquet(_p(path, "bands"))
     )
     shingle_rows.write.mode("overwrite").parquet(_p(path, "shingles"))
-    spark = df.sparkSession
-    spark.createDataFrame([tuple(meta.values())], _META_SCHEMA).coalesce(
-        1
-    ).write.mode("overwrite").json(_p(path, "meta"))
+    _write_meta(df.sparkSession, path, meta)
     return meta
+
+
+def ensure_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    hasher: str = "xxhash",
+    bucket_mods: int = _BUCKET_MODS,
+    signature_partitions: int | None = None,
+) -> dict:
+    """Create-if-absent twin of ``build_minhash_index`` — the CAS
+    shape of reference internal/store/feed.go:46-59 applied to the
+    index itself.  If a committed index (meta present — meta is
+    written last, so it marks a COMPLETE build) already exists at
+    ``path`` it is reused without touching the corpus; parameter
+    drift raises instead of silently mixing incompatible signatures.
+
+    The caller owns staleness: ``path`` must change when the corpus
+    does (q110 keys it on a hash of the corpus plan's input files +
+    the signature parameters)."""
+    spark = df.sparkSession
+    requested = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_size": shingle_size,
+        "hasher": hasher,
+        "bucket_mods": bucket_mods,
+    }
+    if path_exists(spark, _p(path, "meta")):
+        stored = read_index_meta(spark, path)
+        if stored != requested:
+            raise ValueError(
+                f"index at {path} was built with {stored}, "
+                f"requested {requested}; pick a new path or rebuild "
+                "explicitly with build_minhash_index"
+            )
+        return stored
+    return build_minhash_index(
+        df,
+        path,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_size,
+        hasher,
+        bucket_mods,
+        signature_partitions,
+    )
 
 
 def read_index_meta(spark: SparkSession, path: str) -> dict:
@@ -179,7 +272,8 @@ def append_to_minhash_index(
     meta = read_index_meta(new_docs.sparkSession, path)
     band_rows, shingle_rows = _index_rows(new_docs, text_col, id_col, meta)
     (
-        band_rows.write.mode("append")
+        band_rows.repartition(meta["bucket_mods"], "bucket_mod")
+        .write.mode("append")
         .partitionBy("bucket_mod")
         .parquet(_p(path, "bands"))
     )

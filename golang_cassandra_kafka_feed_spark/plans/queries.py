@@ -2626,25 +2626,36 @@ def q110(spark, sf_dir):
     computes the same delta-touching pair set from first principles
     (the q37 mechanism twin + the delta membership filter), proving the
     index path emits exactly what a full run would.  The index build is
-    part of the query here only to keep the key self-contained and
-    deterministic; the incremental-vs-full equivalence on a SPLIT
-    corpus (index A, delta B) is asserted in
+    create-if-absent (ensure_minhash_index, the daily-crawl shape:
+    build once, query every batch) with the path keyed on the corpus
+    plan's input files + the signature parameters, so a regenerated
+    documents table gets a fresh index while repeat runs over the same
+    files reuse the committed one; a non-file-backed corpus would key
+    on sf_dir alone and rebuild-or-reuse at the caller's risk (same
+    caveat as the IVF centroid memo).  The incremental-vs-full
+    equivalence on a SPLIT corpus (index A, delta B) is asserted in
     tests/test_minhash_index.py.  Reference tie: CAS create-if-absent
     (internal/store/feed.go:46-59) at content level."""
     import hashlib
 
     from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
-        build_minhash_index,
+        ensure_minhash_index,
         minhash_near_duplicates_incremental,
     )
 
     d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     delta = d.filter(F.col("doc_id") % 5 == 0)
+    staleness_key = "|".join(sorted(d.inputFiles())) or sf_dir
     idx = "/tmp/gckfs_q110_index_" + hashlib.md5(
-        sf_dir.encode()
+        (staleness_key + "|md5/64/16/3/32").encode()
     ).hexdigest()[:12]
-    build_minhash_index(corpus, idx, hasher="md5")
+    ensure_minhash_index(
+        corpus,
+        idx,
+        hasher="md5",
+        signature_partitions=spark.sparkContext.defaultParallelism,
+    )
     # jaccard is int/int division — IEEE-exact in both engines (q37
     # precedent), so no rounding idiom is needed.
     return minhash_near_duplicates_incremental(

@@ -12,6 +12,7 @@ from golang_cassandra_kafka_feed_spark.operators.dedup import (
 from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
     append_to_minhash_index,
     build_minhash_index,
+    ensure_minhash_index,
     minhash_near_duplicates_incremental,
     read_index_meta,
 )
@@ -128,6 +129,79 @@ def test_meta_is_pinned_at_build_time(spark, tmp_path):
         minhash_near_duplicates_incremental(delta.limit(0), idx).count()
         == 0
     )
+
+
+def _listing(root):
+    import os
+
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out.append((p, os.path.getmtime(p), os.path.getsize(p)))
+    return sorted(out)
+
+
+def test_ensure_is_create_if_absent(spark, tmp_path):
+    """ensure_minhash_index builds once, then reuses the committed
+    index byte-for-byte (no file touched on the second call) — the CAS
+    create-if-absent shape at index level."""
+    idx = str(tmp_path / "idx")
+    corpus = _corpus(spark)
+    first = ensure_minhash_index(corpus, idx, hasher="md5")
+    before = _listing(idx)
+    assert before, "build must have materialized files"
+
+    second = ensure_minhash_index(corpus, idx, hasher="md5")
+    assert second == first
+    assert _listing(idx) == before
+
+    # the reused index answers incremental queries identically to a
+    # fresh build over the same corpus
+    delta = _corpus(spark).filter("doc_id % 4 = 0")
+    fresh = str(tmp_path / "idx_fresh")
+    build_minhash_index(corpus, fresh, hasher="md5")
+    assert _pairs(
+        minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+    ) == _pairs(
+        minhash_near_duplicates_incremental(delta, fresh, threshold=0.5)
+    )
+
+
+def test_ensure_rejects_parameter_drift(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    ensure_minhash_index(_corpus(spark, n=12), idx, num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="built with"):
+        ensure_minhash_index(_corpus(spark, n=12), idx, num_hashes=64)
+
+
+def test_ensure_rebuilds_an_uncommitted_index(spark, tmp_path):
+    """Meta is written LAST, so a crash mid-build leaves no commit
+    marker and ensure rebuilds instead of serving a partial index."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    corpus = _corpus(spark)
+    ensure_minhash_index(corpus, idx)
+    shutil.rmtree(str(tmp_path / "idx" / "meta"))
+    ensure_minhash_index(corpus, idx)
+    assert read_index_meta(spark, idx)["num_hashes"] == 64
+
+
+def test_build_write_shape_is_mod_aligned(spark, tmp_path):
+    """Band files are aligned to bucket_mod directories: O(mods)
+    parquet files total, not a tasks x dirs spray — the small-files
+    guard for the pruned incremental reads."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(
+        _corpus(spark), idx, bucket_mods=8, signature_partitions=16
+    )
+    files = glob.glob(str(tmp_path / "idx" / "bands" / "*" / "*.parquet"))
+    dirs = {f.rsplit("/", 2)[1] for f in files}
+    assert len(files) <= 2 * 8, files
+    assert all(d.startswith("bucket_mod=") for d in dirs)
 
 
 def test_incremental_never_rescans_the_corpus_source(spark, tmp_path):
