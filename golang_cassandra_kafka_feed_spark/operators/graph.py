@@ -200,6 +200,57 @@ def duplicate_groups(
     )
 
 
+def canonical_docs(
+    edges: DataFrame,
+    scored_docs: DataFrame,
+    id_col: str = "doc_id",
+    prefer_desc: tuple[str, ...] = ("quality", "n_tokens"),
+    reliable: bool = False,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Quality-policy canonical selection per near-dup component — the
+    curation step after dedup detection: inside every duplicate group,
+    KEEP the best document instead of blindly keeping the smallest id.
+
+    ``scored_docs`` carries ``id_col`` plus the score columns named in
+    ``prefer_desc``; the kept doc per component is the max over those
+    columns compared in order (descending), final tie-break min id —
+    i.e. ``argmax(struct(scores..., -id))``.  Emits one row per doc in
+    the pair graph: (doc_id, comp, group_size, <score cols>, keep).
+
+    Plan shape (the 100 TB argument): selection is
+    ``groupBy(comp).agg(max(struct(...)))`` + a re-join on comp — the
+    map-side partial max collapses even a pathological giant component
+    to one row per partition BEFORE the exchange, where a
+    ``row_number() over (partition by comp)`` window would ship the
+    whole component's rows to a single task.  Reference tie: the
+    survivor policy generalizes get_feed's top-1-per-key shape
+    (internal/feed/service.go:120-138) from recency to quality.
+    """
+    groups = duplicate_groups(
+        edges, reliable=reliable, checkpoint_dir=checkpoint_dir
+    )
+    scored = groups.join(
+        scored_docs.withColumnRenamed(id_col, "id"), "id"
+    )
+    score_cols = [F.col(c) for c in prefer_desc]
+    best = scored.groupBy("comp").agg(
+        F.max(
+            F.struct(*score_cols, (-F.col("id")).alias("neg_id"))
+        ).alias("best")
+    )
+    return (
+        scored.join(best, "comp")
+        .select(
+            F.col("id").alias(id_col),
+            "comp",
+            "group_size",
+            *[F.col(c) for c in prefer_desc],
+            (F.col("id") == -F.col("best.neg_id")).alias("keep"),
+        )
+    )
+
+
 # PageRank damping (Brin & Page 1998's 0.85), exported so the DuckDB
 # oracle embeds the same literal.
 PAGERANK_DAMPING = 0.85

@@ -2758,6 +2758,135 @@ ORACLES["q110_incremental_minhash"] = """
     ORDER BY id_a, id_b
 """
 
+# q111: canonical selection per near-dup component — the q71
+# recursive-CTE component closure plus the q32 quality expressions;
+# the kept doc per component is rank 1 under (quality DESC, n_tokens
+# DESC, doc_id ASC), the same total order Spark's
+# max(struct(quality, n_tokens, -id)) induces.
+ORACLES["q111_canonical_selection"] = f"""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(
+                                  list_slice(toks, i, i + 2), ' '))
+                 END) AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON r.id = s.u
+    ),
+    comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+    sizes AS (SELECT comp, count(*) AS group_size FROM comp GROUP BY comp),
+    scored AS (
+        SELECT d.doc_id,
+               ROUND((length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g'))
+                      / length(d.text)) * 100) / 100 AS quality,
+               len({_TOKS}) AS n_tokens
+        FROM documents d JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT s.doc_id, c.comp, z.group_size, s.quality, s.n_tokens,
+           row_number() OVER (
+               PARTITION BY c.comp
+               ORDER BY s.quality DESC, s.n_tokens DESC, s.doc_id ASC
+           ) = 1 AS keep
+    FROM scored s
+    JOIN comp c ON c.id = s.doc_id
+    JOIN sizes z USING (comp)
+    ORDER BY s.doc_id
+"""
+
+# q112: URL canonicalization — the raw-spelling plant mirrors the
+# Spark side mechanically; the CANONICALIZATION runs through DuckDB's
+# own regexp/list stack over the regex constants interpolated from
+# operators/urltools.py (one source of truth, the q109 idiom; the
+# patterns avoid backslashes entirely so the same text is valid in
+# both dialects).
+from golang_cassandra_kafka_feed_spark.operators import (  # noqa: E402
+    urltools as _URL,
+)
+
+ORACLES["q112_url_canonical_dedup"] = f"""
+    WITH planted AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0
+                     THEN upper(CASE WHEN (doc_id % 50) % 2 = 0
+                                     THEN 'http' ELSE 'https' END)
+                     ELSE CASE WHEN (doc_id % 50) % 2 = 0
+                               THEN 'http' ELSE 'https' END END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN 'WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+                             || '.Example.COM'
+                        ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR)
+                             || '.example.com' END)
+               || (CASE WHEN (doc_id % 50) % 5 = 0 THEN ':8080'
+                        WHEN doc_id % 4 = 0
+                        THEN CASE WHEN (doc_id % 50) % 2 = 0
+                                  THEN ':80' ELSE ':443' END
+                        ELSE '' END)
+               || '/articles/item' || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+               || '?'
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN 'id=' || CAST(doc_id % 50 AS VARCHAR)
+                             || '&ref=rss'
+                        ELSE 'ref=rss&id='
+                             || CAST(doc_id % 50 AS VARCHAR) END)
+               || (CASE WHEN doc_id % 3 = 1
+                        THEN '&utm_source=s' || CAST(doc_id AS VARCHAR)
+                             || '&utm_medium=m'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0
+                        THEN '#sec' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               {_URL.duckdb_canonicalize_sql('url')} AS canonical_url
+        FROM planted
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_spellings,
+           min(doc_id) AS first_doc
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+"""
+
+# q113: multi-format roundtrip — the oracle is the parquet ground
+# truth directly; the Spark side must deliver the same values AFTER
+# pushing them through ORC + JSON + CSV writers and readers.
+ORACLES["q113_format_roundtrip"] = """
+    SELECT doc_id,
+           source AS source_orc,
+           lang AS lang_json,
+           n_chars AS n_chars_json,
+           md5(text) AS text_md5_csv
+    FROM documents
+    ORDER BY doc_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # ns -> us normalization for the newer event oracles.  The Spark read

@@ -2663,6 +2663,167 @@ def q110(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q111(spark, sf_dir):
+    """Canonical-doc selection per near-dup component
+    (operators/graph.py::canonical_docs) — the curation policy step
+    AFTER dedup detection: within each duplicate group keep the
+    highest-quality doc (alpha_ratio desc, n_tokens desc, doc_id asc),
+    not blindly the smallest id.  Pairs are the q71 3-gram-Jaccard
+    graph; quality features are the q32 battery (both independently
+    oracle-proven, so this key isolates the SELECTION mechanism).
+    Selection is argmax-via-max(struct) with map-side partials — no
+    window over comp (a giant component would ship to one task).
+    Reference tie: get_feed's top-1-per-key survivor shape
+    (internal/feed/service.go:120-138) generalized from recency to
+    quality."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        canonical_docs,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        quality_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    scored = quality_features(d).select(
+        "doc_id", F.col("alpha_ratio").alias("quality"), "n_tokens"
+    )
+    return canonical_docs(pairs, scored).orderBy("doc_id")
+
+
+def q112(spark, sf_dir):
+    """URL canonicalization + url-level dedup
+    (operators/urltools.py::canonicalize_url) — the crawl-frontier
+    pass that collapses scheme/host case, default ports, trailing
+    slashes, utm_* tracking params, shuffled query order and fragments
+    BEFORE content-level dedup ever runs.  The corpus plants ten raw
+    spellings per canonical identity (variant dimensions driven by
+    doc_id arithmetic, identity by doc_id % 50), built identically in
+    the DuckDB twin; each engine canonicalizes with its OWN expression
+    stack over the shared regex constants, so hash-equality proves the
+    canonicalization rules, not the plant.  Reference tie:
+    normalize-then-CAS-probe (internal/feed/service.go:58-66) at URL
+    level."""
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        canonicalize_url,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.col("doc_id") % 50
+    s = base.cast("string")
+    did = F.col("doc_id").cast("string")
+    scheme_l = F.when(base % 2 == 0, F.lit("http")).otherwise(
+        F.lit("https")
+    )
+    scheme = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(scheme_l)
+    ).otherwise(scheme_l)
+    host = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("WWW.Site"), s, F.lit(".Example.COM")),
+    ).otherwise(F.concat(F.lit("www.site"), s, F.lit(".example.com")))
+    port = (
+        F.when(base % 5 == 0, F.lit(":8080"))
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.when(base % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/articles/item"),
+        s,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    core = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("id="), s, F.lit("&ref=rss")),
+    ).otherwise(F.concat(F.lit("ref=rss&id="), s))
+    junk = F.when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(F.lit("&utm_source=s"), did, F.lit("&utm_medium=m")),
+    ).otherwise(F.lit(""))
+    frag = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("#sec"), did)
+    ).otherwise(F.lit(""))
+    raw = F.concat(
+        scheme, F.lit("://"), host, port, path, F.lit("?"), core, junk,
+        frag,
+    )
+    planted = d.select(
+        "doc_id",
+        raw.alias("url"),
+        canonicalize_url(raw).alias("canonical_url"),
+    )
+    return (
+        planted.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_spellings"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def q113(spark, sf_dir):
+    """Multi-format source/sink fidelity: the documents table is
+    written to ORC, JSON-lines and CSV (sources/sinks.py), read back
+    through each format's reader, and the three legs joined on doc_id
+    with each output column drawn from a DIFFERENT leg — so the
+    hash-match against the parquet-derived oracle proves every format
+    round-trips values byte-exactly (the md5(text) column rides the
+    CSV leg, the format most likely to mangle strings).  CSV and JSON
+    read under the explicit source schema — schema-on-read is part of
+    the contract, not inference.  Reference tie: the CSV export path
+    (bench/e2e_bench/e2e_bench.go:246-255) widened to the interchange
+    formats a Spark deployment actually serves."""
+    import hashlib
+
+    from golang_cassandra_kafka_feed_spark.sources.sinks import (
+        write_csv,
+        write_json_lines,
+        write_orc,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    paths = {
+        fmt: f"/tmp/gckfs_q113_{fmt}_{key}" for fmt in ("orc", "json", "csv")
+    }
+    write_orc(d, paths["orc"])
+    write_json_lines(d, paths["json"])
+    write_csv(d, paths["csv"])
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    orc = spark.read.orc(paths["orc"])
+    js = spark.read.schema(schema).json(paths["json"])
+    csv = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(paths["csv"])
+    )
+    return (
+        orc.select("doc_id", F.col("source").alias("source_orc"))
+        .join(
+            js.select(
+                "doc_id",
+                F.col("lang").alias("lang_json"),
+                F.col("n_chars").alias("n_chars_json"),
+            ),
+            "doc_id",
+        )
+        .join(
+            csv.select("doc_id", F.md5("text").alias("text_md5_csv")),
+            "doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
 # this insertion-ordered registry.  Round-7 rotation (verdict-r6 ask
 # #1): q92 + its bounds twin stay in front as regression sentinels
@@ -2796,6 +2957,9 @@ _REGISTRY = {
     "q108_topk_with_ties": q108,
     "q109_pii_audit": q109,
     "q110_incremental_minhash": q110,
+    "q111_canonical_selection": q111,
+    "q112_url_canonical_dedup": q112,
+    "q113_format_roundtrip": q113,
 }
 _REGISTRY.update(TPCH_QUERIES)
 

@@ -42,6 +42,13 @@ def write_json_lines(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC dataset writer (Spark-native, no extra jars) — the columnar
+    interchange format for Hive-ecosystem consumers; fidelity proven by
+    the q113 roundtrip against the parquet ground truth."""
+    df.write.mode("overwrite").orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from golang_cassandra_kafka_feed_spark.operators.graph import (
+    canonical_docs,
     connected_components,
     duplicate_groups,
 )
@@ -29,6 +30,37 @@ def test_disjoint_components_and_survivors(spark):
     }
     assert {i for i in rows if rows[i].is_survivor} == {1, 10, 20}
     assert rows[2].group_size == 3 and rows[11].group_size == 2
+
+
+def test_canonical_docs_quality_policy(spark):
+    """Per component: max quality wins; quality tie falls to n_tokens;
+    full tie falls to min id — NOT blindly the component min id."""
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+    docs = spark.createDataFrame(
+        [
+            # comp 1: doc 3 has the best quality despite the largest id
+            (1, 0.50, 100),
+            (2, 0.80, 10),
+            (3, 0.90, 5),
+            # comp 10: quality tie -> n_tokens decides
+            (10, 0.70, 40),
+            (11, 0.70, 90),
+            # comp 20: full tie -> min id
+            (20, 0.60, 7),
+            (21, 0.60, 7),
+        ],
+        "doc_id long, quality double, n_tokens long",
+    )
+    rows = {r.doc_id: r for r in canonical_docs(e, docs).collect()}
+    assert {i for i in rows if rows[i].keep} == {3, 11, 20}
+    assert rows[3].comp == 1 and rows[3].group_size == 3
+    assert all(not rows[i].keep for i in (1, 2, 10, 21))
+    # exactly one keeper per component
+    by_comp = {}
+    for r in rows.values():
+        by_comp.setdefault(r.comp, 0)
+        by_comp[r.comp] += int(r.keep)
+    assert set(by_comp.values()) == {1}
 
 
 def test_long_path_converges_past_naive_rounds(spark):

@@ -1,0 +1,90 @@
+"""URL canonicalization rules (operators/urltools.py) on hand-built
+spellings — each rule isolated, plus the garbage-to-NULL contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from golang_cassandra_kafka_feed_spark.operators.urltools import (
+    canonicalize_url,
+)
+
+
+def _canon(spark, url):
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(canonicalize_url("url").alias("c"))
+        .head()
+        .c
+    )
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        # case folding: scheme + host only, never the path or query
+        (
+            "HTTPS://WWW.Example.COM/A/B?X=Y",
+            "https://www.example.com/A/B?X=Y",
+        ),
+        # default ports dropped per scheme
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("https://a.com:443/x", "https://a.com/x"),
+        # a default-for-the-OTHER-scheme port is a real port
+        ("http://a.com:443/x", "http://a.com:443/x"),
+        ("https://a.com:8080/x", "https://a.com:8080/x"),
+        # port identity is numeric (leading zeros stripped)
+        ("https://a.com:0443/x", "https://a.com/x"),
+        ("http://a.com:00080/x", "http://a.com/x"),
+        ("http://a.com:08080/x", "http://a.com:8080/x"),
+        ("http://a.com:0/x", "http://a.com:0/x"),
+        # ALL trailing slashes stripped on non-root paths; all-slash
+        # paths collapse to root
+        ("http://a.com/dir/", "http://a.com/dir"),
+        ("http://a.com/dir///", "http://a.com/dir"),
+        ("http://a.com/", "http://a.com/"),
+        ("http://a.com//", "http://a.com/"),
+        ("http://a.com", "http://a.com"),
+        # query: utm_* and empties dropped, survivors byte-sorted
+        (
+            "http://a.com/p?b=2&a=1&utm_source=x",
+            "http://a.com/p?a=1&b=2",
+        ),
+        ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p"),
+        ("http://a.com/p?", "http://a.com/p"),
+        ("http://a.com/p?&&a=1", "http://a.com/p?a=1"),
+        # a key merely CONTAINING utm survives; only the utm_ prefix drops
+        ("http://a.com/p?xutm_k=1", "http://a.com/p?xutm_k=1"),
+        # fragment dropped, even with a query
+        ("http://a.com/p#frag", "http://a.com/p"),
+        ("http://a.com/p?a=1#frag", "http://a.com/p?a=1"),
+        # everything at once
+        (
+            "HTTP://Host.COM:80/d/?b=2&utm_m=x&a=1#s",
+            "http://host.com/d?a=1&b=2",
+        ),
+    ],
+)
+def test_canonicalization_rules(spark, raw, expected):
+    assert _canon(spark, raw) == expected
+
+
+@pytest.mark.parametrize(
+    "garbage",
+    ["", "not a url", "://missing.scheme/x", "http//a.com", "mailto:a@b.c"],
+)
+def test_unparseable_urls_canonicalize_to_null(spark, garbage):
+    assert _canon(spark, garbage) is None
+
+
+def test_spelling_variants_collapse_to_one_key(spark):
+    variants = [
+        "https://Site.com/a?id=1&ref=r",
+        "HTTPS://site.COM:443/a/?ref=r&id=1",
+        "https://site.com/a?utm_c=9&id=1&ref=r#top",
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v in variants], "url string"
+    ).select(canonicalize_url("url").alias("c"))
+    assert df.distinct().count() == 1
+    assert df.head().c == "https://site.com/a?id=1&ref=r"
