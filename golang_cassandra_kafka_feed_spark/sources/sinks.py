@@ -16,7 +16,17 @@ def write_csv(
     df: DataFrame, path: str, single_file: bool = False, header: bool = True
 ) -> None:
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+    # Spark's CSV WRITER trims leading/trailing whitespace by default
+    # (ignore*WhiteSpace default true on write, false on read) — a
+    # silent value mutation a fidelity sink must not make; pinned off
+    # by test_sinks.py::test_csv_hazard_roundtrip.
+    (
+        out.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
 
 
 def write_parquet(

@@ -27,6 +27,61 @@ def test_csv_export_roundtrip(spark, sf_dir, tmp_path):
     assert len(files) == 1  # single-file export
 
 
+def test_csv_hazard_roundtrip(spark, tmp_path):
+    """Value-exact CSV roundtrip for the strings CSV is most likely to
+    mangle — embedded commas, quotes, leading/trailing spaces, unicode,
+    NULL-vs-empty.  The q113 fidelity query rides the CSV leg, but the
+    generated testdata happens to contain none of these characters, so
+    the quoting path is pinned here.  Embedded newlines are excluded
+    deliberately: reading them back needs multiLine=true, which makes
+    files non-splittable — the documented contract is one record per
+    line (the reference's export is line-oriented too)."""
+    rows = [
+        (1, "plain"),
+        (2, "comma,inside"),
+        (3, 'quote"inside'),
+        (4, '"fully quoted"'),
+        (5, "  padded  "),
+        (6, "précis 数据 🙂"),
+        (7, ""),
+        (8, None),
+        (9, "trailing\\backslash"),
+        (10, "semi;colon\ttab"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = str(tmp_path / "hazard")
+    write_csv(df, out)
+    back = (
+        spark.read.schema("id long, s string")
+        .option("header", "true")
+        .csv(out)
+    )
+    got = {r.id: r.s for r in back.collect()}
+    want = dict(rows)
+    # CSV cannot distinguish empty string from NULL on read (both are
+    # an empty field) — Spark reads both back as NULL; value fidelity
+    # holds for everything else.
+    want[7] = None
+    assert got == want
+
+
+def test_orc_roundtrip_value_exact(spark, tmp_path):
+    from golang_cassandra_kafka_feed_spark.sources.sinks import write_orc
+
+    rows = [
+        (1, "a", 1.5, True),
+        (2, 'q"c,', None, False),
+        (3, None, -0.0, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, d double, b boolean")
+    out = str(tmp_path / "orc")
+    write_orc(df, out)
+    back = sorted(
+        (tuple(r) for r in spark.read.orc(out).collect()),
+    )
+    assert back == sorted(rows)
+
+
 def test_parquet_partitioned_roundtrip(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     out = str(tmp_path / "ev")
