@@ -280,6 +280,119 @@ def append_to_minhash_index(
     shingle_rows.write.mode("append").parquet(_p(path, "shingles"))
 
 
+def _swap_in(live: str, staging: str) -> None:
+    """Staged-write swap with crash recovery (the FeedStore.compact
+    idiom, feed/api.py:373): move live aside, move staging in, drop
+    the aside copy.  ``_heal`` restores a renamed-aside copy if a
+    previous swap died between the two renames.  LOCAL-MODE
+    maintenance tooling (os.rename); on a cluster rewrite through a
+    distributed-FS commit instead — same caveat as FeedStore."""
+    import os
+    import shutil
+
+    old = live + ".old"
+    # a leftover .old alongside a LIVE dir is garbage from a crash
+    # after a completed swap (the live dir is the committed one)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(staging, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _heal(live: str) -> None:
+    import os
+
+    old = live + ".old"
+    if not os.path.exists(live) and os.path.exists(old):
+        os.rename(old, live)
+
+
+def _parquet_file_count(spark: SparkSession, path: str) -> int:
+    return len(spark.read.parquet(path).inputFiles())
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Heal append small-files buildup: every ``append_to_minhash_index``
+    adds O(bucket_mods) files, so a daily-crawl index accumulates
+    days x mods files and the pruned incremental reads pay per-file
+    open costs.  Rewrites bands (bucket_mod layout preserved, one
+    shuffle on bucket_mod) and shingles (size-coalesced) via staged
+    write + rename-aside swap; content is unchanged, so a crash
+    leaving one side old and one side new is still a consistent index.
+    Returns {'files_before': n, 'files_after': m}."""
+    import shutil
+
+    meta = read_index_meta(spark, path)
+    bands_p, sh_p = _p(path, "bands"), _p(path, "shingles")
+    _heal(bands_p)
+    _heal(sh_p)
+    shutil.rmtree(bands_p + ".compact", ignore_errors=True)
+    shutil.rmtree(sh_p + ".compact", ignore_errors=True)
+    before = _parquet_file_count(spark, bands_p) + _parquet_file_count(
+        spark, sh_p
+    )
+
+    bands = spark.read.schema(_BANDS_SCHEMA).parquet(bands_p)
+    (
+        bands.repartition(meta["bucket_mods"], "bucket_mod")
+        .write.partitionBy("bucket_mod")
+        .parquet(bands_p + ".compact")
+    )
+    _swap_in(bands_p, bands_p + ".compact")
+
+    shingles = spark.read.schema(_SHINGLES_SCHEMA).parquet(sh_p)
+    n = max(1, shingles.count() // 2_000_000 + 1)
+    shingles.coalesce(n).write.parquet(sh_p + ".compact")
+    _swap_in(sh_p, sh_p + ".compact")
+
+    after = _parquet_file_count(spark, bands_p) + _parquet_file_count(
+        spark, sh_p
+    )
+    return {"files_before": before, "files_after": after}
+
+
+def delete_from_minhash_index(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "doc_id"
+) -> None:
+    """Remove documents from the index — the retention /
+    right-to-erasure path a long-lived 100 TB index needs.  Rewrites
+    bands and shingles with an anti-join against ``ids`` (broadcast
+    when small; Spark decides) through the same staged swap as
+    compaction.  Either half-completed state is semantically safe: a
+    doc deleted from bands is never a candidate; one deleted from
+    shingles only cannot verify, so its pairs vanish either way.
+
+    Width-cap caveat (same per-run semantics the incremental path
+    documents): buckets that were AT the cap when built may have had
+    members truncated in favor of since-deleted ids; deletion does not
+    resurrect them — rebuild if cap-exact parity with a fresh index
+    matters."""
+    import shutil
+
+    key = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    bands_p, sh_p = _p(path, "bands"), _p(path, "shingles")
+    _heal(bands_p)
+    _heal(sh_p)
+    shutil.rmtree(bands_p + ".compact", ignore_errors=True)
+    shutil.rmtree(sh_p + ".compact", ignore_errors=True)
+
+    bands = spark.read.schema(_BANDS_SCHEMA).parquet(bands_p)
+    meta = read_index_meta(spark, path)
+    (
+        bands.join(key, "id", "left_anti")
+        .repartition(meta["bucket_mods"], "bucket_mod")
+        .write.partitionBy("bucket_mod")
+        .parquet(bands_p + ".compact")
+    )
+    _swap_in(bands_p, bands_p + ".compact")
+
+    shingles = spark.read.schema(_SHINGLES_SCHEMA).parquet(sh_p)
+    shingles.join(key, "id", "left_anti").write.parquet(
+        sh_p + ".compact"
+    )
+    _swap_in(sh_p, sh_p + ".compact")
+
+
 def minhash_near_duplicates_incremental(
     new_docs: DataFrame,
     path: str,
