@@ -1,5 +1,10 @@
 """Driver simulation per .claude/skills/verify: vanilla session, smoke
-entry(), then full oracle hash-compare at sf0.01."""
+entry(), then full oracle hash-compare at sf0.01.
+
+Usage: python scripts/driver_sim.py [--queries k1,k2,...]
+(no flag = the whole registry; unknown keys fail fast rather than
+silently checking nothing)."""
+import argparse
 import hashlib
 import sys
 from collections import Counter
@@ -50,6 +55,16 @@ for t in TABLES:
     con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs, osql = e.queries(), e.oracle_sql()
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--queries", default="", help="comma-separated key subset")
+wanted = [k for k in ap.parse_args().queries.split(",") if k]
+if wanted:
+    unknown = sorted(set(wanted) - set(qs))
+    if unknown:
+        sys.exit(f"unknown keys: {unknown}")
+    qs = {k: qs[k] for k in wanted}
+
 failures = []
 for name in sorted(qs):
     if name not in osql:
