@@ -2758,6 +2758,17 @@ ORACLES["q110_incremental_minhash"] = """
     ORDER BY id_a, id_b
 """
 
+# q114: index retention — delete_from_minhash_index must behave as if
+# the doomed slice (doc_id % 10 = 1) was never indexed, so the oracle
+# is EXACTLY the q110 first-principles twin with the doomed docs
+# excluded from the signatured corpus (mechanical single-site rewrite
+# of the shared text — no second copy to drift).  Exact below the
+# width cap; see q114's docstring.
+ORACLES["q114_index_retention"] = ORACLES[
+    "q110_incremental_minhash"
+].replace("FROM documents", "FROM documents WHERE doc_id % 10 <> 1")
+assert "doc_id % 10 <> 1" in ORACLES["q114_index_retention"]
+
 # q111: canonical selection per near-dup component — the q71
 # recursive-CTE component closure plus the q32 quality expressions;
 # the kept doc per component is rank 1 under (quality DESC, n_tokens

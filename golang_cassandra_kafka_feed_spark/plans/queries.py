@@ -2824,6 +2824,52 @@ def q113(spark, sf_dir):
     )
 
 
+def q114(spark, sf_dir):
+    """Index retention: build the q110-style band index INCLUDING a
+    doomed slice (doc_id % 10 == 1), delete that slice
+    (minhash_index.delete_from_minhash_index — the right-to-erasure
+    path), then answer the delta near-dup query against the surviving
+    index.  The oracle signatures a corpus that NEVER CONTAINED the
+    doomed docs (q110's first-principles twin + the exclusion filter),
+    so hash-equality proves delete == rebuild-without-the-ids — exact
+    here because no bucket approaches the 256 width cap at these
+    scales (the documented at-cap caveat).  Build+delete are
+    create-if-absent like q110 (post-delete content is deterministic;
+    the path key carries a retention tag).  Reference tie: unfollow's
+    delete-then-serve contract (internal/feed/service.go:88-96) at
+    index level."""
+    import hashlib
+
+    from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        minhash_near_duplicates_incremental,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.fsutil import (
+        path_exists,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    doomed = d.filter(F.col("doc_id") % 10 == 1).select("doc_id")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    staleness_key = "|".join(sorted(d.inputFiles())) or sf_dir
+    idx = "/tmp/gckfs_q114_index_" + hashlib.md5(
+        (staleness_key + "|md5/64/16/3/32|retention-v1").encode()
+    ).hexdigest()[:12]
+    if not path_exists(spark, idx + "/meta"):
+        build_minhash_index(
+            corpus,
+            idx,
+            hasher="md5",
+            signature_partitions=spark.sparkContext.defaultParallelism,
+        )
+        delete_from_minhash_index(spark, idx, doomed)
+    return minhash_near_duplicates_incremental(
+        delta, idx, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
 # this insertion-ordered registry.  Round-7 rotation (verdict-r6 ask
 # #1): q92 + its bounds twin stay in front as regression sentinels
@@ -2960,6 +3006,7 @@ _REGISTRY = {
     "q111_canonical_selection": q111,
     "q112_url_canonical_dedup": q112,
     "q113_format_roundtrip": q113,
+    "q114_index_retention": q114,
 }
 _REGISTRY.update(TPCH_QUERIES)
 
