@@ -2711,7 +2711,16 @@ def q112(spark, sf_dir):
         canonicalize_url,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # Only doc_id feeds the plant — project it FIRST (no text bytes in
+    # the plan at all) and widen: a single-file corpus arrives as ONE
+    # split, which would serialize the regex-heavy canonicalization
+    # onto one core (the q110 signature-pass lesson; repartitioning an
+    # 8-byte column is free by comparison).
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     base = F.col("doc_id") % 50
     s = base.cast("string")
     did = F.col("doc_id").cast("string")
@@ -2789,7 +2798,14 @@ def q113(spark, sf_dir):
         write_orc,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # Widen before writing: the single-file source reads as ONE split,
+    # which would push all three format writes (and the readbacks)
+    # through one task — the q110 small-file lesson again.  At cluster
+    # scale the source arrives pre-split and the repartition is just
+    # the write parallelism knob.
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     paths = {
         fmt: f"/tmp/gckfs_q113_{fmt}_{key}" for fmt in ("orc", "json", "csv")
