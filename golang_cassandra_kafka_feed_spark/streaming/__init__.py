@@ -1,5 +1,6 @@
 from golang_cassandra_kafka_feed_spark.streaming.ingest import (
     dedup_documents_stream,
+    dedup_urls_stream,
 )
 from golang_cassandra_kafka_feed_spark.streaming.fanout import (
     decode_post_events,
@@ -19,6 +20,7 @@ from golang_cassandra_kafka_feed_spark.streaming.windows import (
 __all__ = [
     "decode_post_events",
     "dedup_documents_stream",
+    "dedup_urls_stream",
     "deduped_post_stream",
     "fanout_stream",
     "fanout_stream_stream",

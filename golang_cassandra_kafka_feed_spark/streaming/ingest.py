@@ -73,6 +73,46 @@ def dedup_documents_stream(
     )
 
 
+def dedup_urls_stream(
+    urls: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    drop_unparseable: bool = True,
+) -> DataFrame:
+    """Crawl-frontier admission: canonicalize each URL
+    (operators/urltools.py — case, default ports, trailing slashes,
+    utm_* params, fragments) and admit only the FIRST spelling of each
+    canonical identity within the watermark horizon.  The frontier
+    twin of ``dedup_documents_stream``: same one-stateful-op shape
+    (``dropDuplicatesWithinWatermark`` on the canonical string), same
+    bounded-state story (one entry per distinct canonical URL in the
+    horizon), same lambda split (a periodic batch q112-style sweep
+    owns cross-horizon refetches).
+
+    Unparseable URLs canonicalize to NULL; by default they are DROPPED
+    (a frontier must not fetch garbage), with ``drop_unparseable=
+    False`` they pass through UNDEDUPED (NULL is never a dedup key —
+    two broken strings are not the same resource).  Output keeps the
+    input columns plus ``canonical_url``.
+    """
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        canonicalize_url,
+    )
+
+    canon = urls.withColumn("canonical_url", canonicalize_url(url_col))
+    parseable = canon.filter(F.col("canonical_url").isNotNull())
+    admitted = (
+        parseable.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+    if drop_unparseable:
+        return admitted
+    return admitted.unionByName(
+        canon.filter(F.col("canonical_url").isNull())
+    )
+
+
 def near_dedup_band_stream(
     docs: DataFrame,
     text_col: str = "text",
