@@ -311,6 +311,35 @@ def _parquet_file_count(spark: SparkSession, path: str) -> int:
     return len(spark.read.parquet(path).inputFiles())
 
 
+def _rewrite_index_sides(spark: SparkSession, path: str, transform) -> None:
+    """Shared maintenance pass: heal any crashed prior swap, then
+    staged-rewrite bands (bucket_mod layout preserved) and shingles
+    through ``transform(df, side)`` and swap each in.  One place owns
+    the heal/debris/stage/swap sequence so compact and delete cannot
+    drift apart (review-found duplication, round 7)."""
+    import shutil
+
+    meta = read_index_meta(spark, path)
+    for side, schema in (
+        ("bands", _BANDS_SCHEMA),
+        ("shingles", _SHINGLES_SCHEMA),
+    ):
+        live = _p(path, side)
+        _heal(live)
+        staging = live + ".compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        df = transform(spark.read.schema(schema).parquet(live), side)
+        if side == "bands":
+            (
+                df.repartition(meta["bucket_mods"], "bucket_mod")
+                .write.partitionBy("bucket_mod")
+                .parquet(staging)
+            )
+        else:
+            df.write.parquet(staging)
+        _swap_in(live, staging)
+
+
 def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     """Heal append small-files buildup: every ``append_to_minhash_index``
     adds O(bucket_mods) files, so a daily-crawl index accumulates
@@ -320,31 +349,19 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     write + rename-aside swap; content is unchanged, so a crash
     leaving one side old and one side new is still a consistent index.
     Returns {'files_before': n, 'files_after': m}."""
-    import shutil
-
-    meta = read_index_meta(spark, path)
     bands_p, sh_p = _p(path, "bands"), _p(path, "shingles")
     _heal(bands_p)
     _heal(sh_p)
-    shutil.rmtree(bands_p + ".compact", ignore_errors=True)
-    shutil.rmtree(sh_p + ".compact", ignore_errors=True)
     before = _parquet_file_count(spark, bands_p) + _parquet_file_count(
         spark, sh_p
     )
 
-    bands = spark.read.schema(_BANDS_SCHEMA).parquet(bands_p)
-    (
-        bands.repartition(meta["bucket_mods"], "bucket_mod")
-        .write.partitionBy("bucket_mod")
-        .parquet(bands_p + ".compact")
-    )
-    _swap_in(bands_p, bands_p + ".compact")
+    def compacting(df: DataFrame, side: str) -> DataFrame:
+        if side == "shingles":
+            return df.coalesce(max(1, df.count() // 2_000_000 + 1))
+        return df  # bands get the layout repartition in the rewriter
 
-    shingles = spark.read.schema(_SHINGLES_SCHEMA).parquet(sh_p)
-    n = max(1, shingles.count() // 2_000_000 + 1)
-    shingles.coalesce(n).write.parquet(sh_p + ".compact")
-    _swap_in(sh_p, sh_p + ".compact")
-
+    _rewrite_index_sides(spark, path, compacting)
     after = _parquet_file_count(spark, bands_p) + _parquet_file_count(
         spark, sh_p
     )
@@ -367,30 +384,10 @@ def delete_from_minhash_index(
     members truncated in favor of since-deleted ids; deletion does not
     resurrect them — rebuild if cap-exact parity with a fresh index
     matters."""
-    import shutil
-
     key = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
-    bands_p, sh_p = _p(path, "bands"), _p(path, "shingles")
-    _heal(bands_p)
-    _heal(sh_p)
-    shutil.rmtree(bands_p + ".compact", ignore_errors=True)
-    shutil.rmtree(sh_p + ".compact", ignore_errors=True)
-
-    bands = spark.read.schema(_BANDS_SCHEMA).parquet(bands_p)
-    meta = read_index_meta(spark, path)
-    (
-        bands.join(key, "id", "left_anti")
-        .repartition(meta["bucket_mods"], "bucket_mod")
-        .write.partitionBy("bucket_mod")
-        .parquet(bands_p + ".compact")
+    _rewrite_index_sides(
+        spark, path, lambda df, side: df.join(key, "id", "left_anti")
     )
-    _swap_in(bands_p, bands_p + ".compact")
-
-    shingles = spark.read.schema(_SHINGLES_SCHEMA).parquet(sh_p)
-    shingles.join(key, "id", "left_anti").write.parquet(
-        sh_p + ".compact"
-    )
-    _swap_in(sh_p, sh_p + ".compact")
 
 
 def minhash_near_duplicates_incremental(

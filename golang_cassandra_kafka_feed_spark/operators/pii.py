@@ -33,15 +33,24 @@ from golang_cassandra_kafka_feed_spark.functions.scalars import (
 # query tail (session tokens, email= params) all go.  Without the
 # userinfo arm the email pass would eat just the userinfo and leave
 # the rest standing; without the query/fragment tail a ?token= suffix
-# would survive every pass (the round-6 gap).  The host must END on an
-# alphanumeric so trailing sentence punctuation ("see https://a.com.")
-# is not swallowed into the redaction.
+# would survive every pass (the round-6 gap).  The path/query/fragment
+# classes carry the PII-critical RFC characters ('/', ':', '~', '*',
+# ';', '@', '$') — a class without '/' stops a ?next=/reset/abc123
+# redirect target mid-value and leaves the PII-dense tail standing,
+# and ';' covers the classic /p;jsessionid=... path parameter
+# (review-found, round 7).  ',' and '!' stay OUT deliberately: legal
+# in URLs but overwhelmingly sentence punctuation in prose, and
+# swallowing "see https://a.com/x, then" would eat the comma (the
+# same prose-fidelity call as the host-end rule).  The host must END
+# on an alphanumeric so trailing sentence punctuation
+# ("see https://a.com.") is not swallowed into the redaction.
 PII_EMAIL = _EMAIL
 PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"  # +CC-NNN-NNNN shape
+_URL_TAIL_CHARS = "A-Za-z0-9._%&=+/:~*;@$-"
 PII_URL = (
     r"https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]*[A-Za-z0-9]"
-    r"(:[0-9]+)?(/[A-Za-z0-9._/-]*)?"
-    r"(\?[A-Za-z0-9._%&=+-]*)?(#[A-Za-z0-9._%&=+-]*)?"
+    rf"(:[0-9]+)?(/[{_URL_TAIL_CHARS}]*)?"
+    rf"(\?[{_URL_TAIL_CHARS}]*)?(#[{_URL_TAIL_CHARS}]*)?"
 )
 PII_UUID = _UUID
 

@@ -12,7 +12,13 @@ The rules implemented (the common-subset of crawler conventions —
 conservative, no rule that can merge two genuinely different
 resources):
 
-- scheme and host lowercased;
+- scheme and host lowercased; userinfo (anything before the LAST
+  ``@`` of the authority) kept VERBATIM — it is case-sensitive by
+  RFC and folding or dropping it could merge distinct resources;
+- IPv6 bracket authorities quarantined to NULL (colon-split port
+  rules would collide every v6 literal onto one key; brackets are
+  vanishingly rare on a crawl frontier, and NULL routes them to the
+  caller's garbage policy instead of poisoning the key space);
 - the port compared NUMERICALLY via leading-zero stripping (``:0443``
   IS ``:443``; string-level ``regexp_replace('^0+')`` rather than a
   cast, so an absurd-width port cannot trip ANSI overflow), an
@@ -45,11 +51,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Parse-piece patterns over a full URL / authority string.  Kept to
-# the Java-regex / RE2 common subset (classes, anchors, one group).
+# the Java-regex / RE2 common subset (classes, anchors, one group) —
+# and to ZERO backslashes, so one constant serves both F.regexp_* and
+# interpolated DuckDB SQL verbatim.
 URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 URL_AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-URL_QUERY_RE = "[?]([^#]*)"
+# query starts at the FIRST '?' before any '#': the prefix class
+# excludes both, so a '?' living inside the fragment can never be
+# promoted to a query (review-found on 'http://a.com/p#?fake=q'), and
+# a second '?' inside the real query stays part of it.
+URL_QUERY_RE = "^[^#?]*[?]([^#]*)"
+# authority splits at the LAST '@' (greedy prefix): userinfo kept
+# VERBATIM (case-sensitive by RFC — folding it could merge distinct
+# resources), host is what follows.
+AUTH_USERINFO_RE = "^(.*@)"
+AUTH_HOSTPORT_RE = "([^@]*)$"
 AUTH_HOST_RE = "^([^:]*)"
 AUTH_PORT_RE = ":([0-9]+)$"
 
@@ -64,8 +81,10 @@ def canonicalize_url(url: str | Column) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, URL_SCHEME_RE, 1))
     auth = F.regexp_extract(u, URL_AUTHORITY_RE, 1)
-    host = F.lower(F.regexp_extract(auth, AUTH_HOST_RE, 1))
-    port = F.regexp_extract(auth, AUTH_PORT_RE, 1)
+    userinfo = F.regexp_extract(auth, AUTH_USERINFO_RE, 1)
+    hostport = F.regexp_extract(auth, AUTH_HOSTPORT_RE, 1)
+    host = F.lower(F.regexp_extract(hostport, AUTH_HOST_RE, 1))
+    port = F.regexp_extract(hostport, AUTH_PORT_RE, 1)
     path = F.regexp_extract(u, URL_PATH_RE, 1)
     query = F.regexp_extract(u, URL_QUERY_RE, 1)
 
@@ -101,12 +120,26 @@ def canonicalize_url(url: str | Column) -> Column:
         F.concat(F.lit("?"), F.concat_ws("&", params)),
     ).otherwise(F.lit(""))
 
+    # IPv6 bracket literals are quarantined to NULL rather than
+    # half-parsed: '[::1]:8080' under the colon-split rules would
+    # collide every v6 authority onto one key, merging distinct
+    # resources (review-found).  Bracket hosts are vanishingly rare on
+    # a crawl frontier; NULL routes them to the caller's garbage
+    # policy instead of poisoning the dedup key space.
     return F.when(
-        (scheme == "") | (host == ""),
+        (scheme == "")
+        | (host == "")
+        | hostport.contains("["),
         F.lit(None).cast("string"),
     ).otherwise(
         F.concat(
-            scheme, F.lit("://"), host, port_part, path_part, query_part
+            scheme,
+            F.lit("://"),
+            userinfo,
+            host,
+            port_part,
+            path_part,
+            query_part,
         )
     )
 
@@ -121,8 +154,10 @@ def duckdb_canonicalize_sql(url_expr: str) -> str:
     CTEs so the result stays a drop-in scalar expression."""
     scheme = f"lower(regexp_extract({url_expr}, '{URL_SCHEME_RE}', 1))"
     auth = f"regexp_extract({url_expr}, '{URL_AUTHORITY_RE}', 1)"
-    host = f"lower(regexp_extract({auth}, '{AUTH_HOST_RE}', 1))"
-    port = f"regexp_extract({auth}, '{AUTH_PORT_RE}', 1)"
+    userinfo = f"regexp_extract({auth}, '{AUTH_USERINFO_RE}', 1)"
+    hostport = f"regexp_extract({auth}, '{AUTH_HOSTPORT_RE}', 1)"
+    host = f"lower(regexp_extract({hostport}, '{AUTH_HOST_RE}', 1))"
+    port = f"regexp_extract({hostport}, '{AUTH_PORT_RE}', 1)"
     path = f"regexp_extract({url_expr}, '{URL_PATH_RE}', 1)"
     query = f"regexp_extract({url_expr}, '{URL_QUERY_RE}', 1)"
     params = (
@@ -136,8 +171,9 @@ def duckdb_canonicalize_sql(url_expr: str) -> str:
     stripped = f"regexp_replace({path}, '/+$', '')"
     http, https = _DEFAULT_PORTS["http"], _DEFAULT_PORTS["https"]
     return f"""
-        CASE WHEN {scheme} = '' OR {host} = '' THEN NULL
-             ELSE {scheme} || '://' || {host}
+        CASE WHEN {scheme} = '' OR {host} = ''
+                  OR contains({hostport}, '[') THEN NULL
+             ELSE {scheme} || '://' || {userinfo} || {host}
                   || CASE WHEN {port} = ''
                             OR ({scheme} = 'http' AND {port_n} = '{http}')
                             OR ({scheme} = 'https'

@@ -2851,7 +2851,11 @@ def q114(spark, sf_dir):
     here because no bucket approaches the 256 width cap at these
     scales (the documented at-cap caveat).  Build+delete are
     create-if-absent like q110 (post-delete content is deterministic;
-    the path key carries a retention tag).  Reference tie: unfollow's
+    the path key carries a retention tag) — but gated on a RETENTION
+    marker written AFTER the delete, not on build's own meta: meta
+    commits the build alone, and a crash between build and delete
+    would otherwise skip the erasure forever while looking complete
+    (review-found, round 7).  Reference tie: unfollow's
     delete-then-serve contract (internal/feed/service.go:88-96) at
     index level."""
     import hashlib
@@ -2863,6 +2867,7 @@ def q114(spark, sf_dir):
     )
     from golang_cassandra_kafka_feed_spark.sources.fsutil import (
         path_exists,
+        write_marker,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -2873,7 +2878,7 @@ def q114(spark, sf_dir):
     idx = "/tmp/gckfs_q114_index_" + hashlib.md5(
         (staleness_key + "|md5/64/16/3/32|retention-v1").encode()
     ).hexdigest()[:12]
-    if not path_exists(spark, idx + "/meta"):
+    if not path_exists(spark, idx + "/RETENTION_APPLIED"):
         build_minhash_index(
             corpus,
             idx,
@@ -2881,6 +2886,7 @@ def q114(spark, sf_dir):
             signature_partitions=spark.sparkContext.defaultParallelism,
         )
         delete_from_minhash_index(spark, idx, doomed)
+        write_marker(spark, idx + "/RETENTION_APPLIED", "doc_id%10==1")
     return minhash_near_duplicates_incremental(
         delta, idx, threshold=0.5
     ).orderBy("id_a", "id_b")
@@ -2895,11 +2901,13 @@ def q114(spark, sf_dir):
 # tier, and the remaining 13 slots re-pin the high-risk families
 # (hash-idiom ANN composites, iterative fixpoints, funnel, heavy
 # shared-SQL TPC-H, minhash/kmeans/bloom hash mechanisms).  After this
-# round every one of the registry's keys has been externally
-# driver-verified at least once (ever-checked 135/135).  The displaced
-# q01-q91 tier keys are all 1x+ driver-green.  All keys remain
-# registered and are swept by scripts/driver_sim.py + pytest every
-# round regardless of window.
+# round every PRE-r7 key has been externally driver-verified at least
+# once; q111-q114 landed later in round 7 (registry now 140 keys),
+# are driver_sim- and oracle-parity-green, and are the keys round 8
+# must rotate into the window for first external contact.  The
+# displaced q01-q91 tier keys are all 1x+ driver-green.  All keys
+# remain registered and are swept by scripts/driver_sim.py + pytest
+# every round regardless of window.
 from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_QUERIES  # noqa: E402
 
 # Full registry in stable numeric order (the post-window remainder

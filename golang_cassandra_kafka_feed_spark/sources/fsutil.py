@@ -30,3 +30,21 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     # what lets a store treat its populated state as empty and commit
     # duplicates.
     return bool(fs.exists(p))
+
+
+def write_marker(spark: SparkSession, path: str, content: str = "") -> None:
+    """Write a tiny commit-marker file through the Hadoop FS API
+    (file://, hdfs://, s3a://, ...).  Write the marker LAST, after
+    every step it vouches for: ``path_exists(marker)`` then means the
+    whole multi-step operation completed, and a crash anywhere before
+    leaves no marker so the caller redoes the operation from scratch
+    (the minhash-index meta pattern, reusable for composite steps like
+    build-then-delete)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

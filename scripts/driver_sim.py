@@ -20,6 +20,17 @@ SF = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Parse + validate BEFORE the Spark/DuckDB startup: a typoed key or
+# bad flag must fail in milliseconds, not after minutes of engine
+# setup (the registry import is cheap, the sessions are not).
+ap = argparse.ArgumentParser()
+ap.add_argument("--queries", default="", help="comma-separated key subset")
+wanted = [k for k in ap.parse_args().queries.split(",") if k]
+if wanted:
+    unknown = sorted(set(wanted) - set(e.queries()))
+    if unknown:
+        sys.exit(f"unknown keys: {unknown}")
+
 
 def norm(v):
     if v is None:
@@ -55,14 +66,7 @@ for t in TABLES:
     con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs, osql = e.queries(), e.oracle_sql()
-
-ap = argparse.ArgumentParser()
-ap.add_argument("--queries", default="", help="comma-separated key subset")
-wanted = [k for k in ap.parse_args().queries.split(",") if k]
 if wanted:
-    unknown = sorted(set(wanted) - set(qs))
-    if unknown:
-        sys.exit(f"unknown keys: {unknown}")
     qs = {k: qs[k] for k in wanted}
 
 failures = []

@@ -71,6 +71,28 @@ def test_url_query_string_and_fragment_consumed(spark):
         assert r.n_url == 1
 
 
+def test_url_tails_with_rfc_chars_consumed_whole(spark):
+    """Round-7 review gap: query values carrying '/', ':', '~', ';',
+    '@' (redirect targets, jsessionid path params, mailto-ish values)
+    must not survive the URL pass mid-value."""
+    rows = [
+        (1, "go https://h.com/login?next=/reset/abc123 now"),
+        (2, "s http://a.io/p;jsessionid=DEADBEEF09 end"),
+        (3, "cb https://x.org/r?url=https://inner.example/p q"),
+        (4, "t https://h.net/u?at=2024-01-01T10:00:00 z"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in pii_audit(spark.createDataFrame(rows, _SCHEMA)).collect()
+    }
+    assert out[1].redacted == "go [url] now"
+    assert out[2].redacted == "s [url] end"
+    assert out[3].redacted == "cb [url] q"
+    assert out[4].redacted == "t [url] z"
+    for r in out.values():
+        assert "reset" not in r.redacted and "jsessionid" not in r.redacted
+
+
 def test_url_trailing_punctuation_preserved(spark):
     """The host class ends on an alphanumeric, so sentence punctuation
     after a URL survives redaction instead of being swallowed."""

@@ -48,10 +48,13 @@ def _url(rng: random.Random) -> str:
     )
     s = scheme + "://"
     if rng.random() < 0.15:
-        s += rng.choice(["user", "a.b+c", "x%40y"]) + "@"
+        s += rng.choice(
+            ["user", "a.b+c", "x%40y", "alice:secret", "UPPER:Case"]
+        ) + "@"
     host = rng.choice(
         ["Host.COM", "a.io", "sub.D-ash.org", "h", "123.45.67.89",
-         "xn--bcher-kva.example", "trailing-dot.com."]
+         "xn--bcher-kva.example", "trailing-dot.com.",
+         "[::1]", "[2001:db8::1]"]
     )
     s += host
     if rng.random() < 0.4:
