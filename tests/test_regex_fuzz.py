@@ -28,8 +28,9 @@ Seeded and deterministic: SPARK_GRAFT_RFUZZ_SEED /
 SPARK_GRAFT_RFUZZ_DOCS reproduce any failure; divergence reports carry
 the pattern and the offending document.  Soak record (committed):
 seeds 20260815 and 20260816, 1000 docs x 12 pattern sets each
-(24,000 doc-pattern comparisons) — zero divergences.  Suite default is
-300 docs (~40 s).
+(24,000 doc-pattern comparisons) — zero divergences; re-soaked clean
+at both seeds after the round-7 PII_URL tail-class widening.  Suite
+default is 300 docs (~40 s).
 """
 
 from __future__ import annotations
