@@ -147,3 +147,77 @@ def benchmark_overlap(
         "overlap_frac",
         "contaminated",
     )
+
+
+def cross_split_leakage(
+    split_docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    protect_order: tuple[str, ...] = ("test", "val", "train"),
+) -> DataFrame:
+    """Cross-split near-dup leakage audit + repair decision.
+
+    A train document that near-duplicates an eval document leaks the
+    benchmark into training — the within-corpus twin of
+    ``benchmark_overlap``, applied across a split assignment instead
+    of against an external benchmark.  ``split_docs`` carries
+    (id_col, split_col); ``pairs`` is any verified near-dup pair
+    frame (id_a, id_b, jaccard) — e.g. ngram_jaccard_pairs or the
+    banded minhash family.
+
+    Emits the LEAKY pairs (members in different splits) with the
+    repair decision: ``drop_id`` is the member in the LESS-protected
+    split under ``protect_order`` (default: test is sacred, then val,
+    then train — repairing a train/val leak drops the train member so
+    eval integrity survives with its sample intact).  Dropping every
+    ``drop_id`` from its split makes the split assignment leak-free
+    by construction for the detected pairs.
+
+    Scale shape: two hash joins of the pair frame against the
+    (id, split) projection — pair frames are near-dup-sized (tiny
+    next to the corpus), and the split projection is two columns, so
+    neither join touches document text.
+    """
+    ranks = {label: i for i, label in enumerate(protect_order)}
+
+    def _rank(c):
+        expr = F.lit(len(protect_order))
+        for label, r in ranks.items():
+            expr = F.when(c == label, F.lit(r)).otherwise(expr)
+        return expr
+
+    s = split_docs.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(split_col).alias("__split"),
+    )
+    joined = (
+        pairs.join(
+            s.select(
+                F.col("__id").alias("id_a"),
+                F.col("__split").alias("split_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            s.select(
+                F.col("__id").alias("id_b"),
+                F.col("__split").alias("split_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "split_a",
+        "split_b",
+        F.when(
+            _rank(F.col("split_a")) > _rank(F.col("split_b")),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias("drop_id"),
+    )

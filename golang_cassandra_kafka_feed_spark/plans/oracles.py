@@ -2769,6 +2769,63 @@ ORACLES["q114_index_retention"] = ORACLES[
 ].replace("FROM documents", "FROM documents WHERE doc_id % 10 <> 1")
 assert "doc_id % 10 <> 1" in ORACLES["q114_index_retention"]
 
+# q115: cross-split leakage — the q71/q47 pair mechanism + the q54
+# hash-split fraction on both pair members; drop policy = the member
+# whose split ranks less protected (train > val > test in drop
+# priority).  Ranks via CASE, never equal after the split_a <>
+# split_b filter.
+ORACLES["q115_split_leakage"] = f"""
+    WITH sets AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(
+                                  list_slice(toks, i, i + 2), ' '))
+                 END) AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS frac
+            FROM documents
+        )
+    ),
+    leaky AS (
+        SELECT p.id_a, p.id_b, p.jaccard,
+               sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.id_a
+        JOIN splits sb ON sb.doc_id = p.id_b
+        WHERE sa.split <> sb.split
+    )
+    SELECT id_a, id_b, jaccard, split_a, split_b,
+           CASE WHEN (CASE split_a WHEN 'test' THEN 0
+                      WHEN 'val' THEN 1 ELSE 2 END)
+                > (CASE split_b WHEN 'test' THEN 0
+                   WHEN 'val' THEN 1 ELSE 2 END)
+                THEN id_a ELSE id_b END AS drop_id
+    FROM leaky
+    ORDER BY id_a, id_b
+"""
+
 # q111: canonical selection per near-dup component — the q71
 # recursive-CTE component closure plus the q32 quality expressions;
 # the kept doc per component is rank 1 under (quality DESC, n_tokens

@@ -2892,6 +2892,35 @@ def q114(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q115(spark, sf_dir):
+    """Cross-split near-dup leakage audit
+    (operators/contamination.py::cross_split_leakage): hash-split the
+    corpus (q54 mechanism), detect near-dup pairs straddling a split
+    boundary (q47 3-gram Jaccard), and emit each leaky pair with the
+    repair decision — drop the member in the less-protected split
+    (test > val > train), so eval integrity survives with its sample
+    intact.  The GPT-3 §C train-test-overlap concern applied to a
+    pipeline's OWN splits; both ingredient mechanisms are
+    independently oracle-proven, so this key isolates the leakage
+    join + policy.  Reference tie: the existence-probe-then-branch
+    shape (internal/feed/service.go:58-66) — probe the protected set,
+    act on the probe."""
+    from golang_cassandra_kafka_feed_spark.operators.contamination import (
+        cross_split_leakage,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.sampling import (
+        hash_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    splits = hash_split(d.select("doc_id"), "doc_id")
+    return cross_split_leakage(splits, pairs).orderBy("id_a", "id_b")
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
 # this insertion-ordered registry.  Round-7 rotation (verdict-r6 ask
 # #1): q92 + its bounds twin stay in front as regression sentinels
@@ -2902,7 +2931,7 @@ def q114(spark, sf_dir):
 # (hash-idiom ANN composites, iterative fixpoints, funnel, heavy
 # shared-SQL TPC-H, minhash/kmeans/bloom hash mechanisms).  After this
 # round every PRE-r7 key has been externally driver-verified at least
-# once; q111-q114 landed later in round 7 (registry now 140 keys),
+# once; q111-q115 landed later in round 7 (registry now 141 keys),
 # are driver_sim- and oracle-parity-green, and are the keys round 8
 # must rotate into the window for first external contact.  The
 # displaced q01-q91 tier keys are all 1x+ driver-green.  All keys
@@ -3031,6 +3060,7 @@ _REGISTRY = {
     "q112_url_canonical_dedup": q112,
     "q113_format_roundtrip": q113,
     "q114_index_retention": q114,
+    "q115_split_leakage": q115,
 }
 _REGISTRY.update(TPCH_QUERIES)
 

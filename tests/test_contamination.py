@@ -87,3 +87,37 @@ def test_tfidf_tie_breaks_on_term(spark):
     )
     rows = tfidf_top_terms(df, k=3).orderBy("rank").collect()
     assert [r.term for r in rows] == ["aa", "bb", "cc"]
+
+
+def test_cross_split_leakage_policy(spark):
+    """Hand-built pairs + splits: only cross-split pairs emit, and the
+    drop falls on the LESS-protected member (test > val > train)."""
+    from golang_cassandra_kafka_feed_spark.operators.contamination import (
+        cross_split_leakage,
+    )
+
+    splits = spark.createDataFrame(
+        [
+            (1, "train"), (2, "val"), (3, "test"),
+            (4, "train"), (5, "train"), (6, "test"),
+        ],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.9),   # train-val leak -> drop train member 1
+            (2, 3, 0.8),   # val-test leak  -> drop val member 2
+            (1, 6, 0.7),   # train-test leak -> drop train member 1
+            (4, 5, 0.95),  # train-train: NOT a leak
+        ],
+        "id_a long, id_b long, jaccard double",
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in cross_split_leakage(splits, pairs).collect()
+    }
+    assert set(rows) == {(1, 2), (2, 3), (1, 6)}
+    assert rows[(1, 2)].drop_id == 1
+    assert rows[(2, 3)].drop_id == 2
+    assert rows[(1, 6)].drop_id == 1
+    assert rows[(1, 2)].split_a == "train" and rows[(1, 2)].split_b == "val"
