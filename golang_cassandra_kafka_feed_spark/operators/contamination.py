@@ -1,6 +1,7 @@
-"""Cross-document span duplication and benchmark decontamination.
+"""Cross-document span duplication, benchmark decontamination, and
+cross-split leakage.
 
-Two corpus-hygiene operators a training-data pipeline runs between
+Three corpus-hygiene operators a training-data pipeline runs between
 near-dup removal and packing (no reference twin — the reference's data
 surface stops at feed queries; this extends BASELINE.json's
 LLM-pipeline mandate):
@@ -17,6 +18,9 @@ LLM-pipeline mandate):
   the GPT-3 appendix (arXiv:2005.14165 §C): fraction of a training
   document's n-grams that appear anywhere in a benchmark corpus, plus
   a contaminated verdict at a threshold.
+- :func:`cross_split_leakage` — the same concern applied to a
+  pipeline's OWN splits: near-dup pairs straddling a split boundary,
+  each with a repair decision under a protection order.
 
 Scale shape (both): the n-gram extraction is the shared codegen'd
 lookahead regex (`dedup._shingles`, one pass per doc); the only wide
@@ -35,7 +39,11 @@ from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.operators.dedup import _shingles
 
-__all__ = ["duplicate_ngram_spans", "benchmark_overlap"]
+__all__ = [
+    "duplicate_ngram_spans",
+    "benchmark_overlap",
+    "cross_split_leakage",
+]
 
 
 def _r6(c: Column) -> Column:
@@ -174,6 +182,15 @@ def cross_split_leakage(
     ``drop_id`` from its split makes the split assignment leak-free
     by construction for the detected pairs.
 
+    Label semantics (explicit, not accidental): a label absent from
+    ``protect_order`` ranks LESS protected than every listed one; two
+    unlisted labels tie and the tie breaks deterministically on the
+    GREATER id (documented arbitrariness beats silent positional
+    bias).  Rows whose split is NULL are excluded from the audit —
+    an unassigned doc has no boundary to leak across; assign first,
+    then audit.  Ids pass through untouched (long, string, ... —
+    whatever key space the pair frame uses).
+
     Scale shape: two hash joins of the pair frame against the
     (id, split) projection — pair frames are near-dup-sized (tiny
     next to the corpus), and the split projection is two columns, so
@@ -187,8 +204,8 @@ def cross_split_leakage(
             expr = F.when(c == label, F.lit(r)).otherwise(expr)
         return expr
 
-    s = split_docs.select(
-        F.col(id_col).cast("long").alias("__id"),
+    s = split_docs.filter(F.col(split_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
         F.col(split_col).alias("__split"),
     )
     joined = (
@@ -218,6 +235,10 @@ def cross_split_leakage(
             _rank(F.col("split_a")) > _rank(F.col("split_b")),
             F.col("id_a"),
         )
-        .otherwise(F.col("id_b"))
+        .when(
+            _rank(F.col("split_b")) > _rank(F.col("split_a")),
+            F.col("id_b"),
+        )
+        .otherwise(F.greatest("id_a", "id_b"))
         .alias("drop_id"),
     )

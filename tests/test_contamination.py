@@ -121,3 +121,36 @@ def test_cross_split_leakage_policy(spark):
     assert rows[(2, 3)].drop_id == 2
     assert rows[(1, 6)].drop_id == 1
     assert rows[(1, 2)].split_a == "train" and rows[(1, 2)].split_b == "val"
+
+
+def test_cross_split_leakage_generic_ids_and_labels(spark):
+    """The generic-API contract the shipped q115 path never exercises:
+    string ids pass through untouched, NULL splits are excluded,
+    unlisted labels rank less protected than listed ones, and an
+    unlisted-unlisted tie breaks on the greater id."""
+    from golang_cassandra_kafka_feed_spark.operators.contamination import (
+        cross_split_leakage,
+    )
+
+    splits = spark.createDataFrame(
+        [
+            ("u1", "test"), ("u2", "calib"), ("u3", "calib"),
+            ("u4", "holdout"), ("u5", None), ("u6", "train"),
+        ],
+        "doc_id string, split string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("u1", "u2", 0.9),  # listed vs unlisted -> drop unlisted u2
+            ("u2", "u4", 0.8),  # unlisted tie -> drop greater id u4
+            ("u5", "u6", 0.7),  # NULL split -> excluded entirely
+        ],
+        "id_a string, id_b string, jaccard double",
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in cross_split_leakage(splits, pairs).collect()
+    }
+    assert set(rows) == {("u1", "u2"), ("u2", "u4")}
+    assert rows[("u1", "u2")].drop_id == "u2"
+    assert rows[("u2", "u4")].drop_id == "u4"
