@@ -120,6 +120,29 @@ def _index_rows(
     return bands, shingles
 
 
+def _meta_fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    meta_dir = jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+        _p(path, "meta")
+    )
+    fs = meta_dir.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+    )
+    return fs, meta_dir
+
+
+def _delete_meta(spark: SparkSession, path: str) -> None:
+    """Invalidate the commit marker.  Every rebuild-in-place path must
+    call this BEFORE touching bands/shingles: meta-presence means "the
+    data alongside me is a complete build", and that invariant only
+    holds for rebuilds if the old marker dies before the old data does
+    (round-7 advice: crash mid-overwrite used to leave the OLD meta
+    next to half-rewritten bands, which ensure_minhash_index would
+    then reuse as committed)."""
+    fs, meta_dir = _meta_fs_path(spark, path)
+    fs.delete(meta_dir, True)
+
+
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     """Write the pinned-parameter record as ONE json file through the
     Hadoop FileSystem API (works for file://, hdfs://, s3a://, ...).
@@ -129,12 +152,7 @@ def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     1-row-dataset writer would be FS-portable too, but it pays a full
     job submission (~4 s measured) for a 100-byte record."""
     jvm = spark._jvm
-    meta_dir = jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
-        _p(path, "meta")
-    )
-    fs = meta_dir.getFileSystem(
-        spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
-    )
+    fs, meta_dir = _meta_fs_path(spark, path)
     fs.delete(meta_dir, True)
     out = fs.create(
         jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
@@ -184,6 +202,10 @@ def build_minhash_index(
     }
     if signature_partitions is not None:
         df = df.repartition(signature_partitions, id_col)
+    # Kill the old commit marker FIRST: rebuilding in place over a
+    # committed index must leave either (old meta + old data) or a
+    # meta-less partial — never old meta next to new partial data.
+    _delete_meta(df.sparkSession, path)
     band_rows, shingle_rows = _index_rows(df, text_col, id_col, meta)
     (
         band_rows.repartition(bucket_mods, "bucket_mod")
@@ -404,6 +426,15 @@ def minhash_near_duplicates_incremental(
     where AT LEAST ONE side is in ``new_docs`` — delta-vs-corpus and
     delta-internal — computed without re-signaturing the corpus.
 
+    Re-ingest safety: a delta id that ALREADY exists in the stored
+    index (same crawl replayed, an updated document) is resolved
+    delta-wins — the stored band rows and shingle set for that id are
+    anti-joined away against the (broadcast, batch-sized) delta id set
+    before the union, so each candidate pair joins exactly one shingle
+    row per side and no pair row is ever duplicated.  The index FILES
+    are not modified here; ``append_to_minhash_index`` still requires
+    disjoint ids (its docstring contract).
+
     Equivalence to the full run: for buckets below the width cap the
     result equals ``minhash_near_duplicates(corpus + delta)`` filtered
     to delta-touching pairs (per-document band rows and shingle sets
@@ -436,6 +467,11 @@ def minhash_near_duplicates_incremental(
         _p(path, "bands")
     )
 
+    # Delta-wins id resolution (re-ingest safety, docstring above): the
+    # delta id set is batch-sized, so both anti-joins broadcast it —
+    # the stored sides never shuffle for this.
+    delta_ids = delta_bands.select("id").distinct()
+
     # The delta's distinct bucket keys are small (batch-sized): broadcast
     # them so the stored index is pruned by a semi-join with NO shuffle
     # of the index — and carry bucket_mod so partition pruning can drop
@@ -443,7 +479,7 @@ def minhash_near_duplicates_incremental(
     hot = delta_bands.select("bucket_mod", "band", "bucket").distinct()
     relevant = stored_bands.join(
         F.broadcast(hot), ["bucket_mod", "band", "bucket"], "left_semi"
-    )
+    ).join(F.broadcast(delta_ids), "id", "left_anti")
 
     members = relevant.withColumn("is_new", F.lit(False)).unionByName(
         delta_bands.withColumn("is_new", F.lit(True))
@@ -476,10 +512,13 @@ def minhash_near_duplicates_incremental(
         _p(path, "shingles")
     )
     # Verification needs each candidate id's shingle set exactly once;
-    # delta ids resolve from the delta frame, corpus ids from the stored
-    # table pruned to candidate ids (semi-join — the corpus-sized side
-    # never fans out).
-    sets = stored_shingles.unionByName(delta_shingles)
+    # delta ids resolve from the delta frame (delta-wins — stored rows
+    # for re-ingested ids are anti-joined away), corpus ids from the
+    # stored table pruned to candidate ids (semi-join — the corpus-sized
+    # side never fans out).
+    sets = stored_shingles.join(
+        F.broadcast(delta_ids), "id", "left_anti"
+    ).unionByName(delta_shingles)
     return (
         cands.join(
             sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),

@@ -19,6 +19,11 @@ resources):
   rules would collide every v6 literal onto one key; brackets are
   vanishingly rare on a crawl frontier, and NULL routes them to the
   caller's garbage policy instead of poisoning the key space);
+- a malformed port suffix quarantined to NULL too (round-7 advice:
+  ``a.com:8x`` used to silently DROP the ``:8x`` and merge with the
+  portless spelling — violating the no-merges contract; the hostport
+  must be exactly ``host`` or ``host:digits``, anything else —
+  trailing bare colon, non-numeric port, multiple colons — is NULL);
 - the port compared NUMERICALLY via leading-zero stripping (``:0443``
   IS ``:443``; string-level ``regexp_replace('^0+')`` rather than a
   cast, so an absurd-width port cannot trip ANSI overflow), an
@@ -69,6 +74,12 @@ AUTH_USERINFO_RE = "^(.*@)"
 AUTH_HOSTPORT_RE = "([^@]*)$"
 AUTH_HOST_RE = "^([^:]*)"
 AUTH_PORT_RE = ":([0-9]+)$"
+# well-formedness gate: host alone, or host:digits — anything else
+# (bare trailing colon, non-numeric port, multiple colons) means the
+# host/port split above would silently DISCARD bytes, merging the
+# spelling with a different resource; such authorities quarantine to
+# NULL instead (round-7 advice).
+AUTH_HOSTPORT_OK_RE = "^[^:]*(:[0-9]+)?$"
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -129,7 +140,8 @@ def canonicalize_url(url: str | Column) -> Column:
     return F.when(
         (scheme == "")
         | (host == "")
-        | hostport.contains("["),
+        | hostport.contains("[")
+        | ~hostport.rlike(AUTH_HOSTPORT_OK_RE),
         F.lit(None).cast("string"),
     ).otherwise(
         F.concat(
@@ -172,7 +184,9 @@ def duckdb_canonicalize_sql(url_expr: str) -> str:
     http, https = _DEFAULT_PORTS["http"], _DEFAULT_PORTS["https"]
     return f"""
         CASE WHEN {scheme} = '' OR {host} = ''
-                  OR contains({hostport}, '[') THEN NULL
+                  OR contains({hostport}, '[')
+                  OR NOT regexp_matches({hostport},
+                                        '{AUTH_HOSTPORT_OK_RE}') THEN NULL
              ELSE {scheme} || '://' || {userinfo} || {host}
                   || CASE WHEN {port} = ''
                             OR ({scheme} = 'http' AND {port_n} = '{http}')

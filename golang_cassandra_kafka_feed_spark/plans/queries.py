@@ -2793,6 +2793,7 @@ def q113(spark, sf_dir):
     import hashlib
 
     from golang_cassandra_kafka_feed_spark.sources.sinks import (
+        read_csv,
         write_csv,
         write_json_lines,
         write_orc,
@@ -2817,11 +2818,11 @@ def q113(spark, sf_dir):
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     orc = spark.read.orc(paths["orc"])
     js = spark.read.schema(schema).json(paths["json"])
-    csv = (
-        spark.read.schema(schema)
-        .option("header", "true")
-        .csv(paths["csv"])
-    )
+    # read_csv pins the writer-mirrored options: multiLine (embedded
+    # newlines), the \N null token vs quoted-"" empty distinction, and
+    # whitespace trimming off (round-7 advice closed both silent
+    # CSV mutation channels).
+    csv = read_csv(spark, paths["csv"], schema)
     return (
         orc.select("doc_id", F.col("source").alias("source_orc"))
         .join(

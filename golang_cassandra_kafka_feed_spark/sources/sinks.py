@@ -9,7 +9,17 @@ multi-file parquet.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# NULL and empty-string must survive a CSV roundtrip as DISTINCT values.
+# Spark's defaults conflate them on read (reader nullValue is the empty
+# string, so an unquoted empty field — the writer's default null
+# rendering — and a genuinely empty string can collapse to NULL).  Pin
+# an explicit out-of-band null token on BOTH sides and keep the quoted
+# `""` empty rendering; test_sinks.py::test_csv_null_vs_empty_roundtrip
+# proves the two come back as themselves (round-7 advice).
+_CSV_NULL_TOKEN = "\\N"
+_CSV_EMPTY_TOKEN = '""'
 
 
 def write_csv(
@@ -25,6 +35,38 @@ def write_csv(
         .option("header", str(header).lower())
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", _CSV_NULL_TOKEN)
+        .option("emptyValue", _CSV_EMPTY_TOKEN)
+        .csv(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """The reader twin of ``write_csv`` — every fidelity-relevant option
+    pinned to mirror the writer, so roundtrips are value-exact:
+    explicit schema (schema-on-read is part of the contract, never
+    inference), the same null/empty tokens, whitespace trimming off,
+    and ``multiLine`` on so text containing embedded newlines parses as
+    one record instead of corrupting the frame.
+
+    Scale note: ``multiLine=true`` makes each CSV FILE unsplittable
+    (record boundaries can no longer be found mid-file), so read
+    parallelism = file count.  Fine here because ``write_csv`` emits
+    one file per task; a single giant multiline CSV would serialize
+    onto one task — ingest such data once and convert to parquet."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", _CSV_NULL_TOKEN)
+        # asymmetric on purpose: WRITE emptyValue is the rendered token
+        # (the quoted `""`), READ emptyValue is the value a quoted-empty
+        # field becomes — the empty string itself.
+        .option("emptyValue", "")
+        .option("multiLine", "true")
         .csv(path)
     )
 

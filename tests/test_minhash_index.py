@@ -303,3 +303,65 @@ def test_incremental_never_rescans_the_corpus_source(spark, tmp_path):
     )
     assert "corpus_parquet" not in plan
     assert "bands" in plan and "shingles" in plan
+
+
+def test_rebuild_in_place_kills_the_commit_marker_first(
+    spark, tmp_path, monkeypatch
+):
+    """Rebuilding over a COMMITTED index must invalidate the old meta
+    before touching bands/shingles (round-7 advice): a crash
+    mid-overwrite must leave a meta-less partial that ensure rebuilds,
+    never old-meta-next-to-new-partial-data that ensure would reuse."""
+    import golang_cassandra_kafka_feed_spark.operators.minhash_index as mi
+    from golang_cassandra_kafka_feed_spark.sources.fsutil import path_exists
+
+    idx = str(tmp_path / "idx")
+    corpus = _corpus(spark)
+    build_minhash_index(corpus, idx)
+    assert path_exists(spark, idx + "/meta")
+
+    real = mi._index_rows
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the bands overwrite")
+
+    monkeypatch.setattr(mi, "_index_rows", boom)
+    with pytest.raises(RuntimeError):
+        mi.build_minhash_index(corpus, idx)
+    assert not path_exists(spark, idx + "/meta"), (
+        "stale commit marker survived a crashed rebuild"
+    )
+
+    monkeypatch.setattr(mi, "_index_rows", real)
+    ensure_minhash_index(corpus, idx)  # rebuilds — no marker present
+    assert read_index_meta(spark, idx)["num_hashes"] == 64
+
+
+def test_incremental_tolerates_reingested_ids(spark, tmp_path):
+    """A delta replaying ids ALREADY in the index resolves delta-wins:
+    each candidate pair joins exactly one shingle row per side (no
+    duplicated pair rows), and the answer equals an index that never
+    contained the replayed docs — the delta copy is authoritative."""
+    full = _corpus(spark)
+    a = full.filter("doc_id % 3 != 0")
+    b = full.filter("doc_id % 3 = 0")
+    overlap = a.filter("doc_id % 5 = 1")  # stored docs replayed in delta
+    assert overlap.count() > 0
+    delta = b.unionByName(overlap)
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(a, idx)
+    got = minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+    rows = got.collect()
+    keys = [(r.id_a, r.id_b) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicated pair rows"
+
+    idx2 = str(tmp_path / "idx2")
+    build_minhash_index(
+        a.join(overlap.select("doc_id"), "doc_id", "left_anti"), idx2
+    )
+    expected = _pairs(
+        minhash_near_duplicates_incremental(delta, idx2, threshold=0.5)
+    )
+    assert {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in rows} == expected
+    assert expected, "planted families must collide for this to test"

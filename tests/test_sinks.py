@@ -28,14 +28,15 @@ def test_csv_export_roundtrip(spark, sf_dir, tmp_path):
 
 
 def test_csv_hazard_roundtrip(spark, tmp_path):
-    """Value-exact CSV roundtrip for the strings CSV is most likely to
-    mangle — embedded commas, quotes, leading/trailing spaces, unicode,
-    NULL-vs-empty.  The q113 fidelity query rides the CSV leg, but the
-    generated testdata happens to contain none of these characters, so
-    the quoting path is pinned here.  Embedded newlines are excluded
-    deliberately: reading them back needs multiLine=true, which makes
-    files non-splittable — the documented contract is one record per
-    line (the reference's export is line-oriented too)."""
+    """Value-exact CSV roundtrip through the pinned writer+reader pair
+    for the strings CSV is most likely to mangle — embedded commas,
+    quotes, NEWLINES (multiLine=true on the pinned reader),
+    leading/trailing spaces, unicode, and NULL-vs-empty (the \\N null
+    token vs quoted-"" empty keeps them distinct — round-7 advice
+    closed both silent mutation channels).  The q113 fidelity query
+    rides this exact reader."""
+    from golang_cassandra_kafka_feed_spark.sources.sinks import read_csv
+
     rows = [
         (1, "plain"),
         (2, "comma,inside"),
@@ -47,22 +48,34 @@ def test_csv_hazard_roundtrip(spark, tmp_path):
         (8, None),
         (9, "trailing\\backslash"),
         (10, "semi;colon\ttab"),
+        (11, "first line\nsecond line\r\nthird"),
     ]
     df = spark.createDataFrame(rows, "id long, s string")
     out = str(tmp_path / "hazard")
     write_csv(df, out)
-    back = (
-        spark.read.schema("id long, s string")
-        .option("header", "true")
-        .csv(out)
-    )
+    back = read_csv(spark, out, "id long, s string")
     got = {r.id: r.s for r in back.collect()}
-    want = dict(rows)
-    # CSV cannot distinguish empty string from NULL on read (both are
-    # an empty field) — Spark reads both back as NULL; value fidelity
-    # holds for everything else.
-    want[7] = None
-    assert got == want
+    assert got == dict(rows)
+
+
+def test_csv_null_vs_empty_roundtrip(spark, tmp_path):
+    """NULL and '' are distinct values and must come back as
+    themselves.  One reserved token: a data string EQUAL to the \\N
+    null token itself reads back as NULL (the writer emits it
+    unquoted, indistinguishable from a written null — the same
+    reservation Hive's text serde makes)."""
+    from golang_cassandra_kafka_feed_spark.sources.sinks import read_csv
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " "), (4, "\\N")], "id long, s string"
+    )
+    out = str(tmp_path / "null_empty")
+    write_csv(df, out)
+    got = {r.id: r.s for r in read_csv(spark, out, "id long, s string").collect()}
+    assert got[1] is None
+    assert got[2] == ""
+    assert got[3] == " "
+    assert got[4] is None  # the documented token reservation
 
 
 def test_orc_roundtrip_value_exact(spark, tmp_path):

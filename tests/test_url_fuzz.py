@@ -60,7 +60,9 @@ def _url(rng: random.Random) -> str:
     if rng.random() < 0.4:
         s += rng.choice(
             [":80", ":443", ":8080", ":080", ":0443", ":1",
-             ":65535", ":00080"]
+             ":65535", ":00080",
+             # malformed suffixes — must quarantine, not merge
+             ":8x", ":", ":1:2", ":0x50"]
         )
     if rng.random() < 0.7:
         segs = rng.randrange(0, 4)

@@ -97,6 +97,13 @@ def test_canonicalization_rules(spark, raw, expected):
         # (review-found: colon-split rules collided all v6 literals)
         "http://[::1]:8080/x",
         "https://user@[2001:db8::1]/y",
+        # malformed port suffixes quarantine rather than silently
+        # dropping bytes and merging with the portless spelling
+        # (round-7 advice: ':8x' used to vanish)
+        "http://a.com:8x/",
+        "http://a.com:/x",
+        "http://a.com:1:2/x",
+        "http://a.com:80a80/x",
     ],
 )
 def test_unparseable_urls_canonicalize_to_null(spark, garbage):
