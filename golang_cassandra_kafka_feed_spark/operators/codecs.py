@@ -370,3 +370,179 @@ def decode_wav(raw: bytes) -> tuple[int, int, list[int]]:
         raise MediaFormatError("missing fmt or data chunk")
     n = len(data) // 2
     return sample_rate, n_channels, list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+# -- JPEG (header-level metadata: SOF marker walk, no DCT decode) -----------
+
+# every Start-Of-Frame marker (ITU T.81 table B.1); C4/C8/CC are
+# DHT/JPG-extension/DAC, not frames
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+_JPEG_PROGRESSIVE_MARKERS = frozenset({0xC2, 0xC6, 0xCA, 0xCE})
+
+
+def jpeg_header(raw: bytes) -> tuple[int, int, int, bool]:
+    """Parse a JPEG's frame header -> (width, height, n_components,
+    progressive) by walking the marker segments to the first SOF —
+    pure byte parsing in the vendored-codec style, no entropy decode.
+    A real crawl serves JPEG more than any other image format; header
+    metadata (dimensions, component count, baseline-vs-progressive) is
+    what a curation pipeline filters on, and it needs no codec
+    library.  Full pixel decode stays behind the library gate.
+    Rejects malformed streams with ``MediaFormatError``."""
+    n = len(raw)
+    if n < 4 or raw[0:2] != b"\xff\xd8":
+        raise MediaFormatError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 1 < n:
+        if raw[i] != 0xFF:
+            raise MediaFormatError(f"marker desync at byte {i}")
+        while i < n and raw[i] == 0xFF:  # fill bytes are legal padding
+            i += 1
+        if i >= n:
+            break
+        marker = raw[i]
+        i += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no segment
+        if marker == 0xD9:  # EOI
+            break
+        if i + 2 > n:
+            raise MediaFormatError("truncated segment length")
+        seglen = (raw[i] << 8) | raw[i + 1]
+        if seglen < 2 or i + seglen > n:
+            raise MediaFormatError(f"bad segment length {seglen}")
+        if marker in _JPEG_SOF_MARKERS:
+            if seglen < 8:
+                raise MediaFormatError("SOF segment too short")
+            height = (raw[i + 3] << 8) | raw[i + 4]
+            width = (raw[i + 5] << 8) | raw[i + 6]
+            n_components = raw[i + 7]
+            if width == 0 or height == 0 or n_components == 0:
+                raise MediaFormatError(
+                    f"bad frame header {width}x{height}/{n_components}"
+                )
+            return (
+                width,
+                height,
+                n_components,
+                marker in _JPEG_PROGRESSIVE_MARKERS,
+            )
+        if marker == 0xDA:
+            raise MediaFormatError("SOS before SOF — no frame header")
+        i += seglen
+    raise MediaFormatError("no SOF marker found")
+
+
+def encode_jpeg_header(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+) -> bytes:
+    """A structurally valid JPEG prefix (SOI + JFIF APP0 + SOF + EOI)
+    carrying the given frame header — the planted-payload builder for
+    header-parsing tests; carries no scan data."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"dimensions out of range: {width}x{height}")
+    app0 = struct.pack(
+        ">HH5sBBBHHBB", 0xFFE0, 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )
+    sof_marker = 0xFFC2 if progressive else 0xFFC0
+    comps = b"".join(
+        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(n_components)
+    )
+    sof = struct.pack(
+        ">HHBHHB", sof_marker, 8 + 3 * n_components, 8, height, width,
+        n_components,
+    ) + comps
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+# -- MP3 (frame-header metadata: sync walk, no subband decode) --------------
+
+# ISO 11172-3 tables: sample rates by version bits, bitrates (kbps) by
+# (version-class, layer bits), indexes 1..14 (0 = freeform, 15 = bad)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+_MP3_BITRATES = {
+    # MPEG-1
+    (1, 3): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),  # Layer I
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),  # Layer II
+    (1, 1): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),  # Layer III
+    # MPEG-2 / 2.5
+    (2, 3): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 1): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+
+def _skip_id3v2(raw: bytes) -> int:
+    """Offset past a leading ID3v2 tag (syncsafe 28-bit size), or 0."""
+    if len(raw) >= 10 and raw[0:3] == b"ID3":
+        size = (
+            ((raw[6] & 0x7F) << 21) | ((raw[7] & 0x7F) << 14)
+            | ((raw[8] & 0x7F) << 7) | (raw[9] & 0x7F)
+        )
+        return 10 + size
+    return 0
+
+
+def mp3_frame_header(raw: bytes) -> tuple[int, int, int]:
+    """Parse the first MPEG audio frame header ->
+    (sample_rate, n_channels, bitrate_kbps); skips a leading ID3v2 tag
+    (what a real crawl's MP3s carry).  Freeform bitrate (index 0) and
+    reserved version/layer/rate bits reject with ``MediaFormatError``
+    — a curation pipeline wants deterministic metadata, not guesses."""
+    i = _skip_id3v2(raw)
+    if i + 4 > len(raw):
+        raise MediaFormatError("no room for an MPEG frame header")
+    b0, b1, b2, b3 = raw[i : i + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise MediaFormatError("no MPEG frame sync")
+    version = (b1 >> 3) & 3  # 0=2.5, 1=reserved, 2=MPEG-2, 3=MPEG-1
+    layer = (b1 >> 1) & 3  # 0=reserved, 1=III, 2=II, 3=I
+    if version == 1 or layer == 0:
+        raise MediaFormatError("reserved version/layer bits")
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx == 0 or br_idx == 15:
+        raise MediaFormatError(f"unsupported bitrate index {br_idx}")
+    if sr_idx == 3:
+        raise MediaFormatError("reserved sample-rate index")
+    sample_rate = _MP3_RATES[version][sr_idx]
+    vclass = 1 if version == 3 else 2
+    bitrate_kbps = _MP3_BITRATES[(vclass, layer)][br_idx - 1]
+    n_channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    return sample_rate, n_channels, bitrate_kbps
+
+
+def encode_mp3_frame(
+    sample_rate: int = 44100, n_channels: int = 2, bitrate_kbps: int = 128
+) -> bytes:
+    """A single MPEG Layer-III frame header (+ zeroed side info) for the
+    given parameters — the planted-payload builder for header-parsing
+    tests.  Version is inferred from the sample rate."""
+    for version, rates in _MP3_RATES.items():
+        if sample_rate in rates:
+            sr_idx = rates.index(sample_rate)
+            break
+    else:
+        raise ValueError(f"no MPEG version serves {sample_rate} Hz")
+    vclass = 1 if version == 3 else 2
+    table = _MP3_BITRATES[(vclass, 1)]
+    if bitrate_kbps not in table:
+        raise ValueError(
+            f"bitrate {bitrate_kbps} not in the Layer-III table {table}"
+        )
+    br_idx = table.index(bitrate_kbps) + 1
+    b1 = 0xE0 | (version << 3) | (1 << 1)  # sync tail, version, Layer III
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = (0xC0 if n_channels == 1 else 0x00)  # mono vs stereo mode
+    return bytes((0xFF, b1, b2, b3)) + b"\x00" * 32

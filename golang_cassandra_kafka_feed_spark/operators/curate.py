@@ -55,6 +55,7 @@ def curate_corpus(
     line_dedup_min_count: int | None = None,
     dsir_target: Column | None = None,
     dsir_keep: int | None = None,
+    leak_threshold: float | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: input columns + ``lang_detected``
     (named so it never shadows an input ``lang`` column), ``n_tokens``,
@@ -73,6 +74,16 @@ def curate_corpus(
     predicate and ``dsir_keep`` are drawn weight-proportionally
     (operators/selection.py::dsir_resample), before the per-source cap
     and split.
+
+    With ``leak_threshold`` set, a cross-split leakage repair runs
+    AFTER the split (contamination.cross_split_leakage): near-dup
+    pairs are re-detected at ``leak_threshold`` — typically LOWER than
+    ``near_dup_threshold``, because eval-contamination standards are
+    stricter than dedup (the 0.8-similar dup went to one split, but a
+    0.5-similar paraphrase straddling train/test still leaks the
+    benchmark) — and each leaky pair drops its less-protected member
+    (test > val > train), so the emitted splits are leak-free by
+    construction at that threshold (asserted in test_curate.py).
 
     With ``chunk_size`` set, a final doc→sample stage replaces each doc
     row by its overlapping token-window chunks (chunk_idx /
@@ -192,6 +203,22 @@ def curate_corpus(
     out = hash_split(d, id_col, weights=split_weights).withColumnRenamed(
         "__lang", "lang_detected"
     )
+    if leak_threshold is not None:
+        from golang_cassandra_kafka_feed_spark.operators.contamination import (
+            cross_split_leakage,
+        )
+
+        leak_pairs = minhash_near_duplicates(
+            out, text_col=text_col, id_col=id_col, threshold=leak_threshold
+        )
+        drops = (
+            cross_split_leakage(
+                out.select(id_col, "split"), leak_pairs, id_col=id_col
+            )
+            .select(F.col("drop_id").alias(id_col))
+            .distinct()
+        )
+        out = out.join(drops, id_col, "left_anti")
     if chunk_size is not None:
         from golang_cassandra_kafka_feed_spark.operators.textstats import (
             chunk_documents,

@@ -69,6 +69,11 @@ _SHINGLES_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
         T.StructField("sh", T.ArrayType(T.StringType()), False),
+        # per-doc ingest timestamp for TTL retention (expire_minhash_
+        # index); NULL when the index was built without ts_col — such
+        # rows never expire.  Lives on the shingles side only (one row
+        # per doc; band rows stay narrow).
+        T.StructField("ts", T.TimestampType(), True),
     ]
 )
 _META_SCHEMA = T.StructType(
@@ -78,6 +83,9 @@ _META_SCHEMA = T.StructType(
         T.StructField("shingle_size", T.IntegerType(), False),
         T.StructField("hasher", T.StringType(), False),
         T.StructField("bucket_mods", T.IntegerType(), False),
+        # None for ts-less indexes (and for indexes built before the
+        # field existed — schema-on-read yields NULL)
+        T.StructField("ts_col", T.StringType(), True),
     ]
 )
 
@@ -111,11 +119,17 @@ def _index_rows(
         .cast("int")
         .alias("bucket_mod"),
     )
+    ts_col = meta.get("ts_col")
     shingles = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.array_distinct(_shingles(text_col, meta["shingle_size"])).alias(
             "sh"
         ),
+        (
+            F.col(ts_col).cast("timestamp")
+            if ts_col
+            else F.lit(None).cast("timestamp")
+        ).alias("ts"),
     )
     return bands, shingles
 
@@ -177,9 +191,15 @@ def build_minhash_index(
     hasher: str = "xxhash",
     bucket_mods: int = _BUCKET_MODS,
     signature_partitions: int | None = None,
+    ts_col: str | None = None,
 ) -> dict:
     """Materialize the index for ``df`` at ``path`` (overwrite) and
     return the pinned meta.
+
+    ``ts_col`` (optional) names a timestamp column carried onto the
+    shingles side per doc — the handle ``expire_minhash_index`` needs
+    for age/TTL retention.  Pinned in meta like every other parameter
+    so appends cannot silently mix ts-less and ts-carrying rows.
 
     ``signature_partitions`` widens the signature pass when the source
     arrives as too few splits (a small-file corpus reads as ONE task,
@@ -199,6 +219,7 @@ def build_minhash_index(
         "shingle_size": shingle_size,
         "hasher": hasher,
         "bucket_mods": bucket_mods,
+        "ts_col": ts_col,
     }
     if signature_partitions is not None:
         df = df.repartition(signature_partitions, id_col)
@@ -229,6 +250,7 @@ def ensure_minhash_index(
     hasher: str = "xxhash",
     bucket_mods: int = _BUCKET_MODS,
     signature_partitions: int | None = None,
+    ts_col: str | None = None,
 ) -> dict:
     """Create-if-absent twin of ``build_minhash_index`` — the CAS
     shape of reference internal/store/feed.go:46-59 applied to the
@@ -247,6 +269,7 @@ def ensure_minhash_index(
         "shingle_size": shingle_size,
         "hasher": hasher,
         "bucket_mods": bucket_mods,
+        "ts_col": ts_col,
     }
     if path_exists(spark, _p(path, "meta")):
         stored = read_index_meta(spark, path)
@@ -268,6 +291,7 @@ def ensure_minhash_index(
         hasher,
         bucket_mods,
         signature_partitions,
+        ts_col,
     )
 
 
@@ -412,6 +436,45 @@ def delete_from_minhash_index(
     )
 
 
+def expire_minhash_index(spark: SparkSession, path: str, older_than) -> None:
+    """Age/TTL retention — the operational complement to id-based
+    erasure (``delete_from_minhash_index``): drop every document whose
+    pinned ingest timestamp (``ts_col`` at build time) is strictly
+    before ``older_than``, WITHOUT the caller enumerating ids — the
+    "drop bands for docs older than T" loop a daily-crawl index runs.
+    ``older_than`` is anything ``F.lit(...).cast("timestamp")``
+    accepts (datetime or ISO string).  Docs with NULL ts (index built
+    without ts_col) never expire.
+
+    Crash safety inherits the staged-swap argument: bands rewrite
+    first (doomed ids resolved from the still-live shingles side), so
+    either half-completed state is semantically safe — a doc gone from
+    bands is never a candidate, and a resumed expire still finds the
+    doomed ids in the not-yet-swapped shingles.  Equivalence to
+    rebuild-without-expired is proven externally by q117's exclusion
+    oracle and test_minhash_index.py::test_expire_equals_rebuild
+    (sub-cap widths; at-cap caveat identical to delete's)."""
+    cutoff = F.lit(older_than).cast("timestamp")
+    if read_index_meta(spark, path).get("ts_col") is None:
+        raise ValueError(
+            f"index at {path} was built without ts_col; TTL expiry "
+            "needs per-doc timestamps — rebuild with ts_col set"
+        )
+
+    def drop_expired(df: DataFrame, side: str) -> DataFrame:
+        if side == "shingles":
+            return df.filter(F.col("ts").isNull() | (F.col("ts") >= cutoff))
+        doomed = (
+            spark.read.schema(_SHINGLES_SCHEMA)
+            .parquet(_p(path, "shingles"))
+            .filter(F.col("ts").isNotNull() & (F.col("ts") < cutoff))
+            .select("id")
+        )
+        return df.join(doomed, "id", "left_anti")
+
+    _rewrite_index_sides(spark, path, drop_expired)
+
+
 def minhash_near_duplicates_incremental(
     new_docs: DataFrame,
     path: str,
@@ -450,8 +513,11 @@ def minhash_near_duplicates_incremental(
 
     spark = new_docs.sparkSession
     meta = read_index_meta(spark, path)
+    # The delta's shingle rows are QUERY-transient (never persisted),
+    # so the index's pinned ts_col is not required on the query input —
+    # drop it from the row build (ts rides as NULL through the union).
     delta_bands, delta_shingles = _index_rows(
-        new_docs, text_col, id_col, meta
+        new_docs, text_col, id_col, {**meta, "ts_col": None}
     )
     # The delta band frame feeds BOTH the hot-bucket broadcast and the
     # union membership; separately-referenced HOF-bearing subtrees never

@@ -86,6 +86,14 @@ DECODED_SCHEMA = T.StructType(
 # decode for real; everything else stays behind the library gate.
 VENDORED_DECODERS = ("image/bmp", "image/png", "audio/wav", "audio/x-wav")
 
+# content types where the vendored parsers extract HEADER metadata only
+# (dimensions / sample layout) — pure byte parsing, no entropy decode:
+# the two formats a real crawl actually serves most.  Pixel/sample
+# values for these still need a codec library, so their decoded rows
+# carry n_values=0 and a zero feature; the NotImplementedError gate now
+# covers only types in NEITHER list.
+HEADER_ONLY_DECODERS = ("image/jpeg", "audio/mpeg")
+
 
 def decode_media(
     df: DataFrame, on_error: str = "raise", n_bins: int = 8
@@ -102,11 +110,17 @@ def decode_media(
     values normalized to [0, 1], and an ``n_bins``-bin normalized
     histogram of the decoded values as the content feature.
 
+    ``image/jpeg`` and ``audio/mpeg`` payloads get HEADER-ONLY rows
+    (dimensions from the JPEG SOF marker, rate/channels from the MP3
+    frame header — codecs.jpeg_header/mp3_frame_header): real typed
+    metadata, ``n_values=0`` and a zero feature, because pixel/sample
+    values for these formats genuinely need a codec library.
+
     ``on_error``: ``"raise"`` (default) surfaces malformed payloads and
-    NON-VENDORED content types (JPEG/MP3/... genuinely need a codec
-    library — the NotImplementedError gate, now narrowed to exactly
-    those); ``"skip"`` drops both, the bad-record path of the JSON
-    decoder (streaming/fanout.py).
+    content types in NEITHER decoder list (the NotImplementedError
+    gate, now covering only genuinely-unparseable types like
+    video containers); ``"skip"`` drops both, the bad-record path of
+    the JSON decoder (streaming/fanout.py).
 
     Scale shape: identical to ``fake_feature_extract`` — a narrow
     mapInPandas stage, no shuffle; peak memory is the Arrow batch plus
@@ -123,6 +137,8 @@ def decode_media(
         decode_bmp,
         decode_png,
         decode_wav,
+        jpeg_header,
+        mp3_frame_header,
     )
 
     def _rows(pdf: pd.DataFrame) -> Iterator[dict]:
@@ -146,11 +162,24 @@ def decode_media(
                     vals = samples
                     scale = 32768.0
                     meta = ("audio", 0, 0, rate, ch)
+                elif ctype == "image/jpeg":
+                    # header-only: dimensions from the SOF marker, no
+                    # entropy decode (n_values=0, zero feature)
+                    w, h, _ncomp, _prog = jpeg_header(raw)
+                    vals = b""
+                    scale = 255.0
+                    meta = ("image", w, h, 0, 0)
+                elif ctype == "audio/mpeg":
+                    rate, ch, _kbps = mp3_frame_header(raw)
+                    vals = []
+                    scale = 32768.0
+                    meta = ("audio", 0, 0, rate, ch)
                 else:
                     raise NotImplementedError(
-                        f"no vendored decoder for {ctype!r} (have "
-                        f"{VENDORED_DECODERS}); compressed formats need a "
-                        "codec library"
+                        f"no vendored decoder for {ctype!r} (full decode: "
+                        f"{VENDORED_DECODERS}; header-only: "
+                        f"{HEADER_ONLY_DECODERS}); other compressed "
+                        "formats need a codec library"
                     )
             except (MediaFormatError, NotImplementedError):
                 if on_error == "skip":
@@ -233,6 +262,62 @@ def attach_media_payload(
     return df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col)
     ).mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def attach_header_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Plant REAL JPEG/MP3 header payloads deterministically from
+    ``doc_id`` (even ids JPEG, odd ids MP3) via the vendored header
+    builders — parameters are closed-form in doc_id, so an oracle can
+    compute the expected decode output without parsing a byte:
+
+    - JPEG: width = 16 + id % 240, height = 16 + (id * 7) % 240,
+      3 components, progressive iff id % 4 == 0;
+    - MP3:  sample_rate = (44100, 48000, 32000)[id % 3],
+      mono iff id % 4 == 3, 128 kbps.
+
+    Same Arrow-batched mapInPandas shape as the other planters."""
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        encode_jpeg_header,
+        encode_mp3_frame,
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    payload = encode_jpeg_header(
+                        16 + i % 240,
+                        16 + (i * 7) % 240,
+                        n_components=3,
+                        progressive=(i % 4 == 0),
+                    )
+                    ctype = "image/jpeg"
+                else:
+                    payload = encode_mp3_frame(
+                        (44100, 48000, 32000)[i % 3],
+                        n_channels=1 if i % 4 == 3 else 2,
+                        bitrate_kbps=128,
+                    )
+                    ctype = "audio/mpeg"
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "content_type": ctype,
+                        "payload": payload,
+                        "byte_len": len(payload),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
 
 
 def fake_feature_extract(

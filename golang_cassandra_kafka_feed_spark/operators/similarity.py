@@ -227,6 +227,136 @@ _IVF_CODEBOOKS: dict[
 ] = {}
 _IVF_CODEBOOKS_MAX = 32
 
+# Above this cell count the codebook stops being plan literals: a
+# multi-thousand-literal expression tree explodes Catalyst
+# analysis/codegen (and the py4j literal construction alone costs
+# ~2 s per 16x64 doubles), so large codebooks ride a broadcast one-row
+# DataFrame instead — same math, hash-identical results
+# (test_similarity_ops.py::test_ivf_join_path_matches_literal_path).
+# At 100 TB embedding scale n_cells ~ sqrt(N) reaches 10k-100k, which
+# is squarely join-path territory.
+IVF_LITERAL_MAX_CELLS = 1024
+
+_IVF_CODEBOOK_ROWS: dict[tuple[str, int, tuple[str, ...], int], DataFrame] = {}
+
+
+def _ivf_memo_key(c: DataFrame, n_cells: int):
+    """(applicationId, plan semanticHash, sorted input files, n_cells)
+    staleness key shared by both codebook memos; None disables
+    memoization (non-file-backed plans have no append/overwrite channel
+    to guard and are cheap to recompute — round-6 advice)."""
+    input_files = tuple(sorted(c.inputFiles()))
+    if not input_files:
+        return None
+    return (
+        c.sparkSession.sparkContext.applicationId,
+        c.semanticHash(),
+        input_files,
+        n_cells,
+    )
+
+
+def _ivf_codebook_row(c: DataFrame, n_cells: int) -> DataFrame:
+    """The large-codebook twin of ``_ivf_centroids``: the SAME
+    deterministic centroids (md5-hash cells, min-hash member per cell),
+    but aggregated in-plan into ONE row holding
+    ``array<struct<cell:int, cvec:array<double>, cnorm:double>>``
+    sorted by cell, then ``localCheckpoint``-ed so the two consumers
+    (corpus assignment + query probe) share one materialization instead
+    of re-running the centroid aggregation per reference (the
+    HOF-lambda ReuseExchange trap).  Norms are folded in-plan by the
+    identical left-fold ``_norm`` the literal path mirrors in Python,
+    so downstream cosines are bit-identical across the two paths.
+
+    Memoized like the literal codebook (file-backed corpora only): the
+    checkpointed one-row frame is n_cells small vectors in executor
+    memory, FIFO-capped."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import _md5_32
+
+    key = _ivf_memo_key(c, n_cells)
+    if key is not None and key in _IVF_CODEBOOK_ROWS:
+        return _IVF_CODEBOOK_ROWS[key]
+    id_hash = _md5_32(F.col("vec_id").cast("string"))
+    cb = (
+        c.groupBy(
+            F.pmod(id_hash, F.lit(n_cells)).cast("int").alias("cell")
+        )
+        .agg(F.min_by("e", id_hash).alias("cvec"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cell"),
+                        F.col("cvec"),
+                        _norm(F.col("cvec")).alias("cnorm"),
+                    )
+                )
+            ).alias("__cb")
+        )
+    ).localCheckpoint(eager=True)
+    if key is not None:
+        while len(_IVF_CODEBOOK_ROWS) >= _IVF_CODEBOOKS_MAX:
+            _IVF_CODEBOOK_ROWS.pop(next(iter(_IVF_CODEBOOK_ROWS)))
+        _IVF_CODEBOOK_ROWS[key] = cb
+    return cb
+
+
+def _ivf_assign_join(
+    c: DataFrame, q: DataFrame, n_cells: int, n_probe: int
+) -> tuple[DataFrame, DataFrame]:
+    """Large-codebook cell assignment: cross-join the broadcast one-row
+    codebook onto corpus and queries and assign cells with HOF
+    projections over its struct array — the expression-level twin of
+    the literal path's ``cell_sims`` (same ``_dot`` folds, same
+    ``struct(d, negc)`` tie-break), with the per-row vector norm bound
+    once through the one-element-array let-binding trick so
+    CollapseProject cannot re-inline the norm fold into every one of
+    the n_cells lambda bodies (it would re-fold the 64-add norm 4096x
+    per row otherwise)."""
+
+    cb = _ivf_codebook_row(c, n_cells)
+
+    def sims(vcol: Column, vnorm: Column) -> Column:
+        return F.transform(
+            F.col("__cb"),
+            lambda s: F.struct(
+                (_dot(vcol, s["cvec"]) / (vnorm * s["cnorm"])).alias("d"),
+                (-s["cell"]).alias("negc"),
+            ),
+        )
+
+    c_cells = c.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "e",
+        F.transform(
+            F.array(_norm(F.col("e"))),  # let-bind the norm
+            lambda n: -F.array_max(sims(F.col("e"), n)).getField("negc"),
+        )[0].alias("cell"),
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "qe",
+            F.explode(
+                F.transform(
+                    F.array(_norm(F.col("qe"))),
+                    lambda n: F.slice(
+                        F.sort_array(sims(F.col("qe"), n), asc=False),
+                        1,
+                        n_probe,
+                    ),
+                )[0]
+            ).alias("__sc"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            (-F.col("__sc").getField("negc")).alias("cell"),
+        )
+    )
+    return c_cells, q_cells
+
 
 def _ivf_centroids(
     c: DataFrame, n_cells: int
@@ -302,6 +432,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     n_cells: int = DEFAULT_N_CELLS,
     n_probe: int = 4,
+    literal_max_cells: int = IVF_LITERAL_MAX_CELLS,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
     cells around centroid vectors, search only the ``n_probe`` cells
@@ -336,77 +467,98 @@ def ivf_topk(
     pre-folded in Python in the identical left-fold order — binary64 adds
     and ``math.sqrt`` match the JVM op-for-op), so results are
     bit-identical to the previous form and to the DuckDB oracle.
+
+    Above ``literal_max_cells`` the codebook switches from plan
+    literals to a broadcast one-row DataFrame (``_ivf_codebook_row``):
+    cell assignment is then a HOF projection over the broadcast
+    codebook array — still zero corpus-wide shuffles (the one-row
+    cross join is a BroadcastNestedLoopJoin that adds no exchange on
+    the corpus side) — and the plan size is independent of n_cells.
+    Hash-identical to the literal path (same folds, same tie-breaks;
+    asserted at n_cells=4096 in test_similarity_ops.py).
     """
     from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
-    cents = _ivf_centroids(c, n_cells)
-    if not cents:
-        # empty corpus -> empty codebook: the literal projection below
-        # would be array_max(array()) (VOID) — return the contract
-        # schema with zero rows instead.
-        return (
-            queries.select(F.col(query_id_col).alias("query_id"))
-            .limit(0)
-            .withColumn(
-                "vec_id", F.lit(None).cast(corpus.schema[id_col].dataType)
-            )
-            .withColumn("sim", F.lit(None).cast("double"))
-            .withColumn("rank", F.lit(None).cast("long"))
-        )
-
-    def cell_sims(vcol: Column, vnorm: Column) -> Column:
-        # array<struct<d: cosine, negc: -cell>>: struct ordering gives
-        # (max sim, then MIN cell) for both array_max and sort_array desc
-        # — the same (desc __d, asc cell) tie-break as the window form.
-        # ``vnorm`` is the pre-projected _norm of vcol, folded once per
-        # row instead of once per cell.
-        return F.array(
-            *[
-                F.struct(
-                    (_dot(vcol, cv_lit) / (vnorm * F.lit(cn))).alias("d"),
-                    F.lit(-cell).alias("negc"),
-                )
-                for cell, cv_lit, cn in cents
-            ]
-        )
-
-    c_cells = (
-        c.withColumn("__n", _norm(F.col("e")))
-        .select(
-            "vec_id",
-            "e",
-            (
-                -F.array_max(cell_sims(F.col("e"), F.col("__n"))).getField(
-                    "negc"
-                )
-            ).alias("cell"),
-        )
-    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qe")
     )
-    q_cells = (
-        q.withColumn("__n", _norm(F.col("qe")))
-        .select(
-            "query_id",
-            "qe",
-            F.explode(
-                F.slice(
-                    F.sort_array(
-                        cell_sims(F.col("qe"), F.col("__n")), asc=False
-                    ),
-                    1,
-                    n_probe,
+
+    if n_cells > literal_max_cells:
+        # the HOF projections below are total even on an empty corpus
+        # (empty codebook array -> NULL cell -> zero candidate rows),
+        # so no VOID-literal guard is needed on this path
+        c_cells, q_cells = _ivf_assign_join(c, q, n_cells, n_probe)
+    else:
+        cents = _ivf_centroids(c, n_cells)
+        if not cents:
+            # empty corpus -> empty codebook: the literal projection
+            # below would be array_max(array()) (VOID) — return the
+            # contract schema with zero rows instead.
+            return (
+                queries.select(F.col(query_id_col).alias("query_id"))
+                .limit(0)
+                .withColumn(
+                    "vec_id",
+                    F.lit(None).cast(corpus.schema[id_col].dataType),
                 )
-            ).alias("__sc"),
+                .withColumn("sim", F.lit(None).cast("double"))
+                .withColumn("rank", F.lit(None).cast("long"))
+            )
+
+        def cell_sims(vcol: Column, vnorm: Column) -> Column:
+            # array<struct<d: cosine, negc: -cell>>: struct ordering
+            # gives (max sim, then MIN cell) for both array_max and
+            # sort_array desc — the same (desc __d, asc cell) tie-break
+            # as the window form.  ``vnorm`` is the pre-projected _norm
+            # of vcol, folded once per row instead of once per cell.
+            return F.array(
+                *[
+                    F.struct(
+                        (_dot(vcol, cv_lit) / (vnorm * F.lit(cn))).alias(
+                            "d"
+                        ),
+                        F.lit(-cell).alias("negc"),
+                    )
+                    for cell, cv_lit, cn in cents
+                ]
+            )
+
+        c_cells = (
+            c.withColumn("__n", _norm(F.col("e")))
+            .select(
+                "vec_id",
+                "e",
+                (
+                    -F.array_max(
+                        cell_sims(F.col("e"), F.col("__n"))
+                    ).getField("negc")
+                ).alias("cell"),
+            )
         )
-        .select(
-            "query_id", "qe", (-F.col("__sc").getField("negc")).alias("cell")
+        q_cells = (
+            q.withColumn("__n", _norm(F.col("qe")))
+            .select(
+                "query_id",
+                "qe",
+                F.explode(
+                    F.slice(
+                        F.sort_array(
+                            cell_sims(F.col("qe"), F.col("__n")), asc=False
+                        ),
+                        1,
+                        n_probe,
+                    )
+                ).alias("__sc"),
+            )
+            .select(
+                "query_id",
+                "qe",
+                (-F.col("__sc").getField("negc")).alias("cell"),
+            )
         )
-    )
 
     cand = c_cells.join(F.broadcast(q_cells), "cell").select(
         "query_id", "vec_id", "e", "qe"

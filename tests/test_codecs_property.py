@@ -283,3 +283,97 @@ def test_png_trailing_garbage_after_zlib_stream_rejected():
     )
     with pytest.raises(MediaFormatError, match="trailing bytes"):
         decode_png(doctored)
+
+
+# -- JPEG / MP3 header parsers (header-only metadata) ------------------------
+
+
+@given(
+    w=st.integers(1, 0xFFFF),
+    h=st.integers(1, 0xFFFF),
+    ncomp=st.sampled_from([1, 3, 4]),
+    prog=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_header_roundtrip_property(w, h, ncomp, prog):
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        encode_jpeg_header,
+        jpeg_header,
+    )
+
+    assert jpeg_header(encode_jpeg_header(w, h, ncomp, prog)) == (
+        w, h, ncomp, prog,
+    )
+
+
+@given(
+    rate=st.sampled_from(
+        [44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000]
+    ),
+    ch=st.sampled_from([1, 2]),
+    kbps=st.sampled_from([32, 64, 128, 160]),
+    id3_pad=st.integers(0, 64),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_header_roundtrip_property(rate, ch, kbps, id3_pad):
+    """Roundtrip through the frame-header builder, with and without a
+    leading ID3v2 tag of arbitrary (syncsafe) size."""
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        encode_mp3_frame,
+        mp3_frame_header,
+    )
+
+    frame = encode_mp3_frame(rate, ch, kbps)
+    assert mp3_frame_header(frame) == (rate, ch, kbps)
+    tagged = (
+        b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, id3_pad])
+        + b"\x00" * id3_pad + frame
+    )
+    assert mp3_frame_header(tagged) == (rate, ch, kbps)
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=120, deadline=None)
+def test_header_parsers_reject_junk_without_crashing(junk):
+    """Malformed bytes raise MediaFormatError (never IndexError /
+    struct.error) — untrusted-crawl-payload hygiene."""
+    import pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        MediaFormatError,
+        jpeg_header,
+        mp3_frame_header,
+    )
+
+    for parser, magic in ((jpeg_header, b"\xff\xd8"), (mp3_frame_header, b"")):
+        for raw in (junk, magic + junk):
+            try:
+                parser(raw)
+            except MediaFormatError:
+                pass
+            except Exception as e:  # pragma: no cover
+                pytest.fail(f"{parser.__name__} leaked {type(e).__name__}: {e}")
+
+
+def test_jpeg_header_walks_past_other_segments():
+    """SOF found after DQT/DHT/COM segments; SOS-before-SOF and
+    truncated streams reject loudly."""
+    import pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        MediaFormatError,
+        encode_jpeg_header,
+        jpeg_header,
+    )
+
+    full = encode_jpeg_header(300, 200)
+    soi, rest = full[:2], full[2:]
+    dqt = b"\xff\xdb" + (3).to_bytes(2, "big") + b"\x00"
+    com = b"\xff\xfe" + (9).to_bytes(2, "big") + b"crawled"
+    assert jpeg_header(soi + dqt + com + rest)[:2] == (300, 200)
+
+    sos_first = soi + b"\xff\xda" + (3).to_bytes(2, "big") + b"\x00"
+    with pytest.raises(MediaFormatError, match="SOS before SOF"):
+        jpeg_header(sos_first)
+    with pytest.raises(MediaFormatError, match="no SOF"):
+        jpeg_header(soi + com + b"\xff\xd9")

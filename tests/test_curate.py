@@ -160,3 +160,75 @@ def test_curate_diversity_gate_drops_repetitive_docs(spark):
     # without the gate both survive
     out2 = curate_corpus(docs, min_tokens=5, min_alpha_ratio=0.0)
     assert {r.doc_id for r in out2.collect()} == {1, 2}
+
+
+def test_curate_leak_repair_makes_splits_leak_free(spark):
+    """With leak_threshold set (LOWER than near_dup_threshold — eval
+    contamination standards are stricter than dedup), the emitted
+    splits carry ZERO cross-split near-dup pairs at that threshold,
+    and the repair drops exactly the less-protected members the audit
+    names (test > val > train).  Planted corpus: paraphrase families
+    ~0.55 Jaccard — similar enough to leak at 0.4, distinct enough to
+    both survive dedup at 0.8."""
+    from golang_cassandra_kafka_feed_spark.operators.contamination import (
+        cross_split_leakage,
+    )
+
+    def _w(n):
+        return "".join("abcdefghij"[int(c)] for c in str(n))
+
+    rows = []
+    for fam in range(40):
+        base = (
+            f"shared news event {_w(fam)} reported with an identical lead "
+            "paragraph whose tokens run alpha beta gamma delta epsilon "
+            "zeta eta theta iota kappa before the rewrites diverge "
+            f"{_w(fam * 13)}"
+        )
+        rows.append(
+            (2 * fam, base + f" first tail unique closing words {_w(fam * 3 + 1)} end", "a")
+        )
+        rows.append(
+            (2 * fam + 1, base + f" second rewrite different ending here {_w(fam * 7 + 2)} fin", "b")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+    base_out = curate_corpus(docs, min_tokens=3, near_dup_threshold=0.8)
+    repaired = curate_corpus(
+        docs, min_tokens=3, near_dup_threshold=0.8, leak_threshold=0.4
+    )
+
+    # post-repair audit at the SAME threshold finds nothing
+    audit_pairs = minhash_near_duplicates(
+        repaired, text_col="text", id_col="doc_id", threshold=0.4
+    )
+    leaks = cross_split_leakage(
+        repaired.select("doc_id", "split"), audit_pairs
+    )
+    assert leaks.count() == 0
+
+    # the repair is a pure subset of the unrepaired output, dropping
+    # exactly the members the pre-repair audit names
+    base_rows = {
+        (r.doc_id, r.split)
+        for r in base_out.select("doc_id", "split").collect()
+    }
+    rep_rows = {
+        (r.doc_id, r.split)
+        for r in repaired.select("doc_id", "split").collect()
+    }
+    assert rep_rows <= base_rows
+    dropped = {d for d, _ in base_rows - rep_rows}
+    assert dropped, "planted paraphrase families must straddle splits"
+    pre_pairs = minhash_near_duplicates(
+        base_out, text_col="text", id_col="doc_id", threshold=0.4
+    )
+    pre_leaks = cross_split_leakage(
+        base_out.select("doc_id", "split"), pre_pairs
+    ).collect()
+    assert {r.drop_id for r in pre_leaks} == dropped
+    # and the families DID survive dedup (the leak stage, not the
+    # dedup stage, is what separated them)
+    assert len(base_rows) == len(rows)

@@ -365,3 +365,92 @@ def test_incremental_tolerates_reingested_ids(spark, tmp_path):
     )
     assert {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in rows} == expected
     assert expected, "planted families must collide for this to test"
+
+
+def test_expire_equals_rebuild_without_expired(spark, tmp_path):
+    """TTL retention (verdict-r7 ask #5): after expiring docs older
+    than the cutoff, incremental answers match a FRESH index built
+    from only the young docs — no id enumeration by the caller."""
+    import pyspark.sql.functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
+        expire_minhash_index,
+    )
+
+    full = _corpus(spark, n=60)
+    # crawl day = doc_id % 30, closed-form so the survivor set is known
+    stamped = full.withColumn(
+        "crawl_ts",
+        F.to_timestamp(F.lit("2026-01-01"))
+        + F.make_interval(days=F.col("doc_id") % 30),
+    )
+    corpus = stamped.filter("doc_id % 3 != 0")
+    delta = full.filter("doc_id % 3 = 0")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx, ts_col="crawl_ts")
+    expire_minhash_index(spark, idx, "2026-01-10")
+
+    fresh = str(tmp_path / "fresh")
+    build_minhash_index(
+        corpus.filter("doc_id % 30 >= 9"), fresh, ts_col="crawl_ts"
+    )
+    got = _pairs(
+        minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+    )
+    assert got == _pairs(
+        minhash_near_duplicates_incremental(delta, fresh, threshold=0.5)
+    )
+    assert got, "young families must still collide"
+    assert not any(
+        (a % 3 != 0 and a % 30 < 9) or (b % 3 != 0 and b % 30 < 9)
+        for a, b, _ in got
+    ), "expired corpus docs leaked into the pair set"
+
+
+def test_expire_requires_a_ts_indexed_build(spark, tmp_path):
+    """An index built without ts_col cannot silently no-op a retention
+    request — it must refuse loudly."""
+    import pytest as _pytest
+
+    from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
+        expire_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(_corpus(spark, n=20), idx)
+    with _pytest.raises(ValueError, match="without ts_col"):
+        expire_minhash_index(spark, idx, "2026-01-10")
+
+
+def test_append_carries_the_pinned_ts_col(spark, tmp_path):
+    """Appends to a ts-indexed build stamp the same pinned column, so a
+    later expire drops old appended docs too."""
+    import pyspark.sql.functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
+        expire_minhash_index,
+    )
+
+    full = _corpus(spark, n=60).withColumn(
+        "crawl_ts",
+        F.to_timestamp(F.lit("2026-01-01"))
+        + F.make_interval(days=F.col("doc_id") % 30),
+    )
+    a = full.filter("doc_id % 3 = 1")
+    b = full.filter("doc_id % 3 = 2")
+    delta = full.filter("doc_id % 3 = 0").drop("crawl_ts")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(a, idx, ts_col="crawl_ts")
+    append_to_minhash_index(b, idx)
+    expire_minhash_index(spark, idx, "2026-01-10")
+
+    fresh = str(tmp_path / "fresh")
+    build_minhash_index(
+        a.unionByName(b).filter("doc_id % 30 >= 9"), fresh,
+        ts_col="crawl_ts",
+    )
+    assert _pairs(
+        minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+    ) == _pairs(
+        minhash_near_duplicates_incremental(delta, fresh, threshold=0.5)
+    )

@@ -297,3 +297,49 @@ def test_resize_media_real_png_nearest_neighbor(spark):
            for r in resize_media(media, 3, 2).collect()}
     assert out[1] == out[2]  # same pixels -> same thumbnail
     assert len(out[1]) == 6
+
+
+def test_decode_media_header_only_formats(spark):
+    """image/jpeg and audio/mpeg rows decode to HEADER metadata
+    (dimensions / rate+channels) with n_values=0 and a zero feature —
+    the gate narrowed from reject to metadata-only (verdict r7 #4)."""
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        attach_header_payload,
+        decode_media,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in decode_media(attach_header_payload(ids)).collect()
+    }
+    assert len(got) == 8
+    for i, r in got.items():
+        assert r.n_values == 0 and r.mean_value == 0.0
+        assert all(v == 0.0 for v in r.feature)
+        if i % 2 == 0:
+            assert (r.kind, r.content_type) == ("image", "image/jpeg")
+            assert (r.width, r.height) == (16 + i % 240, 16 + (i * 7) % 240)
+            assert (r.sample_rate, r.n_channels) == (0, 0)
+        else:
+            assert (r.kind, r.content_type) == ("audio", "audio/mpeg")
+            assert (r.width, r.height) == (0, 0)
+            assert r.sample_rate == (44100, 48000, 32000)[i % 3]
+            assert r.n_channels == (1 if i % 4 == 3 else 2)
+
+
+def test_decode_media_rejects_corrupt_headers_like_other_formats(spark):
+    """A truncated JPEG header follows the same on_error contract as
+    the pixel-decoding formats."""
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        decode_media,
+    )
+    from pyspark.errors.exceptions.captured import PythonException
+
+    bad = spark.createDataFrame(
+        [(1, "image/jpeg", b"\xff\xd8\xff", 3)],
+        "doc_id long, content_type string, payload binary, byte_len long",
+    )
+    with pytest.raises(PythonException, match="MediaFormatError"):
+        decode_media(bad).collect()
+    assert decode_media(bad, on_error="skip").count() == 0

@@ -326,3 +326,56 @@ def test_ivf_empty_corpus_returns_no_rows(spark):
         [(0, [1.0] * DEFAULT_DIM)], "query_id long, embedding array<double>"
     )
     assert ivf_topk(empty, q, k=3).count() == 0
+
+
+def test_ivf_join_path_matches_literal_path(emb, spark):
+    """Above IVF_LITERAL_MAX_CELLS the codebook rides a broadcast
+    one-row DataFrame instead of plan literals (a multi-thousand-literal
+    tree explodes Catalyst analysis/codegen at the n_cells ~ sqrt(N)
+    a 100 TB corpus needs).  Same math, same tie-breaks — results must
+    be HASH-IDENTICAL to the literal path at the same parameters
+    (verdict r7 ask #3).  Corpus subset keeps the literal side's py4j
+    literal-construction cost bounded."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 120)
+    q = _queries_df(emb, 5)
+    kw = dict(k=5, n_cells=4096, n_probe=6)
+    lit = ivf_topk(sub, q, **kw, literal_max_cells=1 << 20)
+    join = ivf_topk(sub, q, **kw, literal_max_cells=0)
+
+    def rows(df):
+        return {
+            (r.query_id, r.vec_id, repr(r.sim), r.rank)
+            for r in df.collect()
+        }
+
+    got_lit, got_join = rows(lit), rows(join)
+    assert got_lit == got_join
+    assert got_lit, "probe must return candidates"
+
+
+def test_ivf_join_path_plan_shape(emb):
+    """The join path keeps the literal path's scale property: zero
+    corpus-wide shuffles — the codebook arrives by broadcast (the
+    one-row cross join is a BroadcastNestedLoopJoin), candidates by a
+    broadcast hash join on cell, and the only hash exchange in the
+    whole plan is the final per-query top-k."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    df = ivf_topk(
+        emb, _queries_df(emb, 3), k=5, n_cells=4096, n_probe=4,
+        literal_max_cells=0,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    # formatted mode prints shuffle exchanges as "(n) Exchange" with an
+    # "Arguments: hashpartitioning(...)" detail; broadcast exchanges
+    # print broadcast modes — so this counts SHUFFLES only
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
