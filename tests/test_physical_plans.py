@@ -60,9 +60,11 @@ def test_range_theta_join_is_not_cartesian(spark, sf_dir):
 
 def test_declared_queries_have_no_python_udfs(spark, sf_dir):
     """Everything oracle-checked stays JVM-side (whole-stage codegen);
-    only the multimodal feature extractor (q40) uses the Arrow path."""
+    only the multimodal keys (q40, q116) use the Arrow mapInPandas
+    path — media byte parsing is the documented Python-permitted
+    surface."""
     for name in QUERIES:
-        if name == "q40_multimodal_features":
+        if name in ("q40_multimodal_features", "q116_media_headers"):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name

@@ -16,7 +16,11 @@ from datetime import date, datetime
 import pytest
 
 from golang_cassandra_kafka_feed_spark.plans.oracles import ORACLES
-from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
+from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES, RETIRED
+
+# Retired keys left the driver window/bench sweep but keep full oracle
+# parity coverage here.
+_ALL_QUERIES = {**QUERIES, **RETIRED}
 
 
 def _norm_cell(v) -> str:
@@ -40,9 +44,11 @@ def _rows_multiset(cols: list[str], rows: list[tuple]) -> Counter:
     )
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES.keys() & ORACLES.keys()))
+@pytest.mark.parametrize(
+    "name", sorted(_ALL_QUERIES.keys() & ORACLES.keys())
+)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
-    sdf = QUERIES[name](spark, sf_dir)
+    sdf = _ALL_QUERIES[name](spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
@@ -69,7 +75,7 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 
 def test_all_queries_have_oracles():
     """Every declared query is oracle-checked (SQL-expressible surface)."""
-    missing = sorted(set(QUERIES) - set(ORACLES))
+    missing = sorted(set(_ALL_QUERIES) - set(ORACLES))
     # Extension ops may legitimately be rows-only; the core Q01-Q30 may not.
     core_missing = [m for m in missing if m[1:3].isdigit() and int(m[1:3]) <= 30]
     assert not core_missing, f"core queries without oracle: {core_missing}"
@@ -80,4 +86,6 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() >= 0
-    assert set(e.queries()) >= set(ORACLES)
+    # ORACLES may carry retired keys (pytest-parity only); the driver
+    # surface must cover every NON-retired oracle.
+    assert set(e.queries()) >= set(ORACLES) - set(RETIRED)
