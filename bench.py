@@ -201,9 +201,12 @@ def main() -> None:
     def _pct(p: float) -> float:
         return _pct_of(lat, p)
 
-    # Per-query deltas vs the previous committed local bench record —
-    # round-over-round regressions become one grep instead of a
-    # two-file diff.  BENCH_LOCAL.json is (re)written below.
+    # Per-query deltas vs the previous local bench record — round-over-
+    # round regressions become one grep instead of a two-file diff.
+    # BENCH_LOCAL.json is (re)written below; it is GITIGNORED scratch
+    # (verdict r7 #6: the driver's own post-commit run kept rewriting a
+    # committed file — drift by protocol).  The per-round committed
+    # record is BENCH_REFERENCE.json, copied explicitly once per round.
     prev_path = Path(_REPO) / "BENCH_LOCAL.json"
     deltas: dict[str, float] = {}
     prev_sf = None
