@@ -484,12 +484,18 @@ _MP3_BITRATES = {
 
 
 def _skip_id3v2(raw: bytes) -> int:
-    """Offset past a leading ID3v2 tag (syncsafe 28-bit size), or 0."""
+    """Offset past a leading ID3v2 tag (syncsafe 28-bit size), or 0.
+    The ID3v2.4 footer flag (header byte 5, bit 0x10) adds a 10-byte
+    trailer NOT counted in the size field — skipping only 10+size on
+    such a tag lands on the footer's '3DI' bytes and rejects a
+    spec-valid file (review-found, round 8)."""
     if len(raw) >= 10 and raw[0:3] == b"ID3":
         size = (
             ((raw[6] & 0x7F) << 21) | ((raw[7] & 0x7F) << 14)
             | ((raw[8] & 0x7F) << 7) | (raw[9] & 0x7F)
         )
+        if raw[5] & 0x10:
+            size += 10
         return 10 + size
     return 0
 

@@ -208,6 +208,14 @@ def curate_corpus(
             cross_split_leakage,
         )
 
+        # The leak stage references `out` from FOUR subtrees (pair
+        # detection bands + shingle sets, the split projection, the
+        # final anti-join base); separately-referenced HOF-bearing
+        # subtrees never reuse exchanges, so without a materialization
+        # the whole upstream pipeline (gates + dedup + components)
+        # re-executes per reference (the multi-reference
+        # localCheckpoint idiom — review-found, round 8).
+        out = out.localCheckpoint(eager=True)
         leak_pairs = minhash_near_duplicates(
             out, text_col=text_col, id_col=id_col, threshold=leak_threshold
         )

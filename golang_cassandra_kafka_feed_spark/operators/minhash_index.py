@@ -358,20 +358,25 @@ def _parquet_file_count(spark: SparkSession, path: str) -> int:
 
 
 def _rewrite_index_sides(spark: SparkSession, path: str, transform) -> None:
-    """Shared maintenance pass: heal any crashed prior swap, then
-    staged-rewrite bands (bucket_mod layout preserved) and shingles
-    through ``transform(df, side)`` and swap each in.  One place owns
-    the heal/debris/stage/swap sequence so compact and delete cannot
-    drift apart (review-found duplication, round 7)."""
+    """Shared maintenance pass: heal any crashed prior swap on BOTH
+    sides first, then staged-rewrite bands (bucket_mod layout
+    preserved) and shingles through ``transform(df, side)`` and swap
+    each in.  One place owns the heal/debris/stage/swap sequence so
+    compact and delete cannot drift apart (review-found duplication,
+    round 7).  Both heals happen BEFORE any transform runs because a
+    transform for one side may READ the other (expire's bands pass
+    resolves doomed ids from the live shingles) — healing lazily
+    per-iteration left that cross-read pointing at a missing dir after
+    a crash between the shingles swap's two renames (review-found,
+    round 8; regression-tested)."""
     import shutil
 
     meta = read_index_meta(spark, path)
-    for side, schema in (
-        ("bands", _BANDS_SCHEMA),
-        ("shingles", _SHINGLES_SCHEMA),
-    ):
+    sides = (("bands", _BANDS_SCHEMA), ("shingles", _SHINGLES_SCHEMA))
+    for side, _schema in sides:
+        _heal(_p(path, side))
+    for side, schema in sides:
         live = _p(path, side)
-        _heal(live)
         staging = live + ".compact"
         shutil.rmtree(staging, ignore_errors=True)
         df = transform(spark.read.schema(schema).parquet(live), side)
@@ -535,8 +540,14 @@ def minhash_near_duplicates_incremental(
 
     # Delta-wins id resolution (re-ingest safety, docstring above): the
     # delta id set is batch-sized, so both anti-joins broadcast it —
-    # the stored sides never shuffle for this.
-    delta_ids = delta_bands.select("id").distinct()
+    # the stored sides never shuffle for this.  Derived from new_docs,
+    # NOT delta_bands: a delta row whose text shingles to nothing
+    # (NULL/empty text — a replayed page that now fails extraction)
+    # produces zero band rows, but its STALE stored copy must still
+    # lose (review-found, round 8).
+    delta_ids = new_docs.select(
+        F.col(id_col).cast("long").alias("id")
+    ).distinct()
 
     # The delta's distinct bucket keys are small (batch-sized): broadcast
     # them so the stored index is pruned by a semi-join with NO shuffle

@@ -375,26 +375,11 @@ def _ivf_centroids(
 
     from golang_cassandra_kafka_feed_spark.operators.dedup import _md5_32
 
-    # semanticHash covers the PLAN, not the data: the same parquet path
-    # appended/overwritten within one application would otherwise serve
-    # stale centroids (round-5 advice).  inputFiles() is driver-side
-    # scan metadata (no job), and Spark writers always emit fresh
-    # part-file names, so any append/overwrite changes the list.
-    input_files = tuple(sorted(c.inputFiles()))
-    # For NON-file-based corpus plans (createDataFrame, in-memory
-    # views) inputFiles() is empty and the staleness component above is
-    # inert — there the memo would silently degrade to plan-hash-only
-    # keying (round-6 advice).  Such plans are cheap to re-collect and
-    # have no append/overwrite channel to guard, so skip memoization
-    # entirely: the cache guarantee is file-backed-corpus-only.
-    memoize = bool(input_files)
-    key = (
-        c.sparkSession.sparkContext.applicationId,
-        c.semanticHash(),
-        input_files,
-        n_cells,
-    )
-    if memoize and key in _IVF_CODEBOOKS:
+    # Staleness key shared with the join path (_ivf_memo_key) — ONE
+    # spelling of the cache-invalidation rule for both codebook forms
+    # (review-found duplication, round 8).
+    key = _ivf_memo_key(c, n_cells)
+    if key is not None and key in _IVF_CODEBOOKS:
         return _IVF_CODEBOOKS[key]
     id_hash = _md5_32(F.col("vec_id").cast("string"))
     rows = (
@@ -416,7 +401,7 @@ def _ivf_centroids(
             for r in rows
         )
     ]
-    if memoize:
+    if key is not None:
         while len(_IVF_CODEBOOKS) >= _IVF_CODEBOOKS_MAX:
             _IVF_CODEBOOKS.pop(next(iter(_IVF_CODEBOOKS)))  # FIFO evict
         _IVF_CODEBOOKS[key] = cents

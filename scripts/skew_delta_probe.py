@@ -61,16 +61,35 @@ def main() -> None:
 
     docs = load_table(spark, args.sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # Key the index path on the corpus's input files (the q110/q117
+    # staleness idiom): a regenerated or different --sf-dir must never
+    # silently reuse a prior corpus's committed index (review-found,
+    # round 8 — ensure would accept it because the PARAMETERS match).
+    import hashlib
+
+    staleness = hashlib.md5(
+        ("|".join(sorted(docs.inputFiles())) or args.sf_dir).encode()
+    ).hexdigest()[:12]
+    index_dir = f"{args.index_dir}_{staleness}"
+
+    # fail fast BEFORE the expensive index build
+    base_id = (docs.agg(F.max("doc_id")).head()[0] or 0) + 1
+    template_row = docs.filter(F.length("text") > 200).head()
+    if template_row is None:
+        sys.exit(
+            f"no document in {args.sf_dir} exceeds 200 chars — "
+            "nothing to use as the celebrity template"
+        )
+    template = template_row.text
+
     t0 = time.time()
     ensure_minhash_index(
         corpus,
-        args.index_dir,
+        index_dir,
         signature_partitions=spark.sparkContext.defaultParallelism,
     )
     build_sec = round(time.time() - t0, 2)
-
-    base_id = (docs.agg(F.max("doc_id")).head()[0] or 0) + 1
-    template = docs.filter(F.length("text") > 200).head().text
+    args.index_dir = index_dir
 
     # Celebrity-template delta: n copies of ONE text, each with a
     # 1-token unique suffix — near-identical shingle sets, so their

@@ -377,3 +377,23 @@ def test_jpeg_header_walks_past_other_segments():
         jpeg_header(sos_first)
     with pytest.raises(MediaFormatError, match="no SOF"):
         jpeg_header(soi + com + b"\xff\xd9")
+
+
+def test_mp3_id3v24_footer_flag_skipped():
+    """An ID3v2.4 tag with the footer flag (byte 5, bit 0x10) carries a
+    10-byte trailer NOT counted in the syncsafe size; the sync walk
+    must skip it (review-found, round 8 — a spec-valid file used to
+    reject)."""
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        encode_mp3_frame,
+        mp3_frame_header,
+    )
+
+    frame = encode_mp3_frame(44100, 2, 128)
+    body = b"\x00" * 20
+    footer = b"3DI" + bytes([4, 0, 0x10]) + bytes(4)
+    tagged = (
+        b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, len(body)])
+        + body + footer + frame
+    )
+    assert mp3_frame_header(tagged) == (44100, 2, 128)

@@ -454,3 +454,68 @@ def test_append_carries_the_pinned_ts_col(spark, tmp_path):
     ) == _pairs(
         minhash_near_duplicates_incremental(delta, fresh, threshold=0.5)
     )
+
+
+def test_expire_self_heals_a_crashed_shingles_swap(spark, tmp_path):
+    """Both sides heal BEFORE any transform runs: expire's bands pass
+    reads the live shingles side for the doomed ids, so a crash
+    between the shingles swap's two renames must not brick the next
+    expire (review-found, round 8 — used to raise PATH_NOT_FOUND on
+    every retry)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
+        expire_minhash_index,
+    )
+
+    full = _corpus(spark, n=40).withColumn(
+        "crawl_ts",
+        F.to_timestamp(F.lit("2026-01-01"))
+        + F.make_interval(days=F.col("doc_id") % 30),
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(full.filter("doc_id % 4 != 0"), idx,
+                        ts_col="crawl_ts")
+
+    sh = str(tmp_path / "idx" / "shingles")
+    os.rename(sh, sh + ".old")  # crashed mid-swap: live gone, .old left
+    expire_minhash_index(spark, idx, "2026-01-10")
+
+    fresh = str(tmp_path / "fresh")
+    build_minhash_index(
+        full.filter("doc_id % 4 != 0 AND doc_id % 30 >= 9"), fresh,
+        ts_col="crawl_ts",
+    )
+    delta = _corpus(spark, n=40).filter("doc_id % 4 = 0")
+    assert _pairs(
+        minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+    ) == _pairs(
+        minhash_near_duplicates_incremental(delta, fresh, threshold=0.5)
+    )
+
+
+def test_reingested_null_text_still_wins_over_stored(spark, tmp_path):
+    """A replayed id whose NEW text is NULL (extraction now fails) must
+    not let its STALE stored copy keep emitting pairs — delta ids are
+    resolved from new_docs, not from the (empty) band rows a NULL text
+    produces (review-found, round 8)."""
+    full = _corpus(spark, n=40)
+    a = full.filter("doc_id % 3 != 0")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(a, idx)
+
+    # pick a stored doc that HAS near-dup pairs, replay it with NULL
+    victim = 1 if 1 % 3 != 0 else 2
+    delta = full.filter("doc_id % 3 = 0").unionByName(
+        spark.createDataFrame([(victim, None)], _SCHEMA)
+    )
+    got = _pairs(
+        minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+    )
+    assert not any(victim in (p[0], p[1]) for p in got), (
+        "stale stored copy of the NULL-replayed id leaked pairs"
+    )
+    keys = [(p[0], p[1]) for p in got]
+    assert len(keys) == len(set(keys))
