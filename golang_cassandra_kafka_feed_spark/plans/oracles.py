@@ -2788,9 +2788,9 @@ assert "doc_id % 30 >= 9" in ORACLES["q117_index_expiry"]
 # the broadcast-DataFrame codebook path computes exactly what the
 # literal path (q42) computes.
 ORACLES["q118_ivf_join_path"] = ORACLES["q42_ann_ivf_topk"].replace(
-    "% 16", "% 256"
+    "% 16", "% 64"
 )
-assert ORACLES["q118_ivf_join_path"].count("% 256") == 2
+assert ORACLES["q118_ivf_join_path"].count("% 64") == 2
 assert "% 16" not in ORACLES["q118_ivf_join_path"]
 
 # q115: cross-split leakage — the q71/q47 pair mechanism + the q54

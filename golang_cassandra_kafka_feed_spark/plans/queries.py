@@ -3030,7 +3030,7 @@ def q118(spark, sf_dir):
         emb,
         queries_df,
         k=ANN_K,
-        n_cells=256,
+        n_cells=64,
         n_probe=IVF_N_PROBE,
         literal_max_cells=0,
     ).orderBy("query_id", "rank")
