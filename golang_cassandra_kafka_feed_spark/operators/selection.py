@@ -306,3 +306,131 @@ def weighted_bottomk(
         .orderBy(priority_col, id_col)
         .limit(k)
     )
+
+
+# Hashed-bigram quality classifier (CCNet / GPT-3-style model filter
+# shape).  The declared key uses the deterministic affine weight table
+# below (oracle-checkable stand-in); production drops in trained
+# weights via the ``weights`` DataFrame.
+CLASSIFIER_N_BUCKETS = 1024
+CLASSIFIER_SALT = "quality-v1"
+CLASSIFIER_W_A = 48271  # MINSTD multiplier — full-period mod the prime
+CLASSIFIER_W_B = 11
+CLASSIFIER_W_P = 2_147_483_647  # 2^31 - 1
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = CLASSIFIER_N_BUCKETS,
+    salt: str = CLASSIFIER_SALT,
+    threshold: float = 0.0,
+    weights: DataFrame | None = None,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Linear quality-classifier scoring over hashed word-bigram
+    features — the model-based filter stage of the GPT-3 (§A "a
+    classifier trained to distinguish curated corpora from raw
+    Common Crawl") and CCNet pipelines, expressed Spark-first.
+
+    Returns (id_col, n_features, score, keep): ``score`` is the mean
+    feature weight centered to [-0.5, 0.5) (NULL when the doc has no
+    bigram features — no evidence is not a score of zero), ``keep`` is
+    ``score >= threshold`` (false for NULL).
+
+    Two weight sources:
+
+    - default: a deterministic affine weight table
+      w(bucket) = ((bucket * A + B) mod P) / P — a stand-in with the
+      exact computational shape of trained logistic-regression
+      weights, chosen because it is ORACLE-CHECKABLE: the per-doc
+      weight sum is an exact BIGINT (< 2^53 for any real document), so
+      both engines compute bit-identical scores with zero
+      transcendentals (no sigmoid — the margin is monotone in the
+      probability, so thresholding the margin IS thresholding the
+      probability).
+    - ``weights``: a (bucket, weight) DataFrame of REAL trained
+      weights.  Summed as DECIMAL(18,6) (exact, associative — the q58
+      power-sum idiom) so scores stay run-to-run deterministic, then
+      cast to double.
+
+    100 TB posture: the default path is a PURE PROJECTION — tokenize,
+    bigram, hash, fold, threshold, all inside one scan stage, zero
+    exchanges (plan-asserted); the weights path is one explode + one
+    broadcast join + one map-side-combined groupBy on the id.
+    Reference tie: the length-validation gate before insert
+    (internal/feed/service.go:58-66) — score-then-branch, here with a
+    learned scorer.
+    """
+    bg = bigram_array(F.col(text_col))
+    if weights is None:
+        wsum = F.aggregate(
+            F.transform(
+                bg,
+                lambda g: (
+                    _bucket(g, n_buckets, salt, hasher)
+                    * F.lit(CLASSIFIER_W_A)
+                    + F.lit(CLASSIFIER_W_B)
+                )
+                % F.lit(CLASSIFIER_W_P),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        n = F.size(bg).cast("long")
+        score = F.when(
+            n > 0,
+            F.round(
+                (
+                    wsum / (n * F.lit(CLASSIFIER_W_P))
+                    - F.lit(0.5)
+                )
+                * 1e6
+            )
+            / 1e6,
+        )
+        return df.select(
+            F.col(id_col),
+            n.alias("n_features"),
+            score.alias("score"),
+            F.coalesce(score >= F.lit(threshold), F.lit(False)).alias(
+                "keep"
+            ),
+        )
+
+    feats = df.select(
+        F.col(id_col), F.explode(bg).alias("__bg")
+    ).select(
+        id_col, _bucket(F.col("__bg"), n_buckets, salt, hasher).alias("bucket")
+    )
+    per_doc = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.col("weight").cast("decimal(18,6)")).alias("__wsum"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            F.round(
+                (F.col("__wsum").cast("double") / F.col("n_features")) * 1e6
+            ).alias("__sc6"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            (F.col("__sc6") / 1e6).alias("score"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    out = base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_features", F.lit(0).cast("long")).alias("n_features"),
+        "score",
+    )
+    return out.withColumn(
+        "keep",
+        F.coalesce(F.col("score") >= F.lit(threshold), F.lit(False)),
+    )

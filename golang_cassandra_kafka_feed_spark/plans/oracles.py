@@ -3033,3 +3033,55 @@ ORACLES["q116_media_headers"] = """
                      ELSE 2 END AS INTEGER) AS n_channels
     FROM documents ORDER BY doc_id
 """
+
+# q119: hashed-bigram quality classifier — the q70 bigram stream +
+# the q73 md5 bucket idiom, folded against the affine weight table
+# (constants imported from operators/selection.py — one source of
+# truth, zero copy drift).  The per-doc weight sum is an exact BIGINT
+# (CAST pins the q92 HUGEINT lesson), so the score's pinned division
+# chain is bit-identical cross-engine.
+from golang_cassandra_kafka_feed_spark.operators.selection import (  # noqa: E402
+    CLASSIFIER_N_BUCKETS,
+    CLASSIFIER_SALT,
+    CLASSIFIER_W_A,
+    CLASSIFIER_W_B,
+    CLASSIFIER_W_P,
+)
+
+ORACLES["q119_classifier_score"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    f AS (
+        SELECT doc_id,
+               (CAST(('0x' || substring(md5(bg || ':{CLASSIFIER_SALT}'),
+                                        1, 8)) AS BIGINT)
+                % {CLASSIFIER_N_BUCKETS}) AS bkt
+        FROM g
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_features,
+               CAST(sum((bkt * {CLASSIFIER_W_A} + {CLASSIFIER_W_B})
+                        % {CLASSIFIER_W_P}) AS BIGINT) AS wsum
+        FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_features, score,
+           coalesce(score >= 0.0, false) AS keep
+    FROM (
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_features, 0) AS BIGINT) AS n_features,
+               CASE WHEN p.n_features IS NULL THEN NULL
+                    ELSE ROUND((CAST(p.wsum AS DOUBLE)
+                                / (p.n_features
+                                   * {CLASSIFIER_W_P})
+                                - 0.5) * 1000000) / 1000000 END AS score
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    ORDER BY doc_id
+"""

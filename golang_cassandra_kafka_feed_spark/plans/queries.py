@@ -3036,6 +3036,27 @@ def q118(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q119(spark, sf_dir):
+    """Model-based quality-filter scoring (selection.classifier_score):
+    hashed word-bigram features (the q70/q73 shared tokenizer + md5
+    bucket idiom) folded against a deterministic affine weight table —
+    the computational shape of the GPT-3 §A / CCNet quality
+    classifier, with the weight table as an oracle-checkable stand-in
+    for trained logistic weights (production swaps in a real
+    (bucket, weight) frame).  Margin arithmetic is an exact BIGINT
+    weight sum then one pinned double division chain — bit-identical
+    cross-engine, no transcendentals.  Pure projection: zero exchanges
+    (plan-asserted in test_selection.py).  Reference tie: the validate-
+    then-branch insert gate (internal/feed/service.go:58-66) with a
+    learned scorer."""
+    from golang_cassandra_kafka_feed_spark.operators.selection import (
+        classifier_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return classifier_score(d).orderBy("doc_id")
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
 # this insertion-ordered registry.  Round-8 rotation (verdict-r7 ask
 # #1): q111-q115 lead for their FIRST external driver contact (judge
@@ -3178,6 +3199,7 @@ _REGISTRY = {
     "q116_media_headers": q116,
     "q117_index_expiry": q117,
     "q118_ivf_join_path": q118,
+    "q119_classifier_score": q119,
 }
 _REGISTRY.update(TPCH_QUERIES)
 
@@ -3193,6 +3215,7 @@ _R8_WINDOW = [
     "q116_media_headers",
     "q117_index_expiry",
     "q118_ivf_join_path",
+    "q119_classifier_score",
     # -- verdict-named hash-mechanism re-pin sentinels --
     "q110_incremental_minhash",
     "q37_minhash_lsh_neardup",
@@ -3240,7 +3263,6 @@ _R8_WINDOW = [
     "q21_percentile_trimmed",
     "q100_markov_transitions",
     "q101_rolling_median",
-    "q102_drawdown",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 

@@ -20,6 +20,7 @@ ROUND8_FRESH = [
     "q116_media_headers",
     "q117_index_expiry",
     "q118_ivf_join_path",
+    "q119_classifier_score",
 ]
 
 # The verdict-named hash-mechanism re-pin sentinels plus the standing
@@ -54,7 +55,7 @@ ROUND8_BREADTH = {
     "q109_pii_audit", "q103_triangles", "q09_range_theta_join",
     "q10_asof_join", "q26_tumbling_window", "q27_session_window",
     "q89_scd2_intervals", "q21_percentile_trimmed",
-    "q100_markov_transitions", "q101_rolling_median", "q102_drawdown",
+    "q100_markov_transitions", "q101_rolling_median",
 }
 
 

@@ -202,3 +202,72 @@ def test_dsir_rejects_unknown_hasher(corpus):
         dsir_importance(
             corpus, F.col("is_target"), hasher="sha99"
         ).collect()
+
+
+def test_classifier_score_is_a_pure_projection(spark, sf_dir):
+    """The default (affine-table) scorer never exchanges: tokenize,
+    bigram, hash, fold, threshold — one scan stage (the 100 TB
+    property)."""
+    from golang_cassandra_kafka_feed_spark.operators.selection import (
+        classifier_score,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
+
+    df = classifier_score(load_table(spark, sf_dir, "documents"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_classifier_score_semantics(spark):
+    """Hand-built corpus: empty/one-token docs score NULL and are
+    dropped; scored docs center on the affine table's mean; keep
+    thresholds the margin; the weights path reproduces the default
+    path when fed the SAME affine table as literal weights."""
+    from pyspark.sql import functions as F
+
+    from golang_cassandra_kafka_feed_spark.operators.selection import (
+        CLASSIFIER_N_BUCKETS,
+        CLASSIFIER_W_A,
+        CLASSIFIER_W_B,
+        CLASSIFIER_W_P,
+        classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "singleword"),
+            (2, ""),
+            (3, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in classifier_score(docs).collect()}
+    assert got[1].score is None and got[1].keep is False
+    assert got[2].score is None and got[2].keep is False
+    assert got[0].score == got[3].score  # deterministic
+    assert got[0].n_features == 5
+    assert -0.5 <= got[0].score < 0.5
+    assert got[0].keep == (got[0].score >= 0.0)
+
+    # weights path: same affine table materialized as a real
+    # (bucket, weight) frame -> same margins within the decimal
+    # rounding contract (weights quantized to 1e-6)
+    w = spark.range(CLASSIFIER_N_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            ((F.col("id") * CLASSIFIER_W_A + CLASSIFIER_W_B)
+             % CLASSIFIER_W_P)
+            / F.lit(CLASSIFIER_W_P)
+            - 0.5
+        ).alias("weight"),
+    )
+    got_w = {
+        r.doc_id: r for r in classifier_score(docs, weights=w).collect()
+    }
+    assert got_w[2].score is None and got_w[2].keep is False
+    for i in (0, 3):
+        assert abs(got_w[i].score - got[i].score) < 2e-6
+        assert got_w[i].n_features == got[i].n_features
