@@ -328,6 +328,7 @@ def classifier_score(
     threshold: float = 0.0,
     weights: DataFrame | None = None,
     hasher: str = "md5",
+    widen_partitions: int | None = None,
 ) -> DataFrame:
     """Linear quality-classifier scoring over hashed word-bigram
     features — the model-based filter stage of the GPT-3 (§A "a
@@ -359,10 +360,17 @@ def classifier_score(
     bigram, hash, fold, threshold, all inside one scan stage, zero
     exchanges (plan-asserted); the weights path is one explode + one
     broadcast join + one map-side-combined groupBy on the id.
+    ``widen_partitions`` repartitions the source first — the per-bigram
+    md5 fold is heavy per-row work that a SINGLE-FILE source would
+    serialize onto one task (the q112/q113 small-source lesson); at
+    cluster scale leave it None, file splits already parallelize the
+    scan and the widen would shuffle raw text for nothing.
     Reference tie: the length-validation gate before insert
     (internal/feed/service.go:58-66) — score-then-branch, here with a
     learned scorer.
     """
+    if widen_partitions is not None:
+        df = df.repartition(widen_partitions, id_col)
     bg = bigram_array(F.col(text_col))
     if weights is None:
         wsum = F.aggregate(

@@ -3054,7 +3054,13 @@ def q119(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    return classifier_score(d).orderBy("doc_id")
+    # widen first: the per-bigram md5 fold over a single-file testdata
+    # source would serialize onto one task (q112/q113 lesson); at
+    # cluster scale the source arrives pre-split and this is just the
+    # parallelism knob.
+    return classifier_score(
+        d, widen_partitions=spark.sparkContext.defaultParallelism
+    ).orderBy("doc_id")
 
 
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
