@@ -83,6 +83,24 @@ AUTH_HOSTPORT_OK_RE = "^[^:]*(:[0-9]+)?$"
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# The q120 blocklist plant — ONE source of truth interpolated into
+# both the Spark plan and the DuckDB oracle (the q109/q112 idiom).
+# Chosen to exercise every suffix-semantics branch: a leaf rule, a
+# mid-label rule that must NOT match shallower hosts
+# (media.site13.example.com misses www.site13.…), an overlapping
+# pair where the MOST SPECIFIC must win (site21 vs cdn.media.site21),
+# a parent-domain rule blocking a whole TLD subtree (example.org),
+# and a partial-label trap that must match NOTHING (ample.com would
+# block every *.example.com under a naive endswith).
+BLOCKLIST_RULES = (
+    "site7.example.com",
+    "media.site13.example.com",
+    "site21.example.com",
+    "cdn.media.site21.example.com",
+    "example.org",
+    "ample.com",
+)
+
 
 def canonicalize_url(url: str | Column) -> Column:
     """Canonical spelling of ``url`` per the module rules.  A string
@@ -153,6 +171,149 @@ def canonicalize_url(url: str | Column) -> Column:
             path_part,
             query_part,
         )
+    )
+
+
+def url_host(url: str | Column) -> Column:
+    """The lowercased host of ``url`` (userinfo and port stripped),
+    empty string when the URL has no authority — the input
+    ``domain_block_matches`` / ``blocklist_filter_urls`` expect."""
+    u = F.col(url) if isinstance(url, str) else url
+    auth = F.regexp_extract(u, URL_AUTHORITY_RE, 1)
+    hostport = F.regexp_extract(auth, AUTH_HOSTPORT_RE, 1)
+    return F.lower(F.regexp_extract(hostport, AUTH_HOST_RE, 1))
+
+
+def blocklist_filter_urls(df, rules, url_col: str = "url"):
+    """Drop rows whose URL's host matches any of ``rules`` (a bounded
+    Python sequence of domain entries — blocklists are curated config)
+    on a dot-label boundary.  The rules fold into ONE literal array
+    bound once in the plan and the verdict is a per-row
+    ``exists(host_suffixes(host), contains)`` — pure stateless
+    projection, so it composes into STREAMING plans (no stream-static
+    join, no state) as well as batch.  For rule sets past ~10^4
+    entries use the DataFrame forms above.
+
+    Only a PROVABLE match drops a row: a NULL url (e.g. an upstream
+    canonicalizer's garbage quarantine) or a host-less string is KEPT
+    — blocking is this operator's only mandate; garbage policy belongs
+    to the caller (coalesce pins the three-valued ``exists`` so NULL
+    cannot silently leak into the filter)."""
+    rules_arr = F.array(*(F.lit(r) for r in rules))
+    blocked = F.exists(
+        host_suffixes(url_host(url_col)),
+        lambda s: F.array_contains(rules_arr, s),
+    )
+    return df.filter(~F.coalesce(blocked, F.lit(False)))
+
+
+def host_suffixes(host: str | Column) -> Column:
+    """Every dot-boundary suffix of ``host``, most-specific first:
+    ``cdn.media.site7.example.com`` →
+    ``[cdn.media.site7.example.com, media.site7.example.com,
+    site7.example.com, example.com, com]``.
+
+    This is the key trick that makes domain-blocklist matching an
+    EQUI-join: a rule "blocks host H" iff the rule string is one of
+    H's dot-boundary suffixes (host == rule, or host ends with
+    ``"." + rule``) — never a partial-label match, so the entry
+    ``ample.com`` can never block ``example.com``.  A naive
+    ``endswith`` predicate join would be a non-equi cross product AND
+    get that boundary wrong.
+
+    Cost: a host of L labels yields L array elements (public-suffix
+    hosts run L <= ~10) — a narrow per-row projection, no shuffle."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, "[.]")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def domain_block_matches(
+    df,
+    rules_df,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    rule_col: str = "rule",
+):
+    """Rows of ``df`` whose host matches a blocklist entry on a
+    dot-label boundary, annotated with the MOST SPECIFIC (longest,
+    then lexicographically greatest) matching rule — the crawl-filter
+    pass that drops documents from banned domains (and all their
+    subdomains) BEFORE any content processing spends cycles on them.
+
+    Mechanism (the 100 TB shape): explode each host into its
+    dot-boundary suffixes (``host_suffixes``, <= ~10 per row, narrow),
+    broadcast-hash-join the suffixes against the rules equi-style —
+    the corpus itself never shuffles; the only exchange is the final
+    per-id regroup, over the BLOCKED subset only (tiny by
+    construction: a blocklist that matched most of the corpus would
+    mean the crawl itself is misconfigured).
+
+    Suffix semantics: rule ``example.org`` blocks ``example.org`` and
+    every ``*.example.org``; it never blocks ``notexample.org``
+    (label boundary).  Most-specific-rule annotation makes the output
+    deterministic when a host matches several entries and tells the
+    operator WHICH listing fired — the audit question a takedown /
+    compliance review asks.
+
+    Reference tie: the validate-then-reject insert gate
+    (internal/feed/service.go:58-66) applied at the crawl frontier.
+    """
+    hit = df.select(
+        id_col,
+        host_col,
+        F.explode(host_suffixes(host_col)).alias("__suffix"),
+    ).join(
+        F.broadcast(rules_df),
+        F.col("__suffix") == F.col(rule_col),
+    )
+    best = F.max(
+        F.struct(
+            F.length(rule_col).alias("l"),
+            F.col(rule_col).alias("r"),
+        )
+    )["r"].alias(rule_col)
+    return hit.groupBy(id_col, host_col).agg(best)
+
+
+def domain_blocklist_filter(
+    df,
+    rules_df,
+    host_col: str = "host",
+    rule_col: str = "rule",
+):
+    """The keep-side twin of ``domain_block_matches``: rows of ``df``
+    whose host matches NO blocklist entry — the corpus side never
+    shuffles.  The rules collapse to a one-row array DataFrame
+    (``collect_list`` — a blocklist is bounded by curation, not by
+    data scale; its SinglePartition gather is the only exchange in
+    the plan) broadcast-cross-joined onto the corpus (the q118
+    broadcast-codebook idiom), and the verdict is a per-row
+    ``exists(suffixes, s -> array_contains(rules, s))`` — pure
+    projection, embarrassingly parallel.
+
+    Cost note: ``array_contains`` scans the rule array per suffix, so
+    a row costs O(L * |rules|) comparisons.  That is the right trade
+    up to ~10^4 rules (the common case); beyond that, switch to the
+    explode + broadcast-hash-join mechanism of
+    ``domain_block_matches`` and anti-join the ids — same semantics,
+    hash-probe cost, one regroup shuffle.
+    """
+    rules_arr = F.broadcast(
+        rules_df.agg(F.collect_list(rule_col).alias("__rules"))
+    )
+    blocked = F.exists(
+        host_suffixes(host_col),
+        lambda s: F.array_contains(F.col("__rules"), s),
+    )
+    return (
+        df.crossJoin(rules_arr)
+        .filter(~blocked)
+        .drop("__rules")
     )
 
 

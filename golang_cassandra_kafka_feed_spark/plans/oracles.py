@@ -3085,3 +3085,91 @@ ORACLES["q119_classifier_score"] = f"""
     )
     ORDER BY doc_id
 """
+
+# q120: domain blocklist — the host plant mirrors queries.q120
+# closed-form; the rule list is the SHARED urltools.BLOCKLIST_RULES
+# constant (one source of truth), but the MATCHING mechanism is this
+# engine's own: a predicate join `host = rule OR host LIKE '%.' || rule`
+# (the Spark side explodes dot-boundary suffixes into a broadcast
+# equi-join).  Hash-equality therefore proves the label-boundary
+# semantics — including the ample.com partial-label trap — and the
+# most-specific-rule tiebreak, not the plant.
+from golang_cassandra_kafka_feed_spark.operators.urltools import (  # noqa: E402
+    BLOCKLIST_RULES,
+)
+
+_RULE_VALUES = ", ".join(f"('{r}')" for r in BLOCKLIST_RULES)
+
+ORACLES["q120_domain_blocklist"] = f"""
+    WITH planted AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 1 THEN 'www.'
+                     WHEN doc_id % 3 = 2 THEN 'cdn.media.'
+                     ELSE '' END)
+               || 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.'
+               || (CASE WHEN doc_id % 7 = 0 THEN 'org' ELSE 'com' END)
+                   AS host
+        FROM documents
+    ),
+    hits AS (
+        SELECT p.doc_id, p.host, r.rule
+        FROM planted p
+        JOIN (VALUES {_RULE_VALUES}) AS r(rule)
+          ON p.host = r.rule OR p.host LIKE '%.' || r.rule
+    )
+    SELECT doc_id, host, rule
+    FROM hits
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY length(rule) DESC, rule DESC
+    ) = 1
+    ORDER BY doc_id
+"""
+
+# q121: blocked fuzzy linkage — the dirty plant (one deleted character
+# at a custkey-pinned position, never in the last-3 block key) is
+# spelled closed-form in both engines; candidate enumeration is the
+# same 3-char-suffix block, but scoring is each engine's own
+# levenshtein (Spark's threshold form vs DuckDB's plain), so
+# hash-equality proves the edit-distance semantics AND the
+# deterministic (dist, match_id) argmin.
+ORACLES["q121_fuzzy_blocking"] = """
+    WITH dirty AS (
+        SELECT c_custkey AS dirty_id,
+               substr(c_name, 1, CAST(c_custkey % 6 + 10 AS INT) - 1)
+               || substr(c_name, CAST(c_custkey % 6 + 10 AS INT) + 1)
+                   AS dirty_name
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    cand AS (
+        SELECT d.dirty_id, d.dirty_name,
+               c.c_custkey AS match_id, c.c_name AS match_name,
+               levenshtein(d.dirty_name, c.c_name) AS dist
+        FROM dirty d
+        JOIN customer c
+          ON substr(d.dirty_name, length(d.dirty_name) - 2, 3)
+             = substr(c.c_name, length(c.c_name) - 2, 3)
+        WHERE levenshtein(d.dirty_name, c.c_name) <= 2
+    )
+    SELECT dirty_id, dirty_name, match_id, match_name,
+           CAST(dist AS INT) AS dist
+    FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY dirty_id ORDER BY dist, match_id
+    ) = 1
+    ORDER BY dirty_id
+"""
+
+# q122: bucketed co-located join — the oracle aggregates the RAW
+# parquet; the Spark side answers from the bucketed+sorted layout, so
+# hash-equality proves the layout changed the plan (no Exchange/Sort,
+# asserted in test_physical_plans.py), never the answer.  Rounding is
+# the _round2 idiom with the inner double expression spelled
+# identically.
+ORACLES["q122_bucketed_join"] = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice) * 100) / 100 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

@@ -3063,6 +3063,134 @@ def q119(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q120(spark, sf_dir):
+    """Domain-blocklist crawl filter
+    (operators/urltools.py::domain_block_matches): drop documents from
+    banned domains AND all their subdomains before any content
+    processing — dot-boundary suffix semantics (rule ``example.org``
+    blocks ``www.site.example.org``; trap rule ``ample.com`` blocks
+    nothing), most-specific rule wins when entries overlap.  Hosts are
+    planted closed-form from doc_id (the q112 idiom) with varying
+    subdomain depth and TLD; the rule list is the shared
+    urltools.BLOCKLIST_RULES constant, so both engines filter the same
+    frontier with their OWN mechanism: Spark explodes dot-boundary
+    suffixes into a broadcast equi-join (zero corpus shuffle; the only
+    exchange regroups the blocked subset), the oracle joins
+    ``host = rule OR host LIKE '%.' || rule``.  Hash-equality proves
+    the boundary semantics, not the plant.  Reference tie: the
+    validate-then-reject insert gate (internal/feed/service.go:58-66)
+    at the crawl frontier."""
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        BLOCKLIST_RULES,
+        domain_block_matches,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    s = (F.col("doc_id") % 40).cast("string")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 2, F.lit("cdn.media."))
+        .otherwise(F.lit(""))
+    )
+    tld = F.when(F.col("doc_id") % 7 == 0, F.lit("org")).otherwise(
+        F.lit("com")
+    )
+    hosts = d.select(
+        "doc_id",
+        F.concat(
+            sub, F.lit("site"), s, F.lit(".example."), tld
+        ).alias("host"),
+    )
+    rules = spark.createDataFrame(
+        [(r,) for r in BLOCKLIST_RULES], "rule string"
+    )
+    return domain_block_matches(hosts, rules).orderBy("doc_id")
+
+
+def q121(spark, sf_dir):
+    """Blocked fuzzy record linkage
+    (operators/linkage.py::blocked_fuzzy_matches): reconcile DIRTY
+    identifiers (one deterministically deleted character, position
+    pinned by custkey arithmetic — never in the last 3 characters)
+    against the clean customer registry.  Blocking on the 3-character
+    name suffix turns all-pairs O(N*M) Levenshtein into a within-block
+    equi-join; scoring uses the threshold form levenshtein(l, r, 2)
+    (early-abandon, -1 past the bound); best match per dirty record is
+    argmin-via-min(struct) with map-side partials, not a window.  The
+    oracle enumerates the same blocks with plain levenshtein() <= 2
+    and row_number ties — hash-equality proves the edit-distance
+    semantics and the deterministic selection.  Reference tie: the
+    normalize-then-probe username reconciliation
+    (internal/feed/service.go:58-66) when the dirty side cannot
+    normalize to an exact key."""
+    from golang_cassandra_kafka_feed_spark.operators.linkage import (
+        blocked_fuzzy_matches,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    pos = (F.col("c_custkey") % 6 + 10).cast("int")
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), pos - 1),
+            F.substring(F.col("c_name"), pos + 1, F.length("c_name")),
+        ).alias("dirty_name"),
+    )
+    return blocked_fuzzy_matches(
+        dirty,
+        c,
+        clean_id="c_custkey",
+        clean_name="c_name",
+        max_dist=2,
+    ).orderBy("dirty_id")
+
+
+def q122(spark, sf_dir):
+    """Co-located join over BUCKETED tables
+    (sources/sinks.py::ensure_bucketed_table): orders and customer are
+    written once bucketed+sorted by custkey into the same bucket count,
+    then the revenue-per-segment join runs with NO Exchange and NO Sort
+    on either side (Spark matches the buckets' HashPartitioning and the
+    files' sort order against the sort-merge join's requirements —
+    plan-asserted in test_physical_plans.py) — the pay-the-shuffle-once
+    layout every repeated 100 TB join wants.  The oracle computes the
+    same join-aggregate from the raw parquet, so hash-equality proves
+    the bucketed layout changed the PLAN, not the ANSWER.  Reference
+    tie: the Cassandra partition-key-shaped tables (cql:1-37) — layout
+    chosen at design time so reads never reshuffle."""
+    import hashlib
+
+    from golang_cassandra_kafka_feed_spark.sources.sinks import (
+        ensure_bucketed_table,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    staleness = "|".join(sorted(o.inputFiles() + c.inputFiles())) or sf_dir
+    key = hashlib.md5(staleness.encode()).hexdigest()[:12]
+    ot = ensure_bucketed_table(
+        spark, o, f"gckfs_q122_orders_{key}",
+        f"/tmp/gckfs_q122_orders_{key}", ["o_custkey"], 16,
+        ["o_custkey"],
+    )
+    ct = ensure_bucketed_table(
+        spark, c, f"gckfs_q122_cust_{key}",
+        f"/tmp/gckfs_q122_cust_{key}", ["c_custkey"], 16,
+        ["c_custkey"],
+    )
+    j = ot.join(ct, ot.o_custkey == ct.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _round2(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
 # this insertion-ordered registry.  Round-8 rotation (verdict-r7 ask
 # #1): q111-q115 lead for their FIRST external driver contact (judge
@@ -3206,6 +3334,9 @@ _REGISTRY = {
     "q117_index_expiry": q117,
     "q118_ivf_join_path": q118,
     "q119_classifier_score": q119,
+    "q120_domain_blocklist": q120,
+    "q121_fuzzy_blocking": q121,
+    "q122_bucketed_join": q122,
 }
 _REGISTRY.update(TPCH_QUERIES)
 
@@ -3222,6 +3353,9 @@ _R8_WINDOW = [
     "q117_index_expiry",
     "q118_ivf_join_path",
     "q119_classifier_score",
+    "q120_domain_blocklist",
+    "q121_fuzzy_blocking",
+    "q122_bucketed_join",
     # -- verdict-named hash-mechanism re-pin sentinels --
     "q110_incremental_minhash",
     "q37_minhash_lsh_neardup",
@@ -3266,9 +3400,6 @@ _R8_WINDOW = [
     "q26_tumbling_window",
     "q27_session_window",
     "q89_scd2_intervals",
-    "q21_percentile_trimmed",
-    "q100_markov_transitions",
-    "q101_rolling_median",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 

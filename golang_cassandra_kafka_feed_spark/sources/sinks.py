@@ -132,3 +132,28 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Create-if-absent wrapper around ``write_bucketed`` returning the
+    catalog-backed DataFrame.  Bucket metadata lives in the SESSION
+    catalog (the in-memory default has no cross-session persistence),
+    so the memo is catalog-scoped: a fresh session rewrites once —
+    ``mode=overwrite`` replaces whatever a previous session left at
+    ``path`` — and every subsequent read in the session joins
+    shuffle-free.  Callers embed a staleness hash in ``table``/``path``
+    (the q110 inputFiles idiom) so a different scale factor can never
+    serve a stale layout."""
+    if not spark.catalog.tableExists(table):
+        write_bucketed(
+            df, table, path, bucket_cols, n_buckets, sort_cols
+        )
+    return spark.table(table)

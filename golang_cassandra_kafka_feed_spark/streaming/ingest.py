@@ -79,6 +79,7 @@ def dedup_urls_stream(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     drop_unparseable: bool = True,
+    blocklist: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """Crawl-frontier admission: canonicalize each URL
     (operators/urltools.py — case, default ports, trailing slashes,
@@ -95,12 +96,25 @@ def dedup_urls_stream(
     False`` they pass through UNDEDUPED (NULL is never a dedup key —
     two broken strings are not the same resource).  Output keeps the
     input columns plus ``canonical_url``.
+
+    ``blocklist`` (optional, a bounded curated sequence of domain
+    entries) drops banned-domain URLs BEFORE the stateful dedup — the
+    order matters operationally: a blocklisted domain must not be able
+    to bloat the frontier's state store, and the filter itself is a
+    stateless per-row projection (urltools.blocklist_filter_urls, the
+    q120 dot-boundary semantics), so it adds zero state and zero
+    shuffle to the streaming plan.
     """
     from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        blocklist_filter_urls,
         canonicalize_url,
     )
 
     canon = urls.withColumn("canonical_url", canonicalize_url(url_col))
+    if blocklist:
+        canon = blocklist_filter_urls(
+            canon, blocklist, url_col="canonical_url"
+        )
     parseable = canon.filter(F.col("canonical_url").isNotNull())
     admitted = (
         parseable.withWatermark(ts_col, watermark)

@@ -1,6 +1,6 @@
 """Driver-contract invariants of __spark_entry__ that need no
 SparkSession: registry/oracle key parity, and the round-8 rotation —
-q111-q117 in front for first external driver contact, the verdict-named
+q111-q122 in front for first external driver contact, the verdict-named
 hash-mechanism re-pins, and the q92b retirement (window + bench sweep
 only; oracle and pytest parity coverage remain via RETIRED)."""
 
@@ -9,7 +9,7 @@ from __future__ import annotations
 import __spark_entry__ as entry
 
 # First-contact tier: never externally driver-checked before round 8
-# (q111-q115 landed after the r7 driver window closed; q116/q117 are
+# (q111-q115 landed after the r7 driver window closed; q116-q122 are
 # r8-new).
 ROUND8_FRESH = [
     "q111_canonical_selection",
@@ -21,6 +21,9 @@ ROUND8_FRESH = [
     "q117_index_expiry",
     "q118_ivf_join_path",
     "q119_classifier_score",
+    "q120_domain_blocklist",
+    "q121_fuzzy_blocking",
+    "q122_bucketed_join",
 ]
 
 # The verdict-named hash-mechanism re-pin sentinels plus the standing
@@ -54,8 +57,7 @@ ROUND8_BREADTH = {
     "q62_duplicate_spans", "q63_decontamination", "q75_line_dedup",
     "q109_pii_audit", "q103_triangles", "q09_range_theta_join",
     "q10_asof_join", "q26_tumbling_window", "q27_session_window",
-    "q89_scd2_intervals", "q21_percentile_trimmed",
-    "q100_markov_transitions", "q101_rolling_median",
+    "q89_scd2_intervals",
 }
 
 

@@ -1,0 +1,113 @@
+"""Blocked fuzzy record linkage (operators/linkage.py) — edit-distance
+semantics, blocking recall trade, deterministic argmin, and the
+no-window scale shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.operators.linkage import (
+    blocked_fuzzy_matches,
+    suffix_block_key,
+)
+
+
+def _clean(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, name string")
+
+
+def _dirty(spark, rows):
+    return spark.createDataFrame(rows, "dirty_id bigint, dirty_name string")
+
+
+def test_one_edit_matches_its_source(spark):
+    clean = _clean(spark, [(1, "alpha-9042"), (2, "delta-7310")])
+    dirty = _dirty(spark, [(100, "alpha-042")])  # '9' deleted
+    out = blocked_fuzzy_matches(dirty, clean).collect()
+    assert [(r.match_id, r.dist) for r in out] == [(1, 1)]
+
+
+def test_threshold_excludes_distant_names(spark):
+    clean = _clean(spark, [(1, "alpha-9042")])
+    dirty = _dirty(spark, [(100, "zzzzz-9042")])  # dist 5, same block
+    assert blocked_fuzzy_matches(dirty, clean, max_dist=2).count() == 0
+
+
+def test_block_key_disagreement_is_unmatched_by_design(spark):
+    """Blocking's recall trade: a corruption INSIDE the block key makes
+    the true match invisible — documented dial, not a join defect."""
+    clean = _clean(spark, [(1, "alpha-9042")])
+    dirty = _dirty(spark, [(100, "alpha-9049")])  # last-3 block differs
+    assert blocked_fuzzy_matches(dirty, clean).count() == 0
+
+
+def test_argmin_breaks_ties_on_smallest_id(spark):
+    # both candidates sit at distance 1 in the same last-3 block
+    clean = _clean(spark, [(7, "item-311"), (3, "itex-311")])
+    dirty = _dirty(spark, [(100, "itez-311")])
+    out = blocked_fuzzy_matches(dirty, clean).collect()
+    assert [(r.match_id, r.dist) for r in out] == [(3, 1)]
+
+
+def test_exact_duplicate_wins_at_distance_zero(spark):
+    clean = _clean(spark, [(5, "gamma-123"), (6, "gamma-123")])
+    dirty = _dirty(spark, [(100, "gamma-123")])
+    out = blocked_fuzzy_matches(dirty, clean).collect()
+    assert [(r.match_id, r.dist) for r in out] == [(5, 0)]
+
+
+def test_suffix_block_key_is_last_k_chars(spark):
+    row = spark.range(1).select(
+        suffix_block_key(F.lit("abcdef"), 3).alias("b")
+    ).head()
+    assert row.b == "def"
+
+
+def test_no_window_in_the_selection_plan(spark):
+    """Best-match selection must be a hash aggregate with map-side
+    partials (the q111 lesson) — a window over the block would ship a
+    hot block to one task."""
+    clean = _clean(spark, [(1, "alpha-9042")])
+    dirty = _dirty(spark, [(100, "alpha-042")])
+    plan = (
+        blocked_fuzzy_matches(dirty, clean)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_multi_pass_blocking_recovers_suffix_corruption(spark):
+    """A record corrupted INSIDE the suffix block key is invisible to
+    the suffix pass but recovered by the prefix pass — and a record
+    both passes see is not double-counted (argmin idempotent)."""
+    from golang_cassandra_kafka_feed_spark.operators.linkage import (
+        prefix_block_key,
+    )
+
+    clean = _clean(spark, [(1, "alpha-9042"), (2, "delta-7310")])
+    dirty = _dirty(
+        spark,
+        [(100, "alpha-9049"),   # suffix corrupted: prefix pass only
+         (101, "alpha-904")],   # mid deletion: both passes find it
+    )
+    out = blocked_fuzzy_matches(
+        dirty, clean,
+        block_keys=[suffix_block_key, prefix_block_key],
+    ).collect()
+    got = {(r.dirty_id, r.match_id, r.dist) for r in out}
+    assert got == {(100, 1, 1), (101, 1, 1)}
+
+
+def test_url_blocklist_filter_keeps_null_and_hostless(spark):
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        blocklist_filter_urls,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.org/x"), (2, "https://keep.com/y"),
+         (3, None), (4, "no-scheme-here")],
+        "id bigint, url string",
+    )
+    kept = blocklist_filter_urls(df, ("example.org",))
+    assert sorted(r.id for r in kept.collect()) == [2, 3, 4]

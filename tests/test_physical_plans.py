@@ -351,3 +351,17 @@ def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_q122_join_reads_buckets_and_never_shuffles_the_join(spark, sf_dir):
+    """The q122 registry key must actually answer from the bucketed
+    layout: bucket pruning metadata present, and NO exchange hashes the
+    join key (the join's distribution comes from the files; the only
+    exchanges left are the tiny post-join aggregate/sort)."""
+    from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
+
+    df = QUERIES["q122_bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan
+    assert "hashpartitioning(o_custkey" not in plan, plan
+    assert "hashpartitioning(c_custkey" not in plan, plan

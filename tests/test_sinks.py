@@ -131,3 +131,36 @@ def test_partitioned_dataset_prunes_on_read(spark, sf_dir, tmp_path):
     # the directory level), and results round-trip
     want = docs.filter("source = 'src0'").count()
     assert back.count() == want and want > 0
+
+
+def test_ensure_bucketed_table_memoizes_within_session(spark, tmp_path):
+    """Second ensure call must serve from the catalog without
+    rewriting (file mtimes unchanged); overwrite only on a cold
+    catalog."""
+    import os
+
+    from golang_cassandra_kafka_feed_spark.sources.sinks import (
+        ensure_bucketed_table,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    path = str(tmp_path / "ens")
+    try:
+        t1 = ensure_bucketed_table(
+            spark, df, "gckfs_test_ensure", path, ["k"], 4, ["k"]
+        )
+        assert t1.count() == 100
+        mtimes = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        t2 = ensure_bucketed_table(
+            spark, df, "gckfs_test_ensure", path, ["k"], 4, ["k"]
+        )
+        assert t2.count() == 100
+        assert mtimes == {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }, "second ensure rewrote a memoized table"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gckfs_test_ensure")

@@ -140,3 +140,30 @@ def test_admitted_set_matches_batch_canonical_groups(spark, tmp_path):
     }
     assert {(r.canonical_url, r.req_id) for r in got} == want
     assert len(got) < len(rows)
+
+
+def test_blocklist_drops_banned_domains_before_state(spark, tmp_path):
+    """Blocked URLs never reach the frontier (q120 dot-boundary
+    semantics inside the stream): subdomains of a banned domain drop,
+    the partial-label trap keeps, garbage policy unchanged."""
+    src = str(tmp_path / "src_bl")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "https://ads.example.org/x", _t(0)),    # blocked (sub)
+            (2, "https://example.org/y", _t(1)),        # blocked (exact)
+            (3, "https://keep.example.com/z", _t(2)),   # kept
+            (4, "https://xample.org/w", _t(3)),         # trap: kept
+            (5, "not a url", _t(4)),                    # garbage: kept
+        ],
+    )
+    rows = _run(
+        spark,
+        src,
+        tmp_path,
+        "frontier_blocklist",
+        blocklist=("example.org",),
+        drop_unparseable=False,
+    )
+    assert sorted(r.req_id for r in rows) == [3, 4, 5]

@@ -4,6 +4,7 @@ spellings — each rule isolated, plus the garbage-to-NULL contract."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.operators.urltools import (
     canonicalize_url,
@@ -121,3 +122,111 @@ def test_spelling_variants_collapse_to_one_key(spark):
     ).select(canonicalize_url("url").alias("c"))
     assert df.distinct().count() == 1
     assert df.head().c == "https://site.com/a?id=1&ref=r"
+
+
+# ---- domain blocklist (dot-boundary suffix semantics) ----
+
+def _hosts(spark, hosts):
+    return spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id bigint, host string"
+    )
+
+
+def _rules(spark, rules):
+    return spark.createDataFrame([(r,) for r in rules], "rule string")
+
+
+def test_host_suffixes_enumerates_dot_boundaries(spark):
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        host_suffixes,
+    )
+
+    row = spark.range(1).select(
+        host_suffixes(F.lit("cdn.media.site7.example.com")).alias("s")
+    ).head()
+    assert row.s == [
+        "cdn.media.site7.example.com",
+        "media.site7.example.com",
+        "site7.example.com",
+        "example.com",
+        "com",
+    ]
+
+
+def test_blocklist_partial_label_trap_matches_nothing(spark):
+    """'ample.com' must never block 'example.com' — the boundary a
+    naive endswith gets wrong."""
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        domain_block_matches,
+    )
+
+    out = domain_block_matches(
+        _hosts(spark, ["example.com", "www.example.com", "ample.com.x"]),
+        _rules(spark, ["ample.com"]),
+    )
+    assert out.count() == 0
+
+
+def test_blocklist_parent_domain_blocks_subtree(spark):
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        domain_block_matches,
+    )
+
+    out = domain_block_matches(
+        _hosts(
+            spark,
+            ["example.org", "a.example.org", "b.c.example.org",
+             "notexample.org"],
+        ),
+        _rules(spark, ["example.org"]),
+    ).collect()
+    assert sorted(r.host for r in out) == [
+        "a.example.org", "b.c.example.org", "example.org",
+    ]
+
+
+def test_blocklist_most_specific_rule_wins(spark):
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        domain_block_matches,
+    )
+
+    out = domain_block_matches(
+        _hosts(spark, ["cdn.media.site21.example.com",
+                       "www.site21.example.com"]),
+        _rules(spark, ["site21.example.com",
+                       "cdn.media.site21.example.com"]),
+    ).collect()
+    got = {r.host: r.rule for r in out}
+    assert got == {
+        "cdn.media.site21.example.com": "cdn.media.site21.example.com",
+        "www.site21.example.com": "site21.example.com",
+    }
+
+
+def test_blocklist_filter_agrees_with_matches_and_never_shuffles(spark):
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        domain_block_matches,
+        domain_blocklist_filter,
+    )
+
+    hosts = _hosts(
+        spark,
+        ["example.org", "keep.example.com", "x.site7.example.com",
+         "com", "deep.a.example.org"],
+    )
+    rules = _rules(spark, ["example.org", "site7.example.com"])
+    kept = domain_blocklist_filter(hosts, rules)
+    blocked_ids = {
+        r.doc_id for r in domain_block_matches(hosts, rules).collect()
+    }
+    assert {r.doc_id for r in kept.collect()} == (
+        {r.doc_id for r in hosts.collect()} - blocked_ids
+    )
+    # the corpus must never shuffle: the only exchanges allowed are
+    # the rules side collapsing to its one-row broadcast array
+    # (SinglePartition over the bounded blocklist)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, (
+        f"filter path shuffles the corpus:\n{plan}"
+    )
+    assert "Exchange rangepartitioning" not in plan, plan
