@@ -810,6 +810,117 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (SSJoin, Chaudhuri et
+    al. ICDE 2006; All-Pairs, Bayardo et al. WWW 2007) — the
+    set-similarity join that indexes only each document's RAREST
+    shingles instead of all of them.
+
+    Theorem: order the shingle universe totally (here by ascending
+    document frequency, ties by shingle text — rarest first, so the
+    indexed postings are the SHORTEST ones); if
+    ``J(A, B) >= t`` then ``|A ∩ B| >= ceil(t * max(|A|, |B|))``, and
+    two sets intersecting that much MUST share an element within each
+    one's first ``|X| - ceil(t * |X|) + 1`` shingles of that order.
+    Indexing only those prefixes is therefore candidate-COMPLETE — no
+    cap, no recall trade — while the index shrinks to a
+    ``(1 - t)``-fraction of the corpus postings, and the entries kept
+    are precisely the lowest-frequency ones, so celebrity shingles
+    (boilerplate, stopword runs) never enter the index as long as docs
+    carry rarer shingles to fill their prefixes (contrast
+    ``ngram_jaccard_pairs``, which indexes everything and needs
+    ``max_shingle_freq`` to cap the celebrity buckets).  The residual
+    pathology is the mass-identical template corpus — every shingle
+    high-df, prefixes still collide quadratically; completeness forbids
+    capping here, so drain exact duplicates first (``exact_dedup``),
+    the same precondition the MinHash family documents.
+
+    Cost shape: one shuffle for global shingle frequencies, one
+    frequency join back (AQE broadcasts it when the vocabulary is
+    small), one per-doc rank window, the prefix-postings self-join,
+    then exact verification by joining the candidate pairs back to the
+    full shingle ARRAYS (array_intersect per pair — candidates are few
+    by construction, and no exploded row ever carries pair
+    multiplicity).  More passes than the capped inverted index, in
+    exchange for provable completeness and a frequency-bounded index —
+    the right trade when recall is contractual (dedup for eval-set
+    decontamination) rather than best-effort.
+
+    The ceil is computed as ``ceil(size * t - 1e-9)`` — the float
+    product can land one ulp ABOVE the true rational (0.7 * 10 ->
+    7.000000000000001, ceil 8) which would SHORTEN the prefix and
+    break completeness; the epsilon biases toward the longer (always
+    safe) prefix.
+
+    Same output contract as ``ngram_jaccard_pairs``:
+    ``(id_a, id_b, jaccard)``, id_a < id_b.
+    """
+    sets = (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(_shingles(text_col, n)).alias("sh"),
+        )
+        .withColumn("set_size", F.size("sh"))
+    )
+    # both the ranking pass and the verify pass read `sets`; cut the
+    # lineage once so the shingle regex runs a single time
+    sets = sets.localCheckpoint(eager=False)
+    inv = sets.select("id", "set_size", F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.col("set_size") * threshold - 1e-9)
+        + 1
+    )
+    prefix = (
+        inv.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("id", "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            shared / (F.col("size_a") + F.col("size_b") - shared),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

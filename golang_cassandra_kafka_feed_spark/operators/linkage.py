@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,6 +72,7 @@ def blocked_fuzzy_matches(
     block_key: Callable[[str], Column] = suffix_block_key,
     max_dist: int = 2,
     block_keys: list[Callable[[str], Column]] | None = None,
+    max_block_width: int | None = 4096,
 ) -> DataFrame:
     """Best fuzzy match per dirty record against the clean registry:
     ``(dirty_id, dirty_name, match_id, match_name, dist)`` with
@@ -85,7 +86,17 @@ def blocked_fuzzy_matches(
     lever (a record corrupted inside one key is recovered by a pass
     whose key it preserves).  Each pass costs one shuffle of each
     side; a candidate surfacing in several passes is harmless — the
-    final argmin is idempotent over duplicates."""
+    final argmin is idempotent over duplicates.
+
+    ``max_block_width`` caps the CLEAN side per block (smallest ids
+    kept; rank-filter plans as WindowGroupLimit, map-side truncation —
+    the dedup mega-bucket guard): pair enumeration within a block is
+    |dirty| * |clean|, so one degenerate block key (an empty-name
+    sentinel, a boilerplate default) would otherwise go quadratic on
+    one task at corpus scale.  Like every cap in the dedup family it
+    trades bounded recall for a bounded tail task; a block wider than
+    the cap means the key is under-discriminating — refine the key
+    rather than raising the cap.  ``None`` disables."""
     passes = block_keys if block_keys else [block_key]
     dist = F.levenshtein(F.col(dirty_name), F.col("__cname"), max_dist)
     scored = None
@@ -100,6 +111,13 @@ def blocked_fuzzy_matches(
             F.col(clean_name).alias("__cname"),
             bk(clean_name).alias("__blk"),
         )
+        if max_block_width is not None:
+            wcap = Window.partitionBy("__blk").orderBy("__cid")
+            c = (
+                c.withColumn("__rn", F.row_number().over(wcap))
+                .filter(F.col("__rn") <= max_block_width)
+                .drop("__rn")
+            )
         cand = d.join(c, "__blk")
         scored = cand if scored is None else scored.unionByName(cand)
     scored = (

@@ -3173,3 +3173,25 @@ ORACLES["q122_bucketed_join"] = """
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
 """
+
+# q123: prefix-filtered set-similarity join — SAME uncapped all-pairs
+# ground truth as q47 (same tokenizer/shingling/threshold/output
+# contract); the Spark side answers through the prefix-filter index,
+# so hash-equality externally proves the prefix theorem's candidate
+# completeness (the q118 two-mechanisms-one-oracle idiom).
+ORACLES["q123_prefix_filter_join"] = ORACLES["q47_ngram_jaccard"]
+
+# q124: incremental rollup — the oracle aggregates ALL events in one
+# pass; the Spark side merges a stored history rollup (built once,
+# ts < 2024-01-21) with freshly aggregated tail partials.  Decimal
+# sums are associative, so hash-equality proves merge == recompute
+# (reference op #36 over a stored boundary).
+ORACLES["q124_incremental_rollup"] = """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+"""

@@ -3119,7 +3119,10 @@ def q121(spark, sf_dir):
     argmin-via-min(struct) with map-side partials, not a window.  The
     oracle enumerates the same blocks with plain levenshtein() <= 2
     and row_number ties — hash-equality proves the edit-distance
-    semantics and the deterministic selection.  Reference tie: the
+    semantics and the deterministic selection.  The hot-block width
+    cap (default 4096) cannot bind here — suffix blocks hold ~N/1000
+    clean rows (150 at sf1.0) — so the uncapped oracle is exact, the
+    same below-the-cap argument as q37/q66.  Reference tie: the
     normalize-then-probe username reconciliation
     (internal/feed/service.go:58-66) when the dirty side cannot
     normalize to an exact key."""
@@ -3188,6 +3191,83 @@ def q122(spark, sf_dir):
             _round2(F.sum("o_totalprice")).alias("revenue"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+def q123(spark, sf_dir):
+    """Set-similarity join via PREFIX FILTERING
+    (operators/dedup.py::prefix_filter_jaccard_pairs — SSJoin /
+    All-Pairs): index only each doc's rarest
+    ``|S| - ceil(t*|S|) + 1`` shingles under the global
+    (frequency, shingle) order — candidate-COMPLETE by the prefix
+    theorem, no width cap needed, and the index holds exactly the
+    low-frequency postings so the celebrity-shingle quadratic never
+    forms.  Same tokenizer, shingling, threshold, and output contract
+    as q47, whose oracle is the UNCAPPED all-pairs ground truth —
+    hash-equality therefore externally proves the prefix theorem's
+    completeness through a structurally different plan (the q118
+    two-mechanisms-one-oracle idiom).  Reference tie: the fan-out
+    bounded-work contract (internal/feed/service.go:70-86) — do the
+    quadratic only where signal can exist."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        d, n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q124(spark, sf_dir):
+    """Incremental rollup maintenance (the continuous-aggregate /
+    hypertable pattern): the per-(day, event_type) aggregate for the
+    immutable history (ts < 2024-01-21) is computed ONCE and stored as
+    mergeable partials; the live query aggregates only the tail
+    (ts >= cutoff, parquet row-group stats prune the history bytes)
+    and MERGES stored + fresh partials — count by sum, amount by
+    exact DECIMAL(18,2) sums (associative, so partial/final merge
+    order can never move a bit; the TPC-H decimal idiom) — proving
+    reference op #36's partial/final-merge contract over a stored
+    boundary.  The oracle aggregates all events in one pass, so
+    hash-equality proves merge == recompute.  At 100 TB this is the
+    difference between scanning 30 days and scanning one: history
+    partitions are never rescanned.  Reference tie: the feed
+    fan-out's write-once-read-many materialization
+    (internal/feed/service.go:70-86) applied to aggregates."""
+    import hashlib
+
+    from golang_cassandra_kafka_feed_spark.sources.fsutil import (
+        path_exists,
+        write_marker,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    partials = lambda df: df.groupBy(day, "event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_part"),
+    )
+    staleness_key = "|".join(sorted(ev.inputFiles())) or sf_dir
+    path = "/tmp/gckfs_q124_rollup_" + hashlib.md5(
+        (staleness_key + "|day-type-v1").encode()
+    ).hexdigest()[:12]
+    if not path_exists(spark, path + "/_ROLLUP_COMMITTED"):
+        partials(ev.filter(F.col("ts") < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(path + "/data")
+        write_marker(spark, path + "/_ROLLUP_COMMITTED", "ts<2024-01-21")
+    stored = spark.read.parquet(path + "/data")
+    fresh = partials(ev.filter(F.col("ts") >= cutoff))
+    return (
+        stored.unionByName(fresh)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_part").alias("n_events"),
+            F.sum("sum_part").cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
     )
 
 
@@ -3337,6 +3417,8 @@ _REGISTRY = {
     "q120_domain_blocklist": q120,
     "q121_fuzzy_blocking": q121,
     "q122_bucketed_join": q122,
+    "q123_prefix_filter_join": q123,
+    "q124_incremental_rollup": q124,
 }
 _REGISTRY.update(TPCH_QUERIES)
 
@@ -3356,6 +3438,8 @@ _R8_WINDOW = [
     "q120_domain_blocklist",
     "q121_fuzzy_blocking",
     "q122_bucketed_join",
+    "q123_prefix_filter_join",
+    "q124_incremental_rollup",
     # -- verdict-named hash-mechanism re-pin sentinels --
     "q110_incremental_minhash",
     "q37_minhash_lsh_neardup",
@@ -3381,7 +3465,6 @@ _R8_WINDOW = [
     "q39_ann_lsh_topk",
     "q41_winnow_fingerprint",
     "q47_ngram_jaccard",
-    "q28b_dup_groups",
     # -- sketches --
     "q48_sketch_stats",
     "q59_kmv_distinct",
@@ -3397,7 +3480,6 @@ _R8_WINDOW = [
     "q103_triangles",
     "q09_range_theta_join",
     "q10_asof_join",
-    "q26_tumbling_window",
     "q27_session_window",
     "q89_scd2_intervals",
 ]

@@ -309,3 +309,87 @@ def test_minhash_accuracy_audit_estimates_jaccard(corpus):
     # (high-J) planted pairs must be well inside one std (1/sqrt(64)).
     errs = [r.abs_err for r in rows if (r.id_a, r.id_b) in planted]
     assert sum(errs) / len(errs) <= 0.125
+
+
+# ---- prefix-filtered set-similarity join (q123 mechanism) ----
+
+def test_prefix_filter_equals_all_pairs_on_the_corpus(spark, sf_dir):
+    """The prefix-filter index must reproduce the UNCAPPED inverted
+    index's pairs exactly (candidate completeness) on real data."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, prefix_filter_jaccard_pairs(
+        d, n=3, threshold=0.5).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(
+        d, n=3, threshold=0.5, max_shingle_freq=10**9).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_prefix_filter_keeps_exact_threshold_boundary(spark):
+    """A pair at exactly J = t must survive: the epsilon in
+    ceil(size*t - 1e-9) may only LENGTHEN the prefix, never shorten
+    it past the theorem's bound."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # 3-gram shingles: "a b c d" -> {abc, bcd}; "a b c e" -> {abc, bce}
+    # J = 1/3; with t = 1/3 the pair sits exactly on the boundary
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id bigint, text string"
+    )
+    out = prefix_filter_jaccard_pairs(d, n=3, threshold=1 / 3).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+def test_prefix_index_is_smaller_and_holds_the_rarest_shingles(spark):
+    """Mechanism property: at t=0.5 the index holds about half the
+    postings of the full inverted index — the low-frequency half."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _shingles,
+    )
+
+    # digits are token separators under the corpus tokenizer, so the
+    # per-doc unique words must be alphabetic
+    d = spark.createDataFrame(
+        [(i, "common words everywhere always seen in each doc plus "
+             f"rare{chr(97 + i)} tail{chr(97 + i)} end{chr(97 + i)}")
+         for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    full = d.select(
+        F.explode(F.array_distinct(_shingles("text", 3))).alias("s")
+    ).count()
+    # reproduce the operator's prefix selection
+    from pyspark.sql import Window
+
+    sets = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_shingles("text", 3)).alias("sh"),
+    ).withColumn("set_size", F.size("sh"))
+    inv = sets.select(
+        "id", "set_size", F.explode("sh").alias("shingle")
+    )
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    plen = (
+        F.col("set_size") - F.ceil(F.col("set_size") * 0.5 - 1e-9) + 1
+    )
+    pref = (
+        inv.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+    )
+    n_pref = pref.count()
+    assert n_pref < full * 0.75, (n_pref, full)
+    # rarest-first order: every doc's 3 unique (df=1) shingles — the
+    # windows touching its rareX/tailX/endX tail — are ALL indexed
+    # before any corpus-wide shared shingle fills the prefix
+    assert pref.filter(F.col("df") == 1).count() == 20 * 3

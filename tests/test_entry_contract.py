@@ -24,6 +24,8 @@ ROUND8_FRESH = [
     "q120_domain_blocklist",
     "q121_fuzzy_blocking",
     "q122_bucketed_join",
+    "q123_prefix_filter_join",
+    "q124_incremental_rollup",
 ]
 
 # The verdict-named hash-mechanism re-pin sentinels plus the standing
@@ -52,11 +54,11 @@ HIGH_RISK = {
 ROUND8_BREADTH = {
     "q30_cosine_topk", "q35_embedding_neardup", "q36_ann_multi_query",
     "q39_ann_lsh_topk", "q41_winnow_fingerprint", "q47_ngram_jaccard",
-    "q28b_dup_groups", "q48_sketch_stats", "q59_kmv_distinct",
+    "q48_sketch_stats", "q59_kmv_distinct",
     "q90_bloom_fp_audit", "q54_hash_split", "q73_dsir_weights",
     "q62_duplicate_spans", "q63_decontamination", "q75_line_dedup",
     "q109_pii_audit", "q103_triangles", "q09_range_theta_join",
-    "q10_asof_join", "q26_tumbling_window", "q27_session_window",
+    "q10_asof_join", "q27_session_window",
     "q89_scd2_intervals",
 }
 

@@ -352,3 +352,31 @@ def test_profile_and_checks_quoted_names_are_data(spark):
         ).collect()
     }
     assert checks["it's unique"].passed
+
+
+def test_q124_rollup_memoizes_and_prunes_history_from_the_live_scan(
+    spark, sf_dir
+):
+    """Warm runs must serve the history from the stored rollup without
+    rebuilding it (marker mtime unchanged) and push the tail predicate
+    into the events scan (history bytes pruned by row-group stats)."""
+    import glob
+    import os
+
+    from golang_cassandra_kafka_feed_spark.plans.queries import QUERIES
+
+    q = QUERIES["q124_incremental_rollup"]
+    r1 = q(spark, sf_dir)
+    rows1 = sorted(map(tuple, r1.collect()))  # builds if absent
+    marker = glob.glob("/tmp/gckfs_q124_rollup_*/_ROLLUP_COMMITTED")
+    assert marker
+    mt = max(os.path.getmtime(m) for m in marker)
+    r2 = q(spark, sf_dir)
+    assert sorted(map(tuple, r2.collect())) == rows1
+    assert max(os.path.getmtime(m) for m in marker) == mt, (
+        "warm run rebuilt the committed rollup"
+    )
+    plan = r2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, (
+        f"tail predicate not pushed to the events scan:\n{plan}"
+    )

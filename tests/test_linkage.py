@@ -69,8 +69,11 @@ def test_no_window_in_the_selection_plan(spark):
     hot block to one task."""
     clean = _clean(spark, [(1, "alpha-9042")])
     dirty = _dirty(spark, [(100, "alpha-042")])
+    # cap disabled to isolate the SELECTION plan (the cap itself is a
+    # WindowGroupLimit by design — map-side truncation, not a window
+    # over the candidates)
     plan = (
-        blocked_fuzzy_matches(dirty, clean)
+        blocked_fuzzy_matches(dirty, clean, max_block_width=None)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
@@ -111,3 +114,34 @@ def test_url_blocklist_filter_keeps_null_and_hostless(spark):
     )
     kept = blocklist_filter_urls(df, ("example.org",))
     assert sorted(r.id for r in kept.collect()) == [2, 3, 4]
+
+
+def test_block_width_cap_truncates_hot_blocks_map_side(spark):
+    """A degenerate block (every clean row sharing one key) is
+    truncated to the cap's smallest ids BEFORE pair enumeration, and
+    the rank-filter plans as WindowGroupLimit (map-side, the dedup
+    mega-bucket idiom)."""
+    clean = _clean(
+        spark, [(i, f"dup-{i:04d}-x11") for i in range(50)]
+    )  # all share last-3 block "x11"
+    dirty = _dirty(spark, [(100, "dup-0049-x11")])
+    out = blocked_fuzzy_matches(
+        dirty, clean, max_dist=2, max_block_width=10
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    # ids >= 10 were truncated from the block, so the true source
+    # (id 49, dist 0) is invisible — the documented cap trade; the
+    # best SURVIVING candidate under the cap wins instead
+    rows = out.collect()
+    assert all(r.match_id < 10 for r in rows)
+
+
+def test_block_width_cap_is_exact_below_the_cap(spark):
+    clean = _clean(spark, [(1, "alpha-9042"), (2, "alphb-9042")])
+    dirty = _dirty(spark, [(100, "alpha-042")])
+    capped = blocked_fuzzy_matches(dirty, clean, max_block_width=4096)
+    uncapped = blocked_fuzzy_matches(dirty, clean, max_block_width=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
