@@ -3174,12 +3174,15 @@ ORACLES["q122_bucketed_join"] = """
     ORDER BY c_mktsegment
 """
 
-# q123: prefix-filtered set-similarity join — SAME uncapped all-pairs
-# ground truth as q47 (same tokenizer/shingling/threshold/output
-# contract); the Spark side answers through the prefix-filter index,
-# so hash-equality externally proves the prefix theorem's candidate
-# completeness (the q118 two-mechanisms-one-oracle idiom).
-ORACLES["q123_prefix_filter_join"] = ORACLES["q47_ngram_jaccard"]
+# q123: prefix-filtered set-similarity join — q47's uncapped all-pairs
+# ground truth with the threshold swapped to q123's t=0.7 (mechanical
+# single-site derive, the q118 idiom); the Spark side answers through
+# the prefix-filter index, so hash-equality externally proves the
+# prefix theorem's candidate completeness in the short-prefix regime.
+ORACLES["q123_prefix_filter_join"] = ORACLES["q47_ngram_jaccard"].replace(
+    "jaccard >= 0.5", "jaccard >= 0.7"
+)
+assert ORACLES["q123_prefix_filter_join"].count("0.7") == 1
 
 # q124: incremental rollup — the oracle aggregates ALL events in one
 # pass; the Spark side merges a stored history rollup (built once,
@@ -3194,4 +3197,77 @@ ORACLES["q124_incremental_rollup"] = """
     FROM events
     GROUP BY 1, 2
     ORDER BY day, event_type
+"""
+
+# q125: market-basket lift — the oracle enumerates within-order part
+# pairs directly; lift spelled as the identical single double
+# division over exact integers.  The Spark side's 256-item basket cap
+# cannot bind (orders carry <= ~13 parts at every SF), so the
+# uncapped twin is exact — the established below-the-cap argument.
+ORACLES["q125_basket_affinity"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    cnt AS (SELECT i, count(*) AS n FROM items GROUP BY i),
+    tot AS (SELECT count(DISTINCT b) AS n_baskets FROM items)
+    SELECT item_a, item_b, n_ab,
+           CAST(t.n_baskets * n_ab AS DOUBLE) / (ca.n * cb.n) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.i = item_a
+    JOIN cnt cb ON cb.i = item_b
+    CROSS JOIN tot t
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 20
+"""
+
+# q126: multi-pass blocked linkage — candidates are the UNION of the
+# suffix-block and prefix-block passes (OR predicate here; two
+# equi-joins unioned on the Spark side), over md5-derived names both
+# engines compute identically.  Hash-equality proves the recall claim:
+# a corruption inside one block key is recovered by the other pass.
+ORACLES["q126_multipass_linkage"] = """
+    WITH clean AS (
+        SELECT doc_id AS cid,
+               'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS name
+        FROM documents
+    ),
+    dirty AS (
+        SELECT doc_id AS dirty_id,
+               substr(name, 1, pos - 1) || substr(name, pos + 1)
+                   AS dirty_name
+        FROM (
+            SELECT doc_id,
+                   'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS name,
+                   CASE WHEN doc_id % 2 = 1 THEN 9
+                        WHEN doc_id % 4 = 0 THEN 5
+                        ELSE 6 END AS pos
+            FROM documents
+        )
+    ),
+    cand AS (
+        SELECT d.dirty_id, d.dirty_name, c.cid AS match_id,
+               c.name AS match_name,
+               levenshtein(d.dirty_name, c.name) AS dist
+        FROM dirty d
+        JOIN clean c
+          ON substr(d.dirty_name, length(d.dirty_name) - 2, 3)
+             = substr(c.name, length(c.name) - 2, 3)
+          OR substr(d.dirty_name, 1, 4) = substr(c.name, 1, 4)
+        WHERE levenshtein(d.dirty_name, c.name) <= 2
+    )
+    SELECT dirty_id, dirty_name, match_id, match_name,
+           CAST(dist AS INT) AS dist
+    FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY dirty_id ORDER BY dist, match_id
+    ) = 1
+    ORDER BY dirty_id
 """

@@ -3202,11 +3202,15 @@ def q123(spark, sf_dir):
     (frequency, shingle) order — candidate-COMPLETE by the prefix
     theorem, no width cap needed, and the index holds exactly the
     low-frequency postings so the celebrity-shingle quadratic never
-    forms.  Same tokenizer, shingling, threshold, and output contract
-    as q47, whose oracle is the UNCAPPED all-pairs ground truth —
-    hash-equality therefore externally proves the prefix theorem's
-    completeness through a structurally different plan (the q118
-    two-mechanisms-one-oracle idiom).  Reference tie: the fan-out
+    forms.  Same tokenizer, shingling, and output contract as q47;
+    the oracle is q47's UNCAPPED all-pairs ground truth with the
+    threshold swapped to this key's t=0.7 (mechanical single-site
+    derive, the q118 two-mechanisms-one-oracle idiom) — hash-equality
+    therefore externally proves the prefix theorem's completeness
+    through a structurally different plan.  t=0.7 (vs q47's 0.5)
+    exercises the SHORT-prefix regime — ~30% of each set indexed —
+    where the theorem does the most pruning work; cost anatomy of
+    both thresholds in PERFORMANCE.md.  Reference tie: the fan-out
     bounded-work contract (internal/feed/service.go:70-86) — do the
     quadratic only where signal can exist."""
     from golang_cassandra_kafka_feed_spark.operators.dedup import (
@@ -3215,7 +3219,7 @@ def q123(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(
-        d, n=3, threshold=0.5
+        d, n=3, threshold=0.7
     ).orderBy("id_a", "id_b")
 
 
@@ -3269,6 +3273,79 @@ def q124(spark, sf_dir):
         )
         .orderBy("day", "event_type")
     )
+
+
+def q125(spark, sf_dir):
+    """Market-basket affinity (operators/affinity.py::basket_affinity):
+    top-20 part pairs by co-occurrence lift across orders, support >= 3
+    — the association-rules 2-itemset primitive (recommender
+    co-visitation / tag co-occurrence shape).  Pair enumeration
+    self-joins on the basket key (orders run <= ~13 items at every SF,
+    so the 256-item mega-basket cap never binds and the uncapped
+    oracle is exact — the q37/q121 below-the-cap argument); lift is an
+    exact-integer ratio in ONE double division, bit-identical
+    cross-engine; the (lift desc, item_a, item_b) order pins the top-k
+    boundary.  Reference tie: q85's collocation lift over basket
+    membership instead of token adjacency; the fan-out bounded-work
+    contract (internal/feed/service.go:70-86) at pair grain."""
+    from golang_cassandra_kafka_feed_spark.operators.affinity import (
+        basket_affinity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return basket_affinity(
+        li, "l_orderkey", "l_partkey", min_support=3, k=20
+    )
+
+
+def q126(spark, sf_dir):
+    """MULTI-PASS blocked linkage recall
+    (operators/linkage.py::blocked_fuzzy_matches(block_keys=[suffix,
+    prefix])): names are md5-derived ('u' + first 8 hex of
+    md5(doc_id) — the shared cross-engine hash idiom), so both block
+    keys are discriminative; the dirty plant deletes one character at
+    a doc_id-pinned position — INSIDE the last-3 suffix key for odd
+    doc_ids (the suffix pass alone is blind there), middle for even.
+    The oracle enumerates candidates with the OR of both block
+    predicates, so hash-equality externally proves the union-of-passes
+    recall claim: every record matches at distance 1 regardless of
+    which key the corruption hit.  Reference tie: the dual-index read
+    path (posts-by-user + posts-by-follower, cql:20-35) — two access
+    paths, one contract."""
+    from golang_cassandra_kafka_feed_spark.operators.linkage import (
+        blocked_fuzzy_matches,
+        prefix_block_key,
+        suffix_block_key,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    name = F.concat(
+        F.lit("u"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+    )
+    clean = d.select(F.col("doc_id").alias("cid"), name.alias("name"))
+    # deletion position: odd ids hit the suffix block key (last 3 of
+    # the 9-char name), even ids a middle char (both keys survive)
+    pos = (
+        F.when(F.col("doc_id") % 2 == 1, F.lit(9))
+        .when(F.col("doc_id") % 4 == 0, F.lit(5))
+        .otherwise(F.lit(6))
+    )
+    dirty = d.select(
+        F.col("doc_id").alias("dirty_id"),
+        F.concat(
+            F.substring(name, F.lit(1), pos - 1),
+            F.substring(name, pos + 1, F.length(name)),
+        ).alias("dirty_name"),
+    )
+    return blocked_fuzzy_matches(
+        dirty,
+        clean,
+        clean_id="cid",
+        clean_name="name",
+        block_keys=[suffix_block_key, prefix_block_key],
+        max_dist=2,
+    ).orderBy("dirty_id")
 
 
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
@@ -3419,6 +3496,8 @@ _REGISTRY = {
     "q122_bucketed_join": q122,
     "q123_prefix_filter_join": q123,
     "q124_incremental_rollup": q124,
+    "q125_basket_affinity": q125,
+    "q126_multipass_linkage": q126,
 }
 _REGISTRY.update(TPCH_QUERIES)
 
@@ -3440,6 +3519,8 @@ _R8_WINDOW = [
     "q122_bucketed_join",
     "q123_prefix_filter_join",
     "q124_incremental_rollup",
+    "q125_basket_affinity",
+    "q126_multipass_linkage",
     # -- verdict-named hash-mechanism re-pin sentinels --
     "q110_incremental_minhash",
     "q37_minhash_lsh_neardup",
@@ -3479,8 +3560,6 @@ _R8_WINDOW = [
     # -- graph / temporal / window tier --
     "q103_triangles",
     "q09_range_theta_join",
-    "q10_asof_join",
-    "q27_session_window",
     "q89_scd2_intervals",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)

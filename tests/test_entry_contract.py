@@ -1,6 +1,6 @@
 """Driver-contract invariants of __spark_entry__ that need no
 SparkSession: registry/oracle key parity, and the round-8 rotation —
-q111-q122 in front for first external driver contact, the verdict-named
+q111-q126 in front for first external driver contact, the verdict-named
 hash-mechanism re-pins, and the q92b retirement (window + bench sweep
 only; oracle and pytest parity coverage remain via RETIRED)."""
 
@@ -26,6 +26,8 @@ ROUND8_FRESH = [
     "q122_bucketed_join",
     "q123_prefix_filter_join",
     "q124_incremental_rollup",
+    "q125_basket_affinity",
+    "q126_multipass_linkage",
 ]
 
 # The verdict-named hash-mechanism re-pin sentinels plus the standing
@@ -58,7 +60,6 @@ ROUND8_BREADTH = {
     "q90_bloom_fp_audit", "q54_hash_split", "q73_dsir_weights",
     "q62_duplicate_spans", "q63_decontamination", "q75_line_dedup",
     "q109_pii_audit", "q103_triangles", "q09_range_theta_join",
-    "q10_asof_join", "q27_session_window",
     "q89_scd2_intervals",
 }
 
