@@ -310,9 +310,14 @@ def domain_blocklist_filter(
         host_suffixes(host_col),
         lambda s: F.array_contains(F.col("__rules"), s),
     )
+    # coalesce pins three-valued logic: a NULL host makes `exists`
+    # NULL and a bare `~NULL` filter would silently DROP the row —
+    # but only a PROVABLE match may drop (domain_block_matches never
+    # matches a NULL host, and the complement invariant the fuzzer
+    # asserts requires the filter to agree; review-found)
     return (
         df.crossJoin(rules_arr)
-        .filter(~blocked)
+        .filter(~F.coalesce(blocked, F.lit(False)))
         .drop("__rules")
     )
 

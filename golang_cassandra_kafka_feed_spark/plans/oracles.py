@@ -3140,12 +3140,26 @@ ORACLES["q121_fuzzy_blocking"] = """
                    AS dirty_name
         FROM customer WHERE c_custkey % 3 = 0
     ),
+    capped AS (
+        -- mirror of the engine's max_block_width=4096 clean-side cap
+        -- (smallest custkeys kept per block), so the twin is exact at
+        -- EVERY scale factor, not just below the cap (review-found:
+        -- blocks are ~N/1000 wide and would bind at ~4.2M customers)
+        SELECT c_custkey, c_name FROM (
+            SELECT c_custkey, c_name,
+                   row_number() OVER (
+                       PARTITION BY substr(c_name, length(c_name) - 2, 3)
+                       ORDER BY c_custkey
+                   ) AS rn
+            FROM customer
+        ) WHERE rn <= 4096
+    ),
     cand AS (
         SELECT d.dirty_id, d.dirty_name,
                c.c_custkey AS match_id, c.c_name AS match_name,
                levenshtein(d.dirty_name, c.c_name) AS dist
         FROM dirty d
-        JOIN customer c
+        JOIN capped c
           ON substr(d.dirty_name, length(d.dirty_name) - 2, 3)
              = substr(c.c_name, length(c.c_name) - 2, 3)
         WHERE levenshtein(d.dirty_name, c.c_name) <= 2

@@ -3120,12 +3120,13 @@ def q121(spark, sf_dir):
     oracle enumerates the same blocks with plain levenshtein() <= 2
     and row_number ties — hash-equality proves the edit-distance
     semantics and the deterministic selection.  The hot-block width
-    cap (default 4096) cannot bind here — suffix blocks hold ~N/1000
-    clean rows (150 at sf1.0) — so the uncapped oracle is exact, the
-    same below-the-cap argument as q37/q66.  Reference tie: the
-    normalize-then-probe username reconciliation
-    (internal/feed/service.go:58-66) when the dirty side cannot
-    normalize to an exact key."""
+    cap (default 4096) is MIRRORED in the oracle (same smallest-id
+    truncation per block), so the twin is exact at every scale factor
+    — blocks run ~N/1000 wide and would bind at ~4.2M customers,
+    where a below-the-cap argument would silently break
+    (review-found).  Reference tie: the normalize-then-probe username
+    reconciliation (internal/feed/service.go:58-66) when the dirty
+    side cannot normalize to an exact key."""
     from golang_cassandra_kafka_feed_spark.operators.linkage import (
         blocked_fuzzy_matches,
     )
@@ -3309,9 +3310,13 @@ def q126(spark, sf_dir):
     The oracle enumerates candidates with the OR of both block
     predicates, so hash-equality externally proves the union-of-passes
     recall claim: every record matches at distance 1 regardless of
-    which key the corruption hit.  Reference tie: the dual-index read
-    path (posts-by-user + posts-by-follower, cql:20-35) — two access
-    paths, one contract."""
+    which key the corruption hit.  The default clean-side cap cannot
+    bind here: md5-uniform names spread both block keys over 4096+
+    buckets, so blocks reach the 4096 cap only past ~16M documents —
+    far beyond any oracle SF (q121 mirrors its cap instead because its
+    1000-block keyspace binds 4000x earlier).  Reference tie: the
+    dual-index read path (posts-by-user + posts-by-follower,
+    cql:20-35) — two access paths, one contract."""
     from golang_cassandra_kafka_feed_spark.operators.linkage import (
         blocked_fuzzy_matches,
         prefix_block_key,

@@ -98,23 +98,26 @@ def dedup_urls_stream(
     input columns plus ``canonical_url``.
 
     ``blocklist`` (optional, a bounded curated sequence of domain
-    entries) drops banned-domain URLs BEFORE the stateful dedup — the
-    order matters operationally: a blocklisted domain must not be able
-    to bloat the frontier's state store, and the filter itself is a
-    stateless per-row projection (urltools.blocklist_filter_urls, the
-    q120 dot-boundary semantics), so it adds zero state and zero
-    shuffle to the streaming plan.
+    entries) drops banned-domain URLs BEFORE canonicalization and the
+    stateful dedup — the order matters twice: a blocklisted domain
+    must not be able to bloat the frontier's state store, and the
+    filter must see the RAW url, because a banned URL that fails
+    canonicalization (malformed port on a banned host) would otherwise
+    bypass the blocklist through the NULL branch (review-found).  The
+    filter itself is a stateless per-row projection
+    (urltools.blocklist_filter_urls, the q120 dot-boundary semantics)
+    over the raw URL's host, so it adds zero state and zero shuffle to
+    the streaming plan.
     """
     from golang_cassandra_kafka_feed_spark.operators.urltools import (
         blocklist_filter_urls,
         canonicalize_url,
     )
 
-    canon = urls.withColumn("canonical_url", canonicalize_url(url_col))
+    src = urls
     if blocklist:
-        canon = blocklist_filter_urls(
-            canon, blocklist, url_col="canonical_url"
-        )
+        src = blocklist_filter_urls(src, blocklist, url_col=url_col)
+    canon = src.withColumn("canonical_url", canonicalize_url(url_col))
     parseable = canon.filter(F.col("canonical_url").isNotNull())
     admitted = (
         parseable.withWatermark(ts_col, watermark)

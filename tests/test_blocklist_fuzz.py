@@ -43,17 +43,20 @@ _LABELS = [
 ]
 
 
-def _host(rng: random.Random) -> str:
+def _host(rng: random.Random) -> str | None:
+    if rng.random() < 0.03:
+        return None  # upstream-quarantined rows must survive the filter
     n = rng.randint(1, 5)
     return ".".join(rng.choice(_LABELS) for _ in range(n))
 
 
 def _rules(rng: random.Random, hosts: list[str]) -> list[str]:
     rules: set[str] = set()
+    real = [h for h in hosts if h is not None]
     for _ in range(rng.randint(2, 8)):
-        if hosts and rng.random() < 0.6:
+        if real and rng.random() < 0.6:
             # a real dot-boundary suffix of some host — guaranteed hits
-            h = rng.choice(hosts).split(".")
+            h = rng.choice(real).split(".")
             i = rng.randrange(len(h))
             rules.add(".".join(h[i:]))
         else:
@@ -83,7 +86,10 @@ def test_blocklist_semantics_agree_cross_engine(spark):
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE hosts AS SELECT * FROM (VALUES "
-        + ", ".join(f"({i}, '{h}')" for i, h in enumerate(hosts))
+        + ", ".join(
+            f"({i}, " + ("NULL" if h is None else f"'{h}'") + ")"
+            for i, h in enumerate(hosts)
+        )
         + ") t(doc_id, host)"
     )
     con.execute(

@@ -9,7 +9,7 @@ from __future__ import annotations
 import __spark_entry__ as entry
 
 # First-contact tier: never externally driver-checked before round 8
-# (q111-q115 landed after the r7 driver window closed; q116-q122 are
+# (q111-q115 landed after the r7 driver window closed; q116-q126 are
 # r8-new).
 ROUND8_FRESH = [
     "q111_canonical_selection",

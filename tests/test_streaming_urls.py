@@ -167,3 +167,31 @@ def test_blocklist_drops_banned_domains_before_state(spark, tmp_path):
         drop_unparseable=False,
     )
     assert sorted(r.req_id for r in rows) == [3, 4, 5]
+
+
+def test_banned_domain_with_unparseable_url_is_still_blocked(
+    spark, tmp_path
+):
+    """The blocklist must see the RAW url: a banned host with a
+    malformed port canonicalizes to NULL, and filtering on the
+    canonical string would let it bypass the blocklist through the
+    garbage branch (review-found)."""
+    src = str(tmp_path / "src_bl_raw")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "https://ads.example.org:0x1/t", _t(0)),  # banned+garbage
+            (2, "%%% not a url", _t(1)),                  # garbage only
+            (3, "https://keep.com/a", _t(2)),             # kept
+        ],
+    )
+    rows = _run(
+        spark,
+        src,
+        tmp_path,
+        "frontier_blocklist_raw",
+        blocklist=("example.org",),
+        drop_unparseable=False,
+    )
+    assert sorted(r.req_id for r in rows) == [2, 3]

@@ -230,3 +230,25 @@ def test_blocklist_filter_agrees_with_matches_and_never_shuffles(spark):
         f"filter path shuffles the corpus:\n{plan}"
     )
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_blocklist_filter_keeps_null_hosts(spark):
+    """Only a PROVABLE match drops: a NULL host must survive the
+    filter (three-valued `exists` coalesced; review-found — a bare
+    ~NULL filter silently dropped the row), keeping the complement
+    invariant with domain_block_matches."""
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        domain_block_matches,
+        domain_blocklist_filter,
+    )
+
+    hosts = spark.createDataFrame(
+        [(1, "example.org"), (2, "keep.com"), (3, None)],
+        "doc_id bigint, host string",
+    )
+    rules = _rules(spark, ["example.org"])
+    kept = {r.doc_id for r in domain_blocklist_filter(hosts, rules).collect()}
+    matched = {
+        r.doc_id for r in domain_block_matches(hosts, rules).collect()
+    }
+    assert kept == {2, 3} and matched == {1}
