@@ -48,3 +48,25 @@ def write_marker(spark: SparkSession, path: str, content: str = "") -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+
+
+def read_marker(spark: SparkSession, path: str) -> str | None:
+    """Read a marker's content back (None when absent) — the resolve
+    side of ``write_marker``, for pointer markers whose CONTENT is the
+    commit (e.g. the streaming rollup's _CURRENT version)."""
+    if not path_exists(spark, path):
+        return None
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    stream = fs.open(p)
+    try:
+        chunks = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            chunks.append(b)
+        return bytes(chunks).decode("utf-8")
+    finally:
+        stream.close()

@@ -9,6 +9,11 @@ from golang_cassandra_kafka_feed_spark.streaming.fanout import (
     fanout_stream_stream,
     run_fanout_pipeline,
 )
+from golang_cassandra_kafka_feed_spark.streaming.rollup import (
+    read_rollup,
+    rollup_foreach_batch,
+    rollup_partials,
+)
 from golang_cassandra_kafka_feed_spark.streaming.stateful import (
     sessionize_with_state,
 )
@@ -24,6 +29,9 @@ __all__ = [
     "deduped_post_stream",
     "fanout_stream",
     "fanout_stream_stream",
+    "read_rollup",
+    "rollup_foreach_batch",
+    "rollup_partials",
     "run_fanout_pipeline",
     "tumbling_counts_stream",
     "session_counts_stream",

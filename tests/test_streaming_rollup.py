@@ -1,0 +1,108 @@
+"""Streaming rollup maintenance (streaming/rollup.py): the continuous
+aggregate equals the batch recompute after every micro-batch, survives
+checkpoint restarts, and stays exactly-once through both crash windows
+of the pointer-commit protocol."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from golang_cassandra_kafka_feed_spark.sources.fsutil import (
+    path_exists,
+    read_marker,
+    write_marker,
+)
+from golang_cassandra_kafka_feed_spark.streaming.rollup import (
+    read_rollup,
+    rollup_foreach_batch,
+    rollup_partials,
+)
+
+_SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+_T0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, _T0 + dt.timedelta(hours=h), t, v)
+            for i, (h, t, v) in enumerate(rows)
+        ],
+        _SCHEMA,
+    )
+
+
+def _write_batch(spark, path, rows):
+    _rows(spark, rows).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, src, path, ck):
+    q = (
+        spark.readStream.schema(_SCHEMA)
+        .parquet(src)
+        .writeStream.foreachBatch(rollup_foreach_batch(path))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def _expect(spark, src):
+    return sorted(
+        map(
+            tuple,
+            rollup_partials(spark.read.parquet(src)).collect(),
+        )
+    )
+
+
+def _got(spark, path):
+    return sorted(map(tuple, read_rollup(spark, path).collect()))
+
+
+def test_rollup_equals_recompute_across_batches_and_restart(
+    spark, tmp_path
+):
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "roll")
+    ck = str(tmp_path / "ck")
+    _write_batch(
+        spark, src, [(0, "view", 1.5), (1, "view", 2.0), (30, "buy", 9.9)]
+    )
+    _run(spark, src, path, ck)
+    assert _got(spark, path) == _expect(spark, src)
+    # second batch (same day + a new day), SAME checkpoint: incremental
+    _write_batch(spark, src, [(2, "view", 0.5), (55, "buy", 1.0)])
+    _run(spark, src, path, ck)
+    assert _got(spark, path) == _expect(spark, src)
+
+
+def test_post_commit_replay_is_skipped(spark, tmp_path):
+    path = str(tmp_path / "roll2")
+    fn = rollup_foreach_batch(path)
+    b0 = _rows(spark, [(0, "view", 1.0), (26, "buy", 2.0)])
+    fn(b0, 0)
+    first = _got(spark, path)
+    fn(b0, 0)  # replay after the pointer committed: must no-op
+    assert _got(spark, path) == first
+
+
+def test_pre_commit_crash_replay_redoes_from_pre_state(spark, tmp_path):
+    """Crash window: v{b} written but _CURRENT not moved.  The replay
+    must rebuild v{b} from the OLD pointer's state — no double count."""
+    path = str(tmp_path / "roll3")
+    fn = rollup_foreach_batch(path)
+    fn(_rows(spark, [(0, "view", 1.0)]), 0)
+    b1 = _rows(spark, [(1, "view", 3.0)])
+    fn(b1, 1)
+    done = _got(spark, path)
+    # simulate the crash: rewind the pointer to v0, leaving the
+    # orphaned v1 dir in place, then replay batch 1
+    write_marker(spark, path + "/_CURRENT", "0")
+    assert path_exists(spark, path + "/v1")
+    fn(b1, 1)
+    assert read_marker(spark, path + "/_CURRENT") == "1"
+    assert _got(spark, path) == done
