@@ -61,12 +61,8 @@ def read_marker(spark: SparkSession, path: str) -> str | None:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
     stream = fs.open(p)
     try:
-        chunks = []
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            chunks.append(b)
-        return bytes(chunks).decode("utf-8")
+        # one JVM call (Java 11+ InputStream API) — the per-byte
+        # read() loop costs one Py4J round trip PER BYTE (review-found)
+        return bytes(stream.readAllBytes()).decode("utf-8")
     finally:
         stream.close()

@@ -14,17 +14,43 @@ micro-batch id (monotone under Structured Streaming's checkpointed
 replay contract), and the ONLY commit point is the ``_CURRENT``
 pointer marker:
 
-- apply(batch b): if ``int(_CURRENT) >= b`` the batch is already
-  merged (a replay after a post-commit crash) — skip;
-- otherwise merge the stored version ``_CURRENT`` points at with the
-  batch partials into ``v{b}`` (overwrite-safe: a replay after a
-  pre-commit crash rewrites the SAME dir from the SAME pre-state,
-  because the pointer still names the old version), then move the
-  pointer.
+- apply(batch b): if the RESOLVED current version ``>= b`` the batch
+  is already merged (a replay after a post-commit crash) — skip;
+- otherwise merge the stored current version with the batch partials
+  into ``v{b}`` (overwrite-safe: a replay after a pre-commit crash
+  rewrites the SAME dir from the SAME pre-state, because the pointer
+  still names the old version), then move the pointer.
 
-A crash in any window therefore yields either a clean redo from the
-untouched pre-state or a clean skip — never a double count (tested in
-test_streaming_rollup.py, including a simulated pre-commit crash).
+The pointer write is a truncate-then-write, not an atomic rename, so
+a crash MID-move can leave ``_CURRENT`` empty (review-found).
+Resolution therefore recovers from a missing or garbled pointer via
+the version dirs themselves: current = the highest ``v{b}`` carrying
+parquet's ``_SUCCESS`` marker.  That recovery is exactly-once too — a
+complete-but-unpointed ``v{b}`` already CONTAINS batch ``b``
+(versions are always written before the pointer moves), so the
+engine's replay of ``b`` skips; a half-written dir has no
+``_SUCCESS`` and is ignored, so the replay redoes it from the
+pre-state.  Every crash window thus yields a clean redo, a clean
+skip, or a recovered pointer — never a double count (tested in
+test_streaming_rollup.py, including simulated pre-commit and
+mid-move crashes).
+
+Two operational guards (review-found):
+
+- **run identity**: batch ids restart at 0 when a pipeline starts
+  over on a NEW checkpoint; the plain monotone guard would then
+  silently skip real data.  The pointer records the streaming query
+  id (persisted in the checkpoint: stable across restarts of the
+  SAME checkpoint, different for a new one); a mismatch RAISES —
+  the operator resumes the original checkpoint or starts a fresh
+  rollup path, instead of silently losing merges either way.
+- **single-writer enforcement**: ``lease=True`` (default) wraps the
+  read-merge-write-move sequence in the repo's filesystem lease lock
+  (feed/lock.py), so a repair job racing the stream on the same path
+  becomes a bounded wait or a loud error, never a lost update.  The
+  lease lives on the DRIVER-LOCAL filesystem (feed/lock.py's
+  documented scope); pass ``lease=False`` for object-store rollup
+  paths and enforce single-writer by deployment there.
 
 Partials are mergeable by construction: counts by sum, amounts by
 exact DECIMAL(18,2) sums (associative — the q124/TPC-H idiom), so
@@ -42,6 +68,7 @@ materialization (internal/feed/service.go:70-86) driven by a stream.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -51,6 +78,12 @@ from golang_cassandra_kafka_feed_spark.sources.fsutil import (
     read_marker,
     write_marker,
 )
+
+
+class RollupRunMismatch(RuntimeError):
+    """The rollup was built by a different streaming run (new
+    checkpoint => restarted batch ids): merging would double-count,
+    skipping would drop data — so neither happens silently."""
 
 
 def rollup_partials(
@@ -72,12 +105,57 @@ def rollup_partials(
     )
 
 
+def _complete_versions(spark, path: str) -> list[int]:
+    """Batch ids of version dirs with a parquet ``_SUCCESS`` marker."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/v*/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.globStatus(p) or []:
+        name = st.getPath().getParent().getName()
+        try:
+            out.append(int(name[1:]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _resolve_current(spark, path: str) -> tuple[int, str] | None:
+    """(batch_id, run_id) of the committed version; None before the
+    first commit.  A missing/empty/garbled pointer recovers from the
+    highest COMPLETE version dir (see module docstring for why that
+    preserves exactly-once); run_id is '' when unknown."""
+    raw = read_marker(spark, path + "/_CURRENT")
+    if raw:
+        bid, _, run = raw.partition(":")
+        try:
+            return int(bid), run
+        except ValueError:
+            pass  # garbled — fall through to dir recovery
+    versions = _complete_versions(spark, path)
+    if not versions:
+        return None
+    return versions[-1], ""
+
+
 def read_rollup(spark, path: str) -> DataFrame | None:
     """The committed rollup (None before the first batch commits)."""
-    cur = read_marker(spark, path + "/_CURRENT")
+    cur = _resolve_current(spark, path)
     if cur is None:
         return None
-    return spark.read.parquet(f"{path}/v{int(cur)}")
+    return spark.read.parquet(f"{path}/v{cur[0]}")
+
+
+def _run_identity(batch_df: DataFrame, explicit: str | None) -> str:
+    if explicit:
+        return explicit
+    try:
+        active = batch_df.sparkSession.streams.active
+        if len(active) == 1:
+            return str(active[0].id)  # checkpoint-persisted identity
+    except Exception:  # pragma: no cover - defensive
+        pass
+    return "adhoc"
 
 
 def rollup_foreach_batch(
@@ -85,37 +163,67 @@ def rollup_foreach_batch(
     ts_col: str = "ts",
     type_col: str = "event_type",
     value_col: str = "value",
+    run_id: str | None = None,
+    lease: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` function maintaining the rollup at
     ``path``.  Usage::
 
         stream.writeStream.foreachBatch(rollup_foreach_batch(path))
               .option("checkpointLocation", ck).start()
-    """
+
+    ``run_id`` overrides the recorded run identity (defaults to the
+    active streaming query's checkpoint-persisted id, or 'adhoc' for
+    direct calls); ``lease=False`` disables the driver-local
+    single-writer lock for object-store paths."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cur = read_marker(spark, path + "/_CURRENT")
-        if cur is not None and int(cur) >= batch_id:
-            return  # post-commit replay: already merged
-        new = rollup_partials(batch_df, ts_col, type_col, value_col)
-        if cur is not None:
-            stored = spark.read.parquet(f"{path}/v{int(cur)}")
-            new = (
-                stored.unionByName(new)
-                .groupBy("day", type_col)
-                .agg(
-                    F.sum("n_part").alias("n_part"),
-                    F.sum("sum_part").cast("decimal(38,2)").alias(
-                        "sum_part"
-                    ),
-                )
+        run = _run_identity(batch_df, run_id)
+        if lease:
+            from golang_cassandra_kafka_feed_spark.feed.lock import (
+                table_lock,
             )
-        # dimension-sized output: one file keeps the version dir tidy
-        new.coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/v{batch_id}"
-        )
-        # the single commit point — written LAST
-        write_marker(spark, path + "/_CURRENT", str(batch_id))
+
+            guard = table_lock(path, "_rollup")
+        else:
+            guard = contextlib.nullcontext()
+        with guard:
+            cur = _resolve_current(spark, path)
+            if cur is not None:
+                cur_id, cur_run = cur
+                if cur_run and cur_run != run:
+                    raise RollupRunMismatch(
+                        f"rollup at {path} was written by run "
+                        f"{cur_run!r}, this is run {run!r} (new "
+                        "checkpoint => batch ids restarted): resume "
+                        "the original checkpoint or use a fresh "
+                        "rollup path"
+                    )
+                if cur_id >= batch_id:
+                    return  # post-commit replay: already merged
+            new = rollup_partials(
+                batch_df, ts_col, type_col, value_col
+            )
+            if cur is not None:
+                stored = spark.read.parquet(f"{path}/v{cur[0]}")
+                new = (
+                    stored.unionByName(new)
+                    .groupBy("day", type_col)
+                    .agg(
+                        F.sum("n_part").alias("n_part"),
+                        F.sum("sum_part")
+                        .cast("decimal(38,2)")
+                        .alias("sum_part"),
+                    )
+                )
+            # dimension-sized output: one file keeps the version tidy
+            new.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/v{batch_id}"
+            )
+            # the single commit point — written LAST
+            write_marker(
+                spark, path + "/_CURRENT", f"{batch_id}:{run}"
+            )
 
     return _apply

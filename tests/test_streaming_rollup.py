@@ -104,5 +104,43 @@ def test_pre_commit_crash_replay_redoes_from_pre_state(spark, tmp_path):
     write_marker(spark, path + "/_CURRENT", "0")
     assert path_exists(spark, path + "/v1")
     fn(b1, 1)
-    assert read_marker(spark, path + "/_CURRENT") == "1"
+    assert read_marker(spark, path + "/_CURRENT") == "1:adhoc"
     assert _got(spark, path) == done
+
+
+def test_mid_move_crash_recovers_pointer_from_version_dirs(
+    spark, tmp_path
+):
+    """Crash window: the pointer truncate happened but the content
+    write did not — _CURRENT exists EMPTY.  Resolution must recover
+    current = the highest complete version dir (which already contains
+    the batch the pointer was moving to), and a replay of that batch
+    must skip — exactly-once preserved through the corruption."""
+    path = str(tmp_path / "roll4")
+    fn = rollup_foreach_batch(path)
+    fn(_rows(spark, [(0, "view", 1.0)]), 0)
+    b1 = _rows(spark, [(1, "buy", 3.0)])
+    fn(b1, 1)
+    done = _got(spark, path)
+    write_marker(spark, path + "/_CURRENT", "")  # simulated mid-move
+    assert _got(spark, path) == done  # reader recovers from dirs
+    fn(b1, 1)  # replay: resolved current (1) >= batch_id -> skip
+    assert _got(spark, path) == done
+
+
+def test_new_run_with_restarted_batch_ids_raises(spark, tmp_path):
+    """A NEW checkpoint restarts batch ids at 0; the old monotone
+    guard would silently drop that data — it must raise instead
+    (review-found)."""
+    import pytest
+
+    from golang_cassandra_kafka_feed_spark.streaming.rollup import (
+        RollupRunMismatch,
+    )
+
+    path = str(tmp_path / "roll5")
+    fn_a = rollup_foreach_batch(path, run_id="run-a")
+    fn_a(_rows(spark, [(0, "view", 1.0)]), 0)
+    fn_b = rollup_foreach_batch(path, run_id="run-b")
+    with pytest.raises(RollupRunMismatch):
+        fn_b(_rows(spark, [(1, "buy", 2.0)]), 0)
