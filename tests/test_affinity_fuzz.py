@@ -7,8 +7,8 @@ double equality, not rounded.
 
 Seeded and deterministic: SPARK_GRAFT_AFFUZZ_SEED /
 SPARK_GRAFT_AFFUZZ_N reproduce any failure.  Soak record (committed):
-seed 20260816 at 40 rounds — zero divergences.  Suite default is 12
-rounds (~15 s).
+seeds 20260816 x 40 rounds and 20260817 x 20 — zero divergences.
+Suite default is 12 rounds (~15 s).
 """
 
 from __future__ import annotations

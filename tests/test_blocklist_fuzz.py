@@ -15,8 +15,9 @@ Also the complement property, engine-independent:
 
 Seeded and deterministic: SPARK_GRAFT_BLFUZZ_SEED /
 SPARK_GRAFT_BLFUZZ_N reproduce any failure.  Soak record (committed):
-seed 20260816 at 2000 hosts — zero divergences.  Suite default is 400
-hosts (~10 s).
+seed 20260816 at 2000 hosts (twice — before and after NULL-host
+planting landed), seed 20260817 at 1000 — zero divergences.  Suite
+default is 400 hosts (~10 s).
 """
 
 from __future__ import annotations

@@ -10,8 +10,8 @@ lose the candidate — blocking is part of the shared contract).
 
 Seeded and deterministic: SPARK_GRAFT_LKFUZZ_SEED /
 SPARK_GRAFT_LKFUZZ_N reproduce any failure.  Soak record (committed):
-seed 20260816 at 1500 dirty records — zero divergences.  Suite default
-is 300 (~10 s).
+seeds 20260816 x 1500 and 20260817 x 800 dirty records — zero
+divergences.  Suite default is 300 (~10 s).
 """
 
 from __future__ import annotations
