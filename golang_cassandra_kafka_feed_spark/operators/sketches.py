@@ -258,3 +258,115 @@ def bloom_fp_audit(
         bloom_maybe.alias("bloom_maybe"),
         (bloom_maybe & ~exact_member).alias("is_false_positive"),
     )
+
+
+CMS_AUDIT_D = 4
+CMS_AUDIT_W = 256
+
+
+def cms_topk_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    d: int = CMS_AUDIT_D,
+    w: int = CMS_AUDIT_W,
+) -> DataFrame:
+    """Count-min sketch accuracy audit over corpus token frequencies —
+    the third sketch family next to KMV (cardinality) and Bloom
+    (membership): CMS answers FREQUENCY queries in d*w integers
+    regardless of corpus size (Cormode & Muthukrishnan 2005).
+
+    Deterministic, engine-portable construction (the md5 idiom): row
+    r hashes a token to bucket int(md5(token ':' r)[:8], 16) % w; the
+    counter matrix is ONE aggregation of the exploded token stream
+    (each token contributes d counter increments, exploded as an
+    inline d-struct array — narrow, no extra shuffle); the estimate
+    for a token is min over rows of its d counters.  The audit joins
+    the exact top-``k`` tokens (deterministic (count desc, token)
+    order) against their estimates: ``overestimate = n_est - n_exact``
+    is >= 0 BY CONSTRUCTION (every occurrence of the token increments
+    all d of its counters; collisions only ADD) — the one-sided error
+    guarantee the oracle twin re-derives independently, E[error] <=
+    2N/w per row with failure probability (1/2)^d at the standard
+    parameters.
+
+    100 TB posture: the sketch is d*w rows (1,024 here) at ANY corpus
+    size — the point of sketching; one token-count shuffle for the
+    exact side (already needed by the audit), one counter aggregation
+    whose output is sketch-sized, and a broadcast-sized join of the
+    top-k probe set against the counters.
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(text_col), "[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    top = (
+        exact.orderBy(F.desc("n_exact"), "token").limit(k)
+    )
+
+    def bucket(token, r):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(token, F.lit(f":{r}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % w
+        )
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(F.col("token"), r).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell")
+    )
+    counters = cells.groupBy(
+        F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("counter"))
+
+    probes = top.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(F.col("token"), r).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+    )
+    est = (
+        probes.join(
+            counters,
+            (F.col("cell.r") == F.col("r"))
+            & (F.col("cell.bucket") == F.col("bucket")),
+        )
+        .groupBy("token", "n_exact")
+        .agg(F.min("counter").alias("n_est"))
+    )
+    return est.select(
+        "token",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
+    ).orderBy(F.desc("n_exact"), "token")

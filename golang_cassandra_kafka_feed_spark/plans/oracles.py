@@ -3285,3 +3285,45 @@ ORACLES["q126_multipass_linkage"] = """
     ) = 1
     ORDER BY dirty_id
 """
+
+# q127: count-min sketch audit — the oracle rebuilds the SAME d x w
+# counter matrix with the shared md5 bucket hash and re-derives the
+# estimates independently; hash-equality proves the estimator and the
+# one-sided overestimate guarantee cross-engine.
+ORACLES["q127_cms_audit"] = f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    exact AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        FROM toks GROUP BY token
+    ),
+    top AS (
+        SELECT token, n_exact FROM exact
+        ORDER BY n_exact DESC, token LIMIT 20
+    ),
+    cells AS (
+        SELECT r,
+               CAST(('0x' || substring(md5(token || ':' || r), 1, 8))
+                    AS BIGINT) % 256 AS bucket
+        FROM toks CROSS JOIN range(4) t(r)
+    ),
+    counters AS (
+        SELECT r, bucket, CAST(count(*) AS BIGINT) AS counter
+        FROM cells GROUP BY r, bucket
+    ),
+    probes AS (
+        SELECT token, n_exact, t.r,
+               CAST(('0x' || substring(md5(token || ':' || t.r), 1, 8))
+                    AS BIGINT) % 256 AS bucket
+        FROM top CROSS JOIN range(4) t(r)
+    )
+    SELECT token, n_exact, n_est, n_est - n_exact AS overestimate
+    FROM (
+        SELECT p.token, p.n_exact, min(c.counter) AS n_est
+        FROM probes p
+        JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+        GROUP BY p.token, p.n_exact
+    )
+    ORDER BY n_exact DESC, token
+"""

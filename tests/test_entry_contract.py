@@ -1,6 +1,6 @@
 """Driver-contract invariants of __spark_entry__ that need no
 SparkSession: registry/oracle key parity, and the round-8 rotation —
-q111-q126 in front for first external driver contact, the verdict-named
+q111-q127 in front for first external driver contact, the verdict-named
 hash-mechanism re-pins, and the q92b retirement (window + bench sweep
 only; oracle and pytest parity coverage remain via RETIRED)."""
 
@@ -9,7 +9,7 @@ from __future__ import annotations
 import __spark_entry__ as entry
 
 # First-contact tier: never externally driver-checked before round 8
-# (q111-q115 landed after the r7 driver window closed; q116-q126 are
+# (q111-q115 landed after the r7 driver window closed; q116-q127 are
 # r8-new).
 ROUND8_FRESH = [
     "q111_canonical_selection",
@@ -28,6 +28,7 @@ ROUND8_FRESH = [
     "q124_incremental_rollup",
     "q125_basket_affinity",
     "q126_multipass_linkage",
+    "q127_cms_audit",
 ]
 
 # The verdict-named hash-mechanism re-pin sentinels plus the standing
@@ -59,7 +60,7 @@ ROUND8_BREADTH = {
     "q48_sketch_stats", "q59_kmv_distinct",
     "q90_bloom_fp_audit", "q54_hash_split", "q73_dsir_weights",
     "q62_duplicate_spans", "q63_decontamination", "q75_line_dedup",
-    "q109_pii_audit", "q103_triangles", "q09_range_theta_join",
+    "q109_pii_audit", "q103_triangles",
     "q89_scd2_intervals",
 }
 

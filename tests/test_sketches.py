@@ -121,3 +121,40 @@ def test_bloom_fp_audit_no_false_negatives_and_real_fps(spark, sf_dir):
     if len(non) >= 50:
         fp = sum(r.is_false_positive for r in non) / len(non)
         assert 0.0 < fp < 0.6, fp
+
+
+def test_cms_overestimate_is_one_sided_and_exact_without_collisions(
+    spark,
+):
+    """The CMS guarantee: estimates never UNDERcount; with far fewer
+    distinct tokens than buckets, collisions are unlikely across all
+    d rows, so the min-of-counters recovers exact counts for a small
+    vocabulary."""
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        cms_topk_audit,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "apple apple pear"), (1, "apple plum"), (2, "pear pear")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.token: r for r in cms_topk_audit(d, k=10).collect()}
+    assert set(rows) == {"apple", "pear", "plum"}
+    assert all(r.overestimate >= 0 for r in rows.values())
+    assert rows["apple"].n_exact == 3 and rows["pear"].n_exact == 3
+    # 3 distinct tokens vs 4x256 counters: min-of-rows is exact
+    assert all(r.n_est == r.n_exact for r in rows.values())
+
+
+def test_cms_audit_top_k_cut_is_deterministic(spark):
+    from golang_cassandra_kafka_feed_spark.operators.sketches import (
+        cms_topk_audit,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    out = [r.token for r in cms_topk_audit(d, k=2).collect()]
+    # all counts tie at 5 -> lexicographic tiebreak pins the cut
+    assert out == ["alpha", "beta"]
