@@ -33,7 +33,8 @@ Seeded and deterministic: SPARK_GRAFT_FUZZ_SEED / SPARK_GRAFT_FUZZ_CASES
 carries the offending SQL.  Round-5 soak record (full grammar incl. the
 round-5 kinds): seeds 20260813 x 1000, 20260814 x 800, 20260815 x 1200,
 20260816 x 1000 — zero divergences.  Round-6: seed 20260817 x 1000 —
-zero divergences (temporal compositions have their own suite,
+zero divergences; round-8 continuation: seed 20260819 x 1000 — zero
+divergences (temporal compositions have their own suite,
 test_temporal_fuzz.py).
 """
 
