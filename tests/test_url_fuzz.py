@@ -22,7 +22,8 @@ fuzzing around it.
 
 Seeded and deterministic: SPARK_GRAFT_UFUZZ_SEED /
 SPARK_GRAFT_UFUZZ_N reproduce any failure.  Soak record (committed):
-seeds 20260815 and 20260816 at 2000 URLs each — zero divergences.
+seeds 20260815, 20260816, and 20260819 at 2000 URLs each — zero
+divergences.
 Suite default is 400 URLs (~10 s).
 """
 
