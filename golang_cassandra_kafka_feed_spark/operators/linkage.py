@@ -47,9 +47,20 @@ def suffix_block_key(name: str | Column, k: int = 3) -> Column:
     Right for identifier-like names whose tails are the discriminative
     part and whose expected corruptions hit earlier positions (the
     common case for padded numeric ids, version strings, checksums).
-    """
+
+    Names shorter than ``k`` block on the WHOLE string (review-found:
+    the unguarded form leaned on Spark substring's pos<=0 edge
+    semantics, giving inconsistent key widths for short names, so a
+    dirty/clean pair of different short lengths could land in
+    different blocks with no recall warning).  Note the residual,
+    documented trade: a short name still cannot match a long name
+    whose suffix it is — that is blocking's standard recall trade,
+    recovered by a complementary pass (``prefix_block_key`` pads the
+    same way) or the q129 recall audit."""
     n = F.col(name) if isinstance(name, str) else name
-    return F.substring(n, F.length(n) - (k - 1), F.lit(k))
+    return F.when(F.length(n) <= k, n).otherwise(
+        F.substring(n, F.length(n) - (k - 1), F.lit(k))
+    )
 
 
 def prefix_block_key(name: str | Column, k: int = 4) -> Column:

@@ -198,10 +198,33 @@ def blocklist_filter_urls(df, rules, url_col: str = "url"):
     canonicalizer's garbage quarantine) or a host-less string is KEPT
     — blocking is this operator's only mandate; garbage policy belongs
     to the caller (coalesce pins the three-valued ``exists`` so NULL
-    cannot silently leak into the filter)."""
+    cannot silently leak into the filter).
+
+    Scheme-less spellings (review-found): ``site7.example.com/x`` has
+    no authority per URL_AUTHORITY_RE, so ``url_host`` yields '' and a
+    banned host would slip through the host-less KEEP rule.  When the
+    string has no scheme, the pre-``/?#`` prefix is treated as the
+    host candidate (userinfo and port stripped the same way as a real
+    authority) — a blocklist must err toward matching every plausible
+    spelling of a banned host, including ones a later canonicalizer
+    would quarantine."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    schemeless_prefix = F.regexp_extract(u, "^([^/?#]+)", 1)
+    fallback_host = F.lower(
+        F.regexp_extract(
+            F.regexp_extract(schemeless_prefix, AUTH_HOSTPORT_RE, 1),
+            AUTH_HOST_RE,
+            1,
+        )
+    )
+    has_scheme = F.regexp_extract(u, URL_SCHEME_RE, 1) != ""
+    primary = url_host(u)
+    host = F.when(
+        has_scheme | (primary != ""), primary
+    ).otherwise(fallback_host)
     rules_arr = F.array(*(F.lit(r) for r in rules))
     blocked = F.exists(
-        host_suffixes(url_host(url_col)),
+        host_suffixes(host),
         lambda s: F.array_contains(rules_arr, s),
     )
     return df.filter(~F.coalesce(blocked, F.lit(False)))

@@ -3259,10 +3259,23 @@ def q124(spark, sf_dir):
         (staleness_key + "|day-type-v1").encode()
     ).hexdigest()[:12]
     if not path_exists(spark, path + "/_ROLLUP_COMMITTED"):
-        partials(ev.filter(F.col("ts") < cutoff)).write.mode(
-            "overwrite"
-        ).parquet(path + "/data")
-        write_marker(spark, path + "/_ROLLUP_COMMITTED", "ts<2024-01-21")
+        # build under the table lock + marker recheck: a concurrent
+        # session must wait, then find the marker and read — never
+        # overwrite files another session is reading (review-found;
+        # the ensure_bucketed_table pattern).  Lock at the path root
+        # survives the overwrite, which only clears path/data.
+        from golang_cassandra_kafka_feed_spark.feed.lock import (
+            table_lock,
+        )
+
+        with table_lock(path, "rollup_build"):
+            if not path_exists(spark, path + "/_ROLLUP_COMMITTED"):
+                partials(ev.filter(F.col("ts") < cutoff)).write.mode(
+                    "overwrite"
+                ).parquet(path + "/data")
+                write_marker(
+                    spark, path + "/_ROLLUP_COMMITTED", "ts<2024-01-21"
+                )
     stored = spark.read.parquet(path + "/data")
     fresh = partials(ev.filter(F.col("ts") >= cutoff))
     return (

@@ -50,6 +50,41 @@ def write_marker(spark: SparkSession, path: str, content: str = "") -> None:
         out.close()
 
 
+def write_marker_atomic(
+    spark: SparkSession, path: str, content: str
+) -> None:
+    """Pointer-marker write that can never expose PARTIAL content.
+
+    ``write_marker`` truncates then writes, so a crash mid-write can
+    leave a prefix of the content — for a pointer whose content IS the
+    commit (the streaming rollup's ``_CURRENT``) a valid-looking
+    prefix is a silent rewind (review-found: '1' surviving from
+    '12:adhoc').  Here the content lands in a temp file first and the
+    pointer path is replaced by rename; the crash windows are then
+    "old pointer" (a replay-safe no-op) or "missing pointer" (callers
+    recover from their version dirs), never "garbled pointer".
+
+    HDFS-semantics filesystems refuse to rename onto an existing path,
+    so the old pointer is deleted first; that delete→rename gap is the
+    "missing pointer" window above — safe by construction for callers
+    that treat absence as recover-from-state."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    tmp = jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+        path + ".tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"rename {path}.tmp -> {path} failed")
+
+
 def read_marker(spark: SparkSession, path: str) -> str | None:
     """Read a marker's content back (None when absent) — the resolve
     side of ``write_marker``, for pointer markers whose CONTENT is the

@@ -134,6 +134,30 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _register_existing_bucketed(
+    spark: SparkSession,
+    schema_ddl: str,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None,
+) -> None:
+    """Catalog-register an ALREADY-BUILT bucketed layout at ``path``
+    without touching its files — the second-session path of
+    ``ensure_bucketed_table`` (the files are complete per the commit
+    marker; rewriting them would yank the layout out from under a
+    session that is reading it, review-found)."""
+    sort = (
+        f" SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}){sort} "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def ensure_bucketed_table(
     spark: SparkSession,
     df: DataFrame,
@@ -147,13 +171,51 @@ def ensure_bucketed_table(
     catalog-backed DataFrame.  Bucket metadata lives in the SESSION
     catalog (the in-memory default has no cross-session persistence),
     so the memo is catalog-scoped: a fresh session rewrites once —
-    ``mode=overwrite`` replaces whatever a previous session left at
-    ``path`` — and every subsequent read in the session joins
-    shuffle-free.  Callers embed a staleness hash in ``table``/``path``
-    (the q110 inputFiles idiom) so a different scale factor can never
-    serve a stale layout."""
+    and every subsequent read in the session joins shuffle-free.
+    Callers embed a staleness hash in ``table``/``path`` (the q110
+    inputFiles idiom) so a different scale factor can never serve a
+    stale layout.
+
+    Concurrency (review-found): two sessions sharing ``path`` used to
+    race — the second saw ``tableExists=False`` (the memo is
+    catalog-scoped) and OVERWROTE files the first was reading.  The
+    build now runs under the repo's table lock with a commit marker:
+    exactly one session ever writes the files; a later session finds
+    the marker and registers the existing layout in its own catalog
+    without touching the data (``_register_existing_bucketed``).
+    Marker-before-read ordering is safe because the marker is written
+    LAST, after the full ``saveAsTable`` — the fsutil write-marker
+    contract."""
     if not spark.catalog.tableExists(table):
-        write_bucketed(
-            df, table, path, bucket_cols, n_buckets, sort_cols
+        from golang_cassandra_kafka_feed_spark.feed.lock import (
+            table_lock,
         )
+        from golang_cassandra_kafka_feed_spark.sources.fsutil import (
+            path_exists,
+            write_marker,
+        )
+
+        import os
+
+        marker = path.rstrip("/") + "/_BUCKETED_COMMITTED"
+        # lock lives in the PARENT dir: the overwrite build clears the
+        # table location itself, which would delete a lock inside it
+        base, name = os.path.split(path.rstrip("/"))
+        with table_lock(base or ".", f"{name}.bucketed_build"):
+            if not spark.catalog.tableExists(table):
+                if path_exists(spark, marker):
+                    _register_existing_bucketed(
+                        spark,
+                        df.schema.toDDL(),
+                        table,
+                        path,
+                        bucket_cols,
+                        n_buckets,
+                        sort_cols,
+                    )
+                else:
+                    write_bucketed(
+                        df, table, path, bucket_cols, n_buckets, sort_cols
+                    )
+                    write_marker(spark, marker, "")
     return spark.table(table)

@@ -106,8 +106,10 @@ def dedup_urls_stream(
     bypass the blocklist through the NULL branch (review-found).  The
     filter itself is a stateless per-row projection
     (urltools.blocklist_filter_urls, the q120 dot-boundary semantics)
-    over the raw URL's host, so it adds zero state and zero shuffle to
-    the streaming plan.
+    over the raw URL's host — including the scheme-less host-candidate
+    fallback, so a banned host spelled without a scheme cannot ride
+    the garbage branch past the blocklist (review-found) — and adds
+    zero state and zero shuffle to the streaming plan.
     """
     from golang_cassandra_kafka_feed_spark.operators.urltools import (
         blocklist_filter_urls,

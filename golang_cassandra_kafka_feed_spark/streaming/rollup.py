@@ -21,11 +21,14 @@ pointer marker:
   rewrites the SAME dir from the SAME pre-state, because the pointer
   still names the old version), then move the pointer.
 
-The pointer write is a truncate-then-write, not an atomic rename, so
-a crash MID-move can leave ``_CURRENT`` empty (review-found).
-Resolution therefore recovers from a missing or garbled pointer via
-the version dirs themselves: current = the highest ``v{b}`` carrying
-parquet's ``_SUCCESS`` marker.  That recovery is exactly-once too — a
+The pointer write is temp-file + rename (``write_marker_atomic``), so
+a crash MID-move leaves the old pointer or NO pointer, never partial
+content; resolution additionally distrusts any pointer lacking a
+non-empty run suffix or naming an ancient version (review-found: a
+truncated '12:adhoc' surviving as '1' would silently rewind).
+A missing or garbled pointer recovers via the version dirs
+themselves: current = the highest ``v{b}`` carrying parquet's
+``_SUCCESS`` marker.  That recovery is exactly-once too — a
 complete-but-unpointed ``v{b}`` already CONTAINS batch ``b``
 (versions are always written before the pointer moves), so the
 engine's replay of ``b`` skips; a half-written dir has no
@@ -76,7 +79,7 @@ from pyspark.sql import functions as F
 
 from golang_cassandra_kafka_feed_spark.sources.fsutil import (
     read_marker,
-    write_marker,
+    write_marker_atomic,
 )
 
 
@@ -124,15 +127,34 @@ def _resolve_current(spark, path: str) -> tuple[int, str] | None:
     """(batch_id, run_id) of the committed version; None before the
     first commit.  A missing/empty/garbled pointer recovers from the
     highest COMPLETE version dir (see module docstring for why that
-    preserves exactly-once); run_id is '' when unknown."""
+    preserves exactly-once); run_id is '' when unknown.
+
+    Garble detection (review-found): a truncated pointer can leave a
+    VALID-INT prefix ('1' surviving from '12:adhoc'), which would
+    resolve to an ancient version with the run guard skipped — a
+    silent rewind.  A pointer is therefore trusted only when it
+    carries a non-empty run suffix after ':' (truncation eats the
+    suffix first) AND names a version no older than one behind the
+    newest complete dir (the only legitimate lag: a version is always
+    written before the pointer moves).  Anything else falls through
+    to version-dir recovery.  The write side is belt-and-braces:
+    ``write_marker_atomic`` (temp file + rename) cannot expose
+    partial content at all."""
     raw = read_marker(spark, path + "/_CURRENT")
+    versions: list[int] | None = None
     if raw:
-        bid, _, run = raw.partition(":")
+        bid_s, sep, run = raw.partition(":")
         try:
-            return int(bid), run
+            bid = int(bid_s)
         except ValueError:
-            pass  # garbled — fall through to dir recovery
-    versions = _complete_versions(spark, path)
+            bid = None
+        if bid is not None and sep == ":" and run:
+            versions = _complete_versions(spark, path)
+            if not versions or bid >= versions[-1] - 1:
+                return bid, run
+            # names an ancient version: stale/garbled — recover below
+    if versions is None:
+        versions = _complete_versions(spark, path)
     if not versions:
         return None
     return versions[-1], ""
@@ -147,8 +169,36 @@ def read_rollup(spark, path: str) -> DataFrame | None:
 
 
 def _run_identity(batch_df: DataFrame, explicit: str | None) -> str:
+    """The identity of the streaming run driving this batch.
+
+    Resolution order (review-found: the old exactly-one-active-stream
+    inference FLIPPED to 'adhoc' the moment any unrelated query
+    started in the same session, hard-failing the run guard mid-run):
+
+    1. an explicit ``run_id`` from the caller;
+    2. the owning query's id via the engine's thread-local property
+       ``sql.streaming.queryId`` — set by StreamExecution on the
+       micro-batch thread that invokes foreachBatch, so it names THIS
+       stream regardless of how many others are active, and it is
+       checkpoint-persisted (stable across restarts of the same
+       checkpoint, fresh for a new one — exactly the run-guard
+       contract);
+    3. the single active stream's id (Connect-style sessions where the
+       local property is not surfaced);
+    4. 'adhoc' (direct batch invocation, tests).
+
+    Callers additionally PIN the first resolution for the closure's
+    lifetime (see rollup_foreach_batch) so the identity cannot change
+    between batches of one run even if the environment does."""
     if explicit:
         return explicit
+    try:
+        sc = batch_df.sparkSession.sparkContext
+        qid = sc.getLocalProperty("sql.streaming.queryId")
+        if qid:
+            return str(qid)
+    except Exception:  # pragma: no cover - Connect / defensive
+        pass
     try:
         active = batch_df.sparkSession.streams.active
         if len(active) == 1:
@@ -173,13 +223,20 @@ def rollup_foreach_batch(
               .option("checkpointLocation", ck).start()
 
     ``run_id`` overrides the recorded run identity (defaults to the
-    active streaming query's checkpoint-persisted id, or 'adhoc' for
-    direct calls); ``lease=False`` disables the driver-local
-    single-writer lock for object-store paths."""
+    owning streaming query's checkpoint-persisted id — see
+    ``_run_identity`` — or 'adhoc' for direct calls); ``lease=False``
+    disables the driver-local single-writer lock for object-store
+    paths."""
+    # one closure == one run: pin the first resolution so the identity
+    # cannot flip between batches (review-found) even if other streams
+    # start or stop in the same session mid-run.
+    pinned: dict[str, str] = {}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        run = _run_identity(batch_df, run_id)
+        run = pinned.setdefault(
+            "run", _run_identity(batch_df, run_id)
+        )
         if lease:
             from golang_cassandra_kafka_feed_spark.feed.lock import (
                 table_lock,
@@ -221,8 +278,10 @@ def rollup_foreach_batch(
             new.coalesce(1).write.mode("overwrite").parquet(
                 f"{path}/v{batch_id}"
             )
-            # the single commit point — written LAST
-            write_marker(
+            # the single commit point — written LAST, atomically
+            # (temp + rename: a crash can leave the OLD pointer or
+            # NO pointer, never a truncated one)
+            write_marker_atomic(
                 spark, path + "/_CURRENT", f"{batch_id}:{run}"
             )
 

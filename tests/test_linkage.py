@@ -116,6 +116,52 @@ def test_url_blocklist_filter_keeps_null_and_hostless(spark):
     assert sorted(r.id for r in kept.collect()) == [2, 3, 4]
 
 
+def test_url_blocklist_filter_blocks_schemeless_spellings(spark):
+    """A banned host spelled WITHOUT a scheme must not bypass the
+    blocklist through the no-authority branch (review-found): the
+    pre-'/?#' prefix is the host candidate, with userinfo and port
+    stripped like a real authority.  Non-matching scheme-less text is
+    still kept — only provable matches drop."""
+    from golang_cassandra_kafka_feed_spark.operators.urltools import (
+        blocklist_filter_urls,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "site7.example.com/x"),
+            (2, "user@sub.example.org:8080/p?q=1"),
+            (3, "EXAMPLE.ORG"),
+            (4, "notexample.org/x"),
+            (5, "keep.com/y"),
+            (6, "https://example.org/still-blocked"),
+        ],
+        "id bigint, url string",
+    )
+    kept = blocklist_filter_urls(
+        df, ("example.org", "site7.example.com")
+    )
+    assert sorted(r.id for r in kept.collect()) == [4, 5]
+
+
+def test_suffix_block_key_short_names_use_whole_string(spark):
+    """Names shorter than k block on the whole string (review-found:
+    the unguarded substring's pos<=0 edge semantics gave inconsistent
+    key widths, so 'ab' and 'b' could land in different blocks)."""
+    from golang_cassandra_kafka_feed_spark.operators.linkage import (
+        suffix_block_key,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("ab",), ("abc",), ("abcd",), ("",)], "n string"
+    )
+    got = dict(
+        df.select("n", suffix_block_key("n").alias("k")).collect()
+    )
+    assert got == {
+        "a": "a", "ab": "ab", "abc": "abc", "abcd": "bcd", "": ""
+    }
+
+
 def test_block_width_cap_truncates_hot_blocks_map_side(spark):
     """A degenerate block (every clean row sharing one key) is
     truncated to the cap's smallest ids BEFORE pair enumeration, and

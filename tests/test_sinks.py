@@ -164,3 +164,48 @@ def test_ensure_bucketed_table_memoizes_within_session(spark, tmp_path):
         }, "second ensure rewrote a memoized table"
     finally:
         spark.sql("DROP TABLE IF EXISTS gckfs_test_ensure")
+
+
+def test_ensure_bucketed_table_reregisters_committed_layout(
+    spark, tmp_path
+):
+    """A session whose catalog lacks the table but whose path carries
+    the commit marker must REGISTER the existing files, never
+    overwrite them out from under a concurrent reader (review-found).
+    The re-registered table keeps the bucket spec: same rows, and a
+    self-join on the bucket key plans with no Exchange."""
+    import os
+
+    from golang_cassandra_kafka_feed_spark.sources.sinks import (
+        ensure_bucketed_table,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    path = str(tmp_path / "ens2")
+    try:
+        ensure_bucketed_table(
+            spark, df, "gckfs_test_ens2", path, ["k"], 4, ["k"]
+        )
+        assert os.path.exists(path + "/_BUCKETED_COMMITTED")
+        mtimes = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        # simulate a fresh application: catalog entry gone, files live
+        spark.sql("DROP TABLE gckfs_test_ens2")
+        t = ensure_bucketed_table(
+            spark, df, "gckfs_test_ens2", path, ["k"], 4, ["k"]
+        )
+        assert t.count() == 100
+        assert mtimes == {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }, "re-register overwrote a committed layout"
+        joined = t.alias("a").join(t.alias("b").hint("merge"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, (
+            f"re-registered bucketed join shuffles:\n{plan}"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gckfs_test_ens2")

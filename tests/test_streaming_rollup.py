@@ -99,9 +99,10 @@ def test_pre_commit_crash_replay_redoes_from_pre_state(spark, tmp_path):
     b1 = _rows(spark, [(1, "view", 3.0)])
     fn(b1, 1)
     done = _got(spark, path)
-    # simulate the crash: rewind the pointer to v0, leaving the
+    # simulate the crash: rewind the pointer to v0 (the OLD pointer a
+    # pre-commit crash leaves, full '{bid}:{run}' format), leaving the
     # orphaned v1 dir in place, then replay batch 1
-    write_marker(spark, path + "/_CURRENT", "0")
+    write_marker(spark, path + "/_CURRENT", "0:adhoc")
     assert path_exists(spark, path + "/v1")
     fn(b1, 1)
     assert read_marker(spark, path + "/_CURRENT") == "1:adhoc"
@@ -126,6 +127,77 @@ def test_mid_move_crash_recovers_pointer_from_version_dirs(
     assert _got(spark, path) == done  # reader recovers from dirs
     fn(b1, 1)  # replay: resolved current (1) >= batch_id -> skip
     assert _got(spark, path) == done
+
+
+def test_truncated_pointer_with_valid_int_prefix_does_not_rewind(
+    spark, tmp_path
+):
+    """Crash garble: a truncated pointer whose prefix still parses as
+    an int ('1' surviving from e.g. '12:adhoc') must NOT resolve to
+    the ancient version with the run guard skipped — that would merge
+    the replay onto old state and overwrite newer complete versions, a
+    silent rewind (review-found).  A pointer without a non-empty run
+    suffix is garbled: resolution recovers from the version dirs."""
+    path = str(tmp_path / "roll6")
+    fn = rollup_foreach_batch(path)
+    fn(_rows(spark, [(0, "view", 1.0)]), 0)
+    fn(_rows(spark, [(1, "buy", 3.0)]), 1)
+    b2 = _rows(spark, [(2, "view", 7.0)])
+    fn(b2, 2)
+    done = _got(spark, path)
+    for garble in ("1", "1:", "0", "2"):
+        write_marker(spark, path + "/_CURRENT", garble)
+        assert _got(spark, path) == done  # recovered from dirs
+        fn(b2, 2)  # replay: resolved current (2) >= batch_id -> skip
+        assert _got(spark, path) == done
+
+
+def test_stale_valid_format_pointer_distrusted(spark, tmp_path):
+    """A well-formed pointer naming a version more than one behind the
+    newest complete dir can only be corruption or an out-of-band
+    rewind — versions are written before the pointer moves, so the
+    legitimate lag is exactly one.  It must fall through to dir
+    recovery, not silently merge onto ancient state."""
+    path = str(tmp_path / "roll7")
+    fn = rollup_foreach_batch(path)
+    fn(_rows(spark, [(0, "view", 1.0)]), 0)
+    fn(_rows(spark, [(1, "buy", 3.0)]), 1)
+    b2 = _rows(spark, [(2, "view", 7.0)])
+    fn(b2, 2)
+    done = _got(spark, path)
+    write_marker(spark, path + "/_CURRENT", "0:adhoc")
+    assert _got(spark, path) == done  # recovered from dirs
+    fn(b2, 2)
+    assert _got(spark, path) == done
+
+
+def test_unrelated_stream_does_not_flip_run_identity(spark, tmp_path):
+    """An unrelated streaming query starting in the same session after
+    the rollup's first commit must not change the rollup's run
+    identity (review-found: the old single-active-stream inference
+    flipped to 'adhoc' and hard-failed every subsequent batch)."""
+    src = str(tmp_path / "src8")
+    path = str(tmp_path / "roll8")
+    ck = str(tmp_path / "ck8")
+    _write_batch(spark, src, [(0, "view", 1.5), (30, "buy", 9.9)])
+    _run(spark, src, path, ck)
+    assert _got(spark, path) == _expect(spark, src)
+    bystander = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .writeStream.format("noop")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck8_bystander")
+        )
+        .start()
+    )
+    try:
+        _write_batch(spark, src, [(1, "view", 0.5), (55, "buy", 1.0)])
+        _run(spark, src, path, ck)  # same checkpoint, 2 streams active
+        assert _got(spark, path) == _expect(spark, src)
+    finally:
+        bystander.stop()
 
 
 def test_new_run_with_restarted_batch_ids_raises(spark, tmp_path):
