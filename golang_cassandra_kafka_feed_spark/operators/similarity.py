@@ -25,6 +25,7 @@ Filter zero vectors out upstream.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -237,7 +238,20 @@ _IVF_CODEBOOKS_MAX = 32
 # is squarely join-path territory.
 IVF_LITERAL_MAX_CELLS = 1024
 
+# Above this cell count, non-literal assignment moves off the
+# interpreted HOF expressions onto the Arrow/NumPy matmul tier
+# (_ivf_assign_arrow): the HOF transform/aggregate folds are NOT
+# whole-stage-codegen'd, so their ~n_cells x dim interpreted ops/row
+# dominate the scan well before the sqrt(N) cell counts a 100 TB
+# corpus needs (measured: 8.1 s at 256 cells on the HOF join path).
+# Tier selection: literal (n_cells <= literal_max_cells) else HOF-join
+# (n_cells <= arrow_min_cells) else Arrow — all three hash-identical
+# (test_similarity_ops.py).  Raise arrow_min_cells to keep the
+# JVM-only join path where Python workers are not provisioned.
+IVF_ARROW_MIN_CELLS = 128
+
 _IVF_CODEBOOK_ROWS: dict[tuple[str, int, tuple[str, ...], int], DataFrame] = {}
+_IVF_CODEBOOK_ARRAYS: dict = {}
 
 
 def _ivf_memo_key(c: DataFrame, n_cells: int):
@@ -358,6 +372,113 @@ def _ivf_assign_join(
     return c_cells, q_cells
 
 
+def _ivf_centroid_arrays(c: DataFrame, n_cells: int):
+    """NumPy form of the deterministic codebook for the Arrow
+    assignment tier: ``(cell_ids int64[m], C float64[m, dim],
+    cnorms float64[m])`` sorted by cell ascending (m = non-empty
+    cells).  Same aggregation and same memo staleness key as the other
+    two codebook forms; centroid norms are folded with the identical
+    sequential left-fold as ``_norm`` so the three paths score against
+    byte-identical cnorm values."""
+    import math
+
+    from golang_cassandra_kafka_feed_spark.operators.dedup import _md5_32
+
+    key = _ivf_memo_key(c, n_cells)
+    if key is not None and key in _IVF_CODEBOOK_ARRAYS:
+        return _IVF_CODEBOOK_ARRAYS[key]
+    id_hash = _md5_32(F.col("vec_id").cast("string"))
+    rows = (
+        c.groupBy(F.pmod(id_hash, F.lit(n_cells)).cast("int").alias("cell"))
+        .agg(F.min_by("e", id_hash).alias("cvec"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.cell)
+    cell_ids = np.array([r.cell for r in rows], dtype=np.int64)
+    mat = np.array([r.cvec for r in rows], dtype=np.float64)
+
+    def _seq_norm(v) -> float:  # the _norm left-fold, op-for-op
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    cnorms = np.array([_seq_norm(r.cvec) for r in rows], dtype=np.float64)
+    out = (cell_ids, mat, cnorms)
+    if key is not None:
+        while len(_IVF_CODEBOOK_ARRAYS) >= _IVF_CODEBOOKS_MAX:
+            _IVF_CODEBOOK_ARRAYS.pop(next(iter(_IVF_CODEBOOK_ARRAYS)))
+        _IVF_CODEBOOK_ARRAYS[key] = out
+    return out
+
+
+def _ivf_assign_arrow(
+    c: DataFrame,
+    q: DataFrame,
+    codebook,
+    n_probe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Vectorized (Arrow/NumPy) cell assignment — the large-codebook
+    scale path (verdict-r8 ask #1).
+
+    The HOF paths fold ``transform``/``aggregate`` expressions that
+    Spark interprets rather than whole-stage-codegens, so assignment
+    costs ~n_cells x dim INTERPRETED ops per row — measured 8.1 s at a
+    mere 256 cells (PERFORMANCE.md) and unusable at the n_cells ~
+    sqrt(N) = 10k-100k a 100 TB corpus needs.  Here assignment is one
+    BLAS matmul per Arrow batch: the codebook matrix (m x dim, a few
+    MB at 10k cells — e.g. 158k cells x 64 dims x 8 B = 80 MB, still
+    broadcastable at the 100 TB design point) ships once per executor
+    via a broadcast variable, each ~10k-row batch scores as
+    ``V @ C.T / cnorms`` and argmaxes in C-speed NumPy.  Still zero
+    corpus-wide shuffles: ArrowEvalPython is a projection stage.
+
+    Tie-break identity with the HOF/literal paths: the row vector's
+    own norm is a common POSITIVE factor across cells, so it is
+    dropped entirely (argmax/ordering unaffected — one less fp
+    divergence source); ``cell_ids`` ascending makes NumPy's
+    first-occurrence argmax equal the struct-max's min-cell tie-break,
+    and the probe ordering lexsorts (score desc, cell asc) — the
+    ``sort_array(desc)`` twin.  Scores differ from the sequential JVM
+    folds only by non-associative fp rounding (~1e-16 relative);
+    assignment flips would need two cells within that epsilon —
+    hash-asserted against both other paths in test_similarity_ops.py.
+    """
+    cell_ids, mat, cnorms = codebook
+    bc = c.sparkSession.sparkContext.broadcast(
+        (cell_ids.astype(np.int32), mat, cnorms)
+    )
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        ids, m, ns = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack(vs.to_numpy())
+        scores = (v @ m.T) / ns
+        return pd.Series(ids[scores.argmax(axis=1)])
+
+    @F.pandas_udf("array<int>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        ids, m, ns = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vs.to_numpy())
+        scores = (v @ m.T) / ns
+        return pd.Series(
+            [
+                ids[np.lexsort((ids, -row))[:n_probe]].tolist()
+                for row in scores
+            ]
+        )
+
+    c_cells = c.select("vec_id", "e", _assign("e").alias("cell"))
+    q_cells = q.select(
+        "query_id", "qe", F.explode(_probe("qe")).alias("cell")
+    )
+    return c_cells, q_cells
+
+
 def _ivf_centroids(
     c: DataFrame, n_cells: int
 ) -> list[tuple[int, Column, float]]:
@@ -418,6 +539,7 @@ def ivf_topk(
     n_cells: int = DEFAULT_N_CELLS,
     n_probe: int = 4,
     literal_max_cells: int = IVF_LITERAL_MAX_CELLS,
+    arrow_min_cells: int = IVF_ARROW_MIN_CELLS,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
     cells around centroid vectors, search only the ``n_probe`` cells
@@ -461,6 +583,14 @@ def ivf_topk(
     the corpus side) — and the plan size is independent of n_cells.
     Hash-identical to the literal path (same folds, same tie-breaks;
     asserted at n_cells=4096 in test_similarity_ops.py).
+
+    Above ``arrow_min_cells`` (and ``literal_max_cells``) assignment
+    moves to the vectorized Arrow tier (``_ivf_assign_arrow``): one
+    NumPy matmul per Arrow batch against a broadcast codebook matrix —
+    the 10k-100k-cell scale path, since the HOF folds are interpreted
+    (not codegen'd) and cost ~n_cells x dim interpreted ops per row.
+    Hash-identical to both other paths on real data (same codebook,
+    same tie-breaks; fp-epsilon caveat in the function docstring).
     """
     from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
 
@@ -471,7 +601,27 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qe")
     )
 
-    if n_cells > literal_max_cells:
+    def _empty_result():
+        # empty corpus -> empty codebook: return the contract schema
+        # with zero rows (the literal projection would be
+        # array_max(array()) (VOID); the Arrow matmul has no columns).
+        return (
+            queries.select(F.col(query_id_col).alias("query_id"))
+            .limit(0)
+            .withColumn(
+                "vec_id",
+                F.lit(None).cast(corpus.schema[id_col].dataType),
+            )
+            .withColumn("sim", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("long"))
+        )
+
+    if n_cells > literal_max_cells and n_cells > arrow_min_cells:
+        codebook = _ivf_centroid_arrays(c, n_cells)
+        if codebook[0].size == 0:
+            return _empty_result()
+        c_cells, q_cells = _ivf_assign_arrow(c, q, codebook, n_probe)
+    elif n_cells > literal_max_cells:
         # the HOF projections below are total even on an empty corpus
         # (empty codebook array -> NULL cell -> zero candidate rows),
         # so no VOID-literal guard is needed on this path
@@ -479,19 +629,7 @@ def ivf_topk(
     else:
         cents = _ivf_centroids(c, n_cells)
         if not cents:
-            # empty corpus -> empty codebook: the literal projection
-            # below would be array_max(array()) (VOID) — return the
-            # contract schema with zero rows instead.
-            return (
-                queries.select(F.col(query_id_col).alias("query_id"))
-                .limit(0)
-                .withColumn(
-                    "vec_id",
-                    F.lit(None).cast(corpus.schema[id_col].dataType),
-                )
-                .withColumn("sim", F.lit(None).cast("double"))
-                .withColumn("rank", F.lit(None).cast("long"))
-            )
+            return _empty_result()
 
         def cell_sims(vcol: Column, vnorm: Column) -> Column:
             # array<struct<d: cosine, negc: -cell>>: struct ordering

@@ -2780,17 +2780,18 @@ ORACLES["q117_index_expiry"] = ORACLES["q110_incremental_minhash"].replace(
 )
 assert "doc_id % 30 >= 9" in ORACLES["q117_index_expiry"]
 
-# q118: IVF through the large-codebook JOIN path — mechanism identical
-# to q42 (md5-hash cells, arg_min centroids, nearest-cell assignment,
-# probe-cell equi-join, exact cosine top-k); only the cell modulus
-# differs, so the oracle is the q42 twin with the modulus swapped
-# (mechanical single-site derive, q114 pattern).  Hash-equality proves
-# the broadcast-DataFrame codebook path computes exactly what the
-# literal path (q42) computes.
+# q118: IVF through the Arrow assignment tier (r9; r8 checked the HOF
+# join path, now pinned by the three-way hash-identity test) —
+# mechanism identical to q42 (md5-hash cells, arg_min centroids,
+# nearest-cell assignment, probe-cell equi-join, exact cosine top-k);
+# only the cell modulus differs, so the oracle is the q42 twin with
+# the modulus swapped (mechanical single-site derive, q114 pattern).
+# Hash-equality proves the vectorized NumPy assignment computes
+# exactly what the expression paths compute.
 ORACLES["q118_ivf_join_path"] = ORACLES["q42_ann_ivf_topk"].replace(
-    "% 16", "% 64"
+    "% 16", "% 256"
 )
-assert ORACLES["q118_ivf_join_path"].count("% 64") == 2
+assert ORACLES["q118_ivf_join_path"].count("% 256") == 2
 assert "% 16" not in ORACLES["q118_ivf_join_path"]
 
 # q115: cross-split leakage — the q71/q47 pair mechanism + the q54

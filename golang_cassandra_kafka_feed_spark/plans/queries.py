@@ -3008,15 +3008,20 @@ def q117(spark, sf_dir):
 
 
 def q118(spark, sf_dir):
-    """IVF ANN through the LARGE-CODEBOOK JOIN PATH
-    (similarity.ivf_topk with literal_max_cells=0): the codebook rides
-    a broadcast one-row DataFrame instead of plan literals — the shape
-    a 100 TB corpus needs, where n_cells ~ sqrt(N) reaches 10k-100k
-    and a literal tree would explode Catalyst analysis (verdict-r7 ask
-    #3).  Same mechanism as q42 at n_cells=256, so the oracle is the
-    q42 twin with the cell modulus swapped — hash-equality externally
-    proves the two paths compute identical results.  Plan property
-    (test_similarity_ops.py): sole hash exchange is the final
+    """IVF ANN through the ARROW ASSIGNMENT TIER
+    (similarity.ivf_topk with literal_max_cells=0 and the default
+    arrow_min_cells): cell assignment is one NumPy matmul per Arrow
+    batch against a broadcast codebook matrix — the shape a 100 TB
+    corpus needs, where n_cells ~ sqrt(N) reaches 10k-100k and both
+    a literal tree (Catalyst blowup) and the HOF join path
+    (interpreted folds, measured 8.1 s at 256 cells) fail (verdict-r8
+    ask #1; the r7 join path remains covered by
+    test_similarity_ops.py's three-way hash-identity).  Same mechanism
+    as q42 at n_cells=256, so the oracle is the q42 twin with the cell
+    modulus swapped — hash-equality externally proves the vectorized
+    path computes exactly what the expression paths compute.  Plan
+    property (test_similarity_ops.py): assignment is an
+    ArrowEvalPython projection; sole hash exchange is the final
     per-query top-k."""
     from golang_cassandra_kafka_feed_spark.operators.similarity import (
         ivf_topk,
@@ -3030,7 +3035,7 @@ def q118(spark, sf_dir):
         emb,
         queries_df,
         k=ANN_K,
-        n_cells=64,
+        n_cells=256,
         n_probe=IVF_N_PROBE,
         literal_max_cells=0,
     ).orderBy("query_id", "rank")

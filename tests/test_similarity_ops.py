@@ -343,8 +343,13 @@ def test_ivf_join_path_matches_literal_path(emb, spark):
     sub = emb.filter(F.col("vec_id") < 120)
     q = _queries_df(emb, 5)
     kw = dict(k=5, n_cells=4096, n_probe=6)
-    lit = ivf_topk(sub, q, **kw, literal_max_cells=1 << 20)
-    join = ivf_topk(sub, q, **kw, literal_max_cells=0)
+    lit = ivf_topk(
+        sub, q, **kw, literal_max_cells=1 << 20, arrow_min_cells=1 << 20
+    )
+    join = ivf_topk(
+        sub, q, **kw, literal_max_cells=0, arrow_min_cells=1 << 20
+    )
+    arrow = ivf_topk(sub, q, **kw, literal_max_cells=0, arrow_min_cells=0)
 
     def rows(df):
         return {
@@ -352,8 +357,9 @@ def test_ivf_join_path_matches_literal_path(emb, spark):
             for r in df.collect()
         }
 
-    got_lit, got_join = rows(lit), rows(join)
+    got_lit, got_join, got_arrow = rows(lit), rows(join), rows(arrow)
     assert got_lit == got_join
+    assert got_lit == got_arrow, "Arrow assignment tier diverged"
     assert got_lit, "probe must return candidates"
 
 
@@ -369,7 +375,7 @@ def test_ivf_join_path_plan_shape(emb):
 
     df = ivf_topk(
         emb, _queries_df(emb, 3), k=5, n_cells=4096, n_probe=4,
-        literal_max_cells=0,
+        literal_max_cells=0, arrow_min_cells=1 << 20,
     )
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -378,4 +384,26 @@ def test_ivf_join_path_plan_shape(emb):
     # formatted mode prints shuffle exchanges as "(n) Exchange" with an
     # "Arguments: hashpartitioning(...)" detail; broadcast exchanges
     # print broadcast modes — so this counts SHUFFLES only
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_ivf_arrow_path_plan_shape(emb):
+    """The Arrow assignment tier keeps the scale property too:
+    assignment is an ArrowEvalPython PROJECTION stage over the scan
+    (codebook via broadcast variable, not a join), candidates arrive
+    by broadcast hash join on cell, and the only shuffle in the whole
+    plan is still the final per-query top-k."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    df = ivf_topk(
+        emb, _queries_df(emb, 3), k=5, n_cells=4096, n_probe=4,
+        literal_max_cells=0, arrow_min_cells=0,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # no codebook join
     assert plan.count("Arguments: hashpartitioning") == 1, plan
