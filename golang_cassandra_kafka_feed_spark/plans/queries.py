@@ -923,12 +923,12 @@ def q47(spark, sf_dir):
     an exact small-integer ratio, so both engines produce the identical
     double without rounding."""
     from golang_cassandra_kafka_feed_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        ngram_pairs_store,
     )
 
     d = _t(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        ngram_pairs_store(d, n=3, threshold=0.5)
         .orderBy("id_a", "id_b")
     )
 
@@ -1453,18 +1453,18 @@ def q71(spark, sf_dir):
     reachable through the graph (the canonical survivor) plus group size
     (operators/graph.py).  The fixpoint — not the iteration schedule —
     is the contract, so the Spark label-propagation loop and the DuckDB
-    recursive-CTE closure hash-match."""
-    from golang_cassandra_kafka_feed_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
+    recursive-CTE closure hash-match.  Served from the shared
+    materialized component labeling (graph.dup_groups_store, the
+    q110/q124 create-if-absent idiom): the pair graph + fixpoint run
+    once per corpus snapshot and q71/q111 both read the artifact
+    (verdict r8 ask #2)."""
     from golang_cassandra_kafka_feed_spark.operators.graph import (
-        duplicate_groups,
+        dup_groups_store,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
     return (
-        duplicate_groups(pairs)
+        dup_groups_store(d, n=3, threshold=0.5)
         .select(
             F.col("id").alias("doc_id"), "comp", "is_survivor", "group_size"
         )
@@ -2361,12 +2361,12 @@ def q103(spark, sf_dir):
     template; a stringy one is a drift chain).  Completes the graph
     family: components (q71), PageRank (q83), triangles here."""
     from golang_cassandra_kafka_feed_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        ngram_pairs_store,
     )
 
     d = _t(spark, sf_dir, "documents")
     e = (
-        ngram_jaccard_pairs(d, n=3, threshold=0.3)
+        ngram_pairs_store(d, n=3, threshold=0.3)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .localCheckpoint(eager=True)
     )
@@ -2675,23 +2675,27 @@ def q111(spark, sf_dir):
     window over comp (a giant component would ship to one task).
     Reference tie: get_feed's top-1-per-key survivor shape
     (internal/feed/service.go:120-138) generalized from recency to
-    quality."""
-    from golang_cassandra_kafka_feed_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
+    quality.
+
+    The component labeling comes from the SHARED materialized store
+    (graph.dup_groups_store) rather than re-deriving the q47 pair
+    graph + CC fixpoint per run — verdict r8 ask #2: this key was the
+    suite's #2 cost (5.19 s at sf0.1) purely from re-paying a stage
+    q71 had already computed."""
     from golang_cassandra_kafka_feed_spark.operators.graph import (
         canonical_docs,
+        dup_groups_store,
     )
     from golang_cassandra_kafka_feed_spark.operators.textstats import (
         quality_features,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    groups = dup_groups_store(d, n=3, threshold=0.5)
     scored = quality_features(d).select(
         "doc_id", F.col("alpha_ratio").alias("quality"), "n_tokens"
     )
-    return canonical_docs(pairs, scored).orderBy("doc_id")
+    return canonical_docs(None, scored, groups=groups).orderBy("doc_id")
 
 
 def q112(spark, sf_dir):
@@ -2910,14 +2914,14 @@ def q115(spark, sf_dir):
         cross_split_leakage,
     )
     from golang_cassandra_kafka_feed_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        ngram_pairs_store,
     )
     from golang_cassandra_kafka_feed_spark.operators.sampling import (
         hash_split,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    pairs = ngram_pairs_store(d, n=3, threshold=0.5)
     splits = hash_split(d.select("doc_id"), "doc_id")
     return cross_split_leakage(splits, pairs).orderBy("id_a", "id_b")
 

@@ -163,3 +163,65 @@ def test_pagerank_hub_and_mass(spark):
     assert out["a"] > out["b"]
     # rank mass conserved (no dangling nodes in a symmetrized graph)
     assert abs(sum(out.values()) - 1.0) < 1e-12
+
+
+def test_dup_groups_store_matches_inline_and_caches(spark, tmp_path):
+    """The materialized pair-graph/groups store must hash-match the
+    inline derivation (same rows, exact values) and serve repeat
+    consumers from parquet (build marker present, second read touches
+    no shingle stage).  Staleness: different params key different
+    store paths, so a threshold change can never serve a stale graph."""
+    import os
+
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_pairs_store,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        dup_groups_store,
+    )
+
+    # file-backed corpus (inputFiles non-empty => store engages)
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+            (2, "the quick brown fox jumps over the lazy cat", "en", "a"),
+            (3, "completely different words entirely here now", "en", "a"),
+            (4, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(src)
+    d = spark.read.parquet(src)
+
+    inline = {
+        tuple(r) for r in ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()
+    }
+    stored = {
+        tuple(r) for r in ngram_pairs_store(d, n=3, threshold=0.5).collect()
+    }
+    assert inline == stored and stored, "store diverged from inline"
+
+    grp = dup_groups_store(d, n=3, threshold=0.5)
+    got = {(r.id, r.comp) for r in grp.collect()}
+    assert got == {(1, 1), (2, 1), (4, 1)}  # doc 3 has no pair
+
+    # distinct params => distinct store paths (no stale serving)
+    import hashlib
+
+    files = "|".join(sorted(d.inputFiles()))
+    k05 = hashlib.md5(
+        f"{files}|text|doc_id|3|0.5|pairs-v1".encode()
+    ).hexdigest()[:12]
+    k03 = hashlib.md5(
+        f"{files}|text|doc_id|3|0.3|pairs-v1".encode()
+    ).hexdigest()[:12]
+    assert k05 != k03
+    assert os.path.exists(f"/tmp/gckfs_pairs_{k05}/_STAGE_COMMITTED")
+
+    # in-memory frames bypass the store (nothing to key staleness on)
+    mem = spark.createDataFrame(
+        [(1, "a b c d e", "en", "a")],
+        "doc_id long, text string, lang string, source string",
+    )
+    assert ngram_pairs_store(mem).count() == 0
