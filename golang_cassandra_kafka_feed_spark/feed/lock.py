@@ -60,6 +60,15 @@ def _lock_path(base_dir: str, table: str) -> str:
     return os.path.join(base_dir, f".{table}.lock")
 
 
+def _uri_scheme(path: str) -> str | None:
+    """The URI scheme of ``path`` (``hdfs``, ``s3a``, ``file``, ...)
+    or None for a bare local path."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    return m.group(1).lower() if m else None
+
+
 @contextmanager
 def table_lock(
     base_dir: str,
@@ -74,7 +83,22 @@ def table_lock(
     size it above the longest expected critical section (two small Spark
     jobs), otherwise a slow holder gets taken over and its release
     raises ``LockLost``.
+
+    SCOPE (review-found): a bare local path locks via ``os.*`` —
+    driver-local, the fast path.  A path carrying a URI scheme
+    (``hdfs://``, ``s3a://``, ``file://``) routes through the Hadoop
+    FileSystem API bound to the active SparkSession, so the lock lives
+    on the SAME filesystem as the data it protects — a rollup
+    maintained at an object-store path is now guarded by a lease other
+    writers of that path can actually see, instead of a lock file on
+    one driver's local disk that protects nothing across machines.
     """
+    if _uri_scheme(base_dir):
+        with _hadoop_table_lock(
+            base_dir, table, lease_seconds, timeout_seconds, poll_seconds
+        ):
+            yield
+        return
     os.makedirs(base_dir, exist_ok=True)
     path = _lock_path(base_dir, table)
     token = uuid.uuid4().hex
@@ -245,6 +269,212 @@ def _release(path: str, token: str) -> None:
         os.unlink(mine)
     except OSError:
         pass
+    raise LockLost(
+        f"{path}: lease was taken over while held (holder token "
+        f"{holder!r}); critical section was not exclusive to the end"
+    )
+
+
+# --------------------------------------------------------------------
+# Hadoop-FS-scoped lease: the same protocol (atomic-ish create-excl,
+# lease takeover by single-winner rename, token-verified release by
+# rename-then-verify) expressed through the Hadoop FileSystem API, so
+# the lock lives on the DATA path's filesystem (hdfs://, s3a://,
+# file://).  Primitive contracts are the store's own: HDFS create
+# (overwrite=false) is atomic at the NameNode and rename is atomic;
+# S3A needs fs.s3a.create.conditional.enabled (conditional PUT) for a
+# hard exclusion guarantee; file:// has a check-then-create window in
+# Hadoop's LocalFileSystem — use bare paths locally (the os.O_EXCL
+# fast path above) and file:// only to exercise this code path in
+# tests.  The restore primitive is rename (no hard links in the FS
+# API) — the documented object-store fallback of the local protocol.
+# --------------------------------------------------------------------
+
+
+class _HFS:
+    """Thin Hadoop FileSystem wrapper for the lock protocol (one
+    getFileSystem resolution per lock acquisition)."""
+
+    def __init__(self, path: str):
+        from pyspark.sql import SparkSession
+
+        # getActiveSession is JVM-thread-local; a lock acquired from a
+        # worker thread (foreachBatch, repair jobs) falls back to the
+        # process-default session.
+        spark = SparkSession.getActiveSession() or getattr(
+            SparkSession, "_instantiatedSession", None
+        )
+        if spark is None:
+            raise RuntimeError(
+                f"URI-scoped lock on {path!r} needs an active "
+                "SparkSession (the lock lives on the data path's "
+                "filesystem, resolved via the session's Hadoop conf)"
+            )
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._path(path).getFileSystem(self._conf)
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def mkdirs(self, d: str) -> None:
+        self._fs.mkdirs(self._path(d))
+
+    def create_excl(self, p: str, content: str) -> bool:
+        """True if this caller created ``p`` (create-if-absent through
+        FileSystem.create(overwrite=false)); False if it existed.
+        Metadata is written into the same stream — a crash between
+        create and write leaves an empty lock, handled by the mtime
+        grace branch exactly like the local protocol."""
+        try:
+            out = self._fs.create(self._path(p), False)
+        except Exception as e:  # FileAlreadyExistsException et al.
+            if "AlreadyExists" in str(e.__class__) + str(e):
+                return False
+            raise
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def read(self, p: str) -> str | None:
+        try:
+            stream = self._fs.open(self._path(p))
+        except Exception:
+            return None
+        try:
+            return bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def mtime(self, p: str) -> float | None:
+        try:
+            return (
+                self._fs.getFileStatus(self._path(p))
+                .getModificationTime()
+                / 1000.0
+            )
+        except Exception:
+            return None
+
+    def rename(self, src: str, dst: str) -> bool:
+        try:
+            return bool(self._fs.rename(self._path(src), self._path(dst)))
+        except Exception:
+            return False
+
+    def delete(self, p: str) -> None:
+        try:
+            self._fs.delete(self._path(p), False)
+        except Exception:
+            pass
+
+
+@contextmanager
+def _hadoop_table_lock(
+    base_dir: str,
+    table: str,
+    lease_seconds: float,
+    timeout_seconds: float,
+    poll_seconds: float,
+):
+    fs = _HFS(base_dir)
+    fs.mkdirs(base_dir)
+    path = base_dir.rstrip("/") + f"/.{table}.lock"
+    token = uuid.uuid4().hex
+    meta = {
+        "token": token,
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "lease_seconds": float(lease_seconds),
+        "acquired_at": None,  # stamped below, per-attempt
+    }
+    deadline = time.monotonic() + timeout_seconds
+    while True:
+        meta["acquired_at"] = time.time()
+        if fs.create_excl(path, json.dumps(meta)):
+            break
+        _hadoop_maybe_take_over(fs, path, token, lease_seconds)
+        if time.monotonic() >= deadline:
+            raise LockTimeout(f"{path}: held for > {timeout_seconds}s")
+        time.sleep(poll_seconds)
+    try:
+        yield
+    except BaseException as primary:
+        try:
+            _hadoop_release(fs, path, token)
+        except BaseException as lost:  # noqa: BLE001 — see table_lock
+            if hasattr(primary, "add_note"):
+                primary.add_note(f"also, releasing the lock: {lost!r}")
+        raise
+    else:
+        _hadoop_release(fs, path, token)
+
+
+def _hadoop_maybe_take_over(
+    fs: _HFS, path: str, token: str, grace_seconds: float
+) -> None:
+    """Lease takeover, Hadoop flavor: rename the expired lock aside
+    (HDFS rename is atomic and fails when the source vanished, so one
+    concurrent renamer wins), re-verify the renamed token, restore a
+    mistakenly-displaced live lock by rename (the no-hardlink
+    fallback), and let the acquire loop retry."""
+    raw = fs.read(path)
+    expired_token = None
+    if raw:
+        try:
+            m = json.loads(raw)
+            age = time.time() - float(m.get("acquired_at", 0.0))
+            lease = float(m.get("lease_seconds", 0.0))
+            expired_token = m.get("token")
+        except ValueError:
+            mt = fs.mtime(path)
+            if mt is None or time.time() - mt <= grace_seconds:
+                return  # holder mid-write (or gone): wait it out
+            age, lease = 1.0, 0.0
+        if age <= lease:
+            return
+    else:
+        # empty lock file: a holder crashed between create and write,
+        # or is mid-write — the mtime grace branch, as local
+        mt = fs.mtime(path)
+        if mt is None or time.time() - mt <= grace_seconds:
+            return
+    stale = f"{path}.stale.{token}"
+    if not fs.rename(path, stale):
+        return  # another waiter won the break race
+    renamed = fs.read(stale)
+    renamed_token = None
+    if renamed:
+        try:
+            renamed_token = json.loads(renamed).get("token")
+        except ValueError:
+            renamed_token = None
+    if renamed_token is not None and renamed_token != expired_token:
+        fs.rename(stale, path)  # restore the live lock (best effort)
+    fs.delete(stale)
+
+
+def _hadoop_release(fs: _HFS, path: str, token: str) -> None:
+    mine = f"{path}.rel.{token}"
+    if not fs.rename(path, mine):
+        raise LockLost(
+            f"{path}: lock file vanished while held; critical section "
+            "was not exclusive to the end"
+        )
+    raw = fs.read(mine)
+    holder = None
+    if raw:
+        try:
+            holder = json.loads(raw).get("token")
+        except ValueError:
+            holder = None
+    if holder == token:
+        fs.delete(mine)
+        return
+    fs.rename(mine, path)  # restore the displaced successor
+    fs.delete(mine)
     raise LockLost(
         f"{path}: lease was taken over while held (holder token "
         f"{holder!r}); critical section was not exclusive to the end"

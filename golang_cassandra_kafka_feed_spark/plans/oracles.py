@@ -3287,6 +3287,91 @@ ORACLES["q126_multipass_linkage"] = """
     ORDER BY dirty_id
 """
 
+# q128: streaming rollup maintenance — the Spark side maintains the
+# per-(day, type) rollup through four REAL checkpointed micro-batches
+# (file source + foreachBatch + the exactly-once pointer protocol) and
+# returns the maintained state; the oracle recomputes the aggregate
+# from the raw table in one pass.  Hash-equality proves
+# merge-over-micro-batches == recompute — the q124 oracle verbatim,
+# because the CONTRACT is identical; only the maintenance machinery
+# differs, which is exactly what the comparison isolates.
+ORACLES["q128_streaming_rollup"] = """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+"""
+
+# q129: blocking recall audit — per-pass candidates (suffix / prefix /
+# union predicates over the q126 plant) + the same (dist, match_id)
+# argmin, then recovery counted as best-match == planted truth.  One
+# pass-template derived three times (single spelling of the mechanism,
+# the q118/q123 idiom); recall is one exact-int double division.
+_Q129_PASS = """
+        SELECT '{label}' AS block_pass,
+               (SELECT count(*) FROM dirty) AS n_true,
+               coalesce(sum(CASE WHEN match_id = dirty_id
+                                 THEN 1 ELSE 0 END), 0) AS n_recovered
+        FROM (
+            SELECT dirty_id, match_id FROM (
+                SELECT d.dirty_id, c.cid AS match_id,
+                       row_number() OVER (
+                           PARTITION BY d.dirty_id
+                           ORDER BY levenshtein(d.dirty_name, c.name),
+                                    c.cid
+                       ) AS rn
+                FROM dirty d
+                JOIN clean c ON ({cond})
+                WHERE levenshtein(d.dirty_name, c.name) <= 2
+            ) WHERE rn = 1
+        )
+"""
+_Q129_SUFFIX = (
+    "substr(d.dirty_name, length(d.dirty_name) - 2, 3)"
+    " = substr(c.name, length(c.name) - 2, 3)"
+)
+_Q129_PREFIX = "substr(d.dirty_name, 1, 4) = substr(c.name, 1, 4)"
+ORACLES["q129_linkage_recall"] = f"""
+    WITH clean AS (
+        SELECT doc_id AS cid,
+               'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS name
+        FROM documents
+    ),
+    dirty AS (
+        SELECT doc_id AS dirty_id,
+               substr(name, 1, pos - 1) || substr(name, pos + 1)
+                   AS dirty_name
+        FROM (
+            SELECT doc_id,
+                   'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS name,
+                   CASE WHEN doc_id % 2 = 1 THEN 9
+                        WHEN doc_id % 4 = 0 THEN 5
+                        ELSE 6 END AS pos
+            FROM documents
+        )
+    ),
+    passes AS (
+        {_Q129_PASS.format(label="1_suffix", cond=_Q129_SUFFIX)}
+        UNION ALL
+        {_Q129_PASS.format(label="2_prefix", cond=_Q129_PREFIX)}
+        UNION ALL
+        {_Q129_PASS.format(
+            label="3_union",
+            cond=_Q129_SUFFIX + " OR " + _Q129_PREFIX,
+        )}
+    )
+    SELECT block_pass, n_true, n_recovered,
+           n_true - n_recovered AS n_missed,
+           CAST(n_recovered AS DOUBLE) / n_true AS recall
+    FROM passes
+    ORDER BY block_pass
+"""
+
 # q127: count-min sketch audit — the oracle rebuilds the SAME d x w
 # counter matrix with the shared md5 bucket hash and re-derives the
 # estimates independently; hash-equality proves the estimator and the

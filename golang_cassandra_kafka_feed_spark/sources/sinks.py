@@ -23,22 +23,36 @@ _CSV_EMPTY_TOKEN = '""'
 
 
 def write_csv(
-    df: DataFrame, path: str, single_file: bool = False, header: bool = True
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    header: bool = True,
+    max_records_per_file: int = 1_000_000,
 ) -> None:
+    """``max_records_per_file`` bounds every output file (review-found
+    scale note): the reader twin runs ``multiLine=true``, which makes
+    each CSV FILE unsplittable, so read parallelism = file count —
+    bounding the writer is what keeps "unsplittable" meaning "small"
+    at corpus scale instead of one giant serial file per task.  The
+    cap is per-file, not per-task: a task over the cap rolls to a new
+    file, so the bound holds regardless of upstream partitioning.
+    ``single_file=True`` (small report exports) ignores the cap."""
     out = df.coalesce(1) if single_file else df
     # Spark's CSV WRITER trims leading/trailing whitespace by default
     # (ignore*WhiteSpace default true on write, false on read) — a
     # silent value mutation a fidelity sink must not make; pinned off
     # by test_sinks.py::test_csv_hazard_roundtrip.
-    (
+    w = (
         out.write.mode("overwrite")
         .option("header", str(header).lower())
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
         .option("nullValue", _CSV_NULL_TOKEN)
         .option("emptyValue", _CSV_EMPTY_TOKEN)
-        .csv(path)
     )
+    if not single_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.csv(path)
 
 
 def read_csv(

@@ -51,9 +51,13 @@ Two operational guards (review-found):
   read-merge-write-move sequence in the repo's filesystem lease lock
   (feed/lock.py), so a repair job racing the stream on the same path
   becomes a bounded wait or a loud error, never a lost update.  The
-  lease lives on the DRIVER-LOCAL filesystem (feed/lock.py's
-  documented scope); pass ``lease=False`` for object-store rollup
-  paths and enforce single-writer by deployment there.
+  lease lives on the ROLLUP PATH'S OWN filesystem: a URI path
+  (hdfs://, s3a://, file://) routes the lock through the Hadoop
+  FileSystem API (review-found: it used to be driver-local always,
+  silently protecting nothing for object-store paths), a bare local
+  path keeps the os.O_EXCL fast path.  Exclusion strength is the
+  store's create contract (atomic on HDFS; enable conditional PUT on
+  S3A) — see feed/lock.py.
 
 Partials are mergeable by construction: counts by sum, amounts by
 exact DECIMAL(18,2) sums (associative — the q124/TPC-H idiom), so

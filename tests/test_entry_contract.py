@@ -1,66 +1,74 @@
 """Driver-contract invariants of __spark_entry__ that need no
-SparkSession: registry/oracle key parity, and the round-8 rotation —
-q111-q127 in front for first external driver contact, the verdict-named
-hash-mechanism re-pins, and the q92b retirement (window + bench sweep
-only; oracle and pytest parity coverage remain via RETIRED)."""
+SparkSession: registry/oracle key parity, and the round-9 rotation —
+the r9-new keys (q128/q129) in front for first external driver
+contact, the r9-changed-code sentinels, then the longest-unvisited
+breadth tier (relational core, q43-q46/q50-q53 batteries, the 19
+TPC-H twins beyond q1/q18/q21 — last driver contact r5-r7), plus the
+standing q92b retirement (window + bench sweep only; oracle and
+pytest parity coverage remain via RETIRED)."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entry
 
-# First-contact tier: never externally driver-checked before round 8
-# (q111-q115 landed after the r7 driver window closed; q116-q127 are
-# r8-new).
-ROUND8_FRESH = [
-    "q111_canonical_selection",
-    "q112_url_canonical_dedup",
-    "q113_format_roundtrip",
-    "q114_index_retention",
-    "q115_split_leakage",
-    "q116_media_headers",
-    "q117_index_expiry",
-    "q118_ivf_join_path",
-    "q119_classifier_score",
-    "q120_domain_blocklist",
-    "q121_fuzzy_blocking",
-    "q122_bucketed_join",
-    "q123_prefix_filter_join",
-    "q124_incremental_rollup",
-    "q125_basket_affinity",
-    "q126_multipass_linkage",
-    "q127_cms_audit",
+# First-contact tier: r9-new keys the driver has never checked.
+ROUND9_FRESH = [
+    "q128_streaming_rollup",
+    "q129_linkage_recall",
 ]
 
-# The verdict-named hash-mechanism re-pin sentinels plus the standing
-# high-risk families (iterative fixpoints, fusion composites, heavy
-# shared-SQL TPC-H).
-HIGH_RISK = {
-    "q110_incremental_minhash",
-    "q37_minhash_lsh_neardup",
-    "q38_simhash_neardup",
+# Keys whose code paths CHANGED in round 9 — regression sentinels:
+# q118 re-pointed at the Arrow assignment tier; q111/q47 consume the
+# new shared pair-graph store; q113 rides the bounded CSV writer;
+# q124's build is now lock-guarded; q42 shares the IVF code.
+ROUND9_SENTINELS = [
+    "q118_ivf_join_path",
+    "q111_canonical_selection",
+    "q113_format_roundtrip",
+    "q47_ngram_jaccard",
+    "q124_incremental_rollup",
     "q42_ann_ivf_topk",
-    "q65_kmeans_assign",
-    "q66_semantic_dedup",
-    "q71_dup_components",
-    "q78_minhash_accuracy",
-    "q82_ann_rrf_fusion",
-    "q83_pagerank",
-    "q84_pq_adc_audit",
-    "q87_funnel",
-    "q92_interval_join",
-    "tpch_q1",
-    "tpch_q18",
-    "tpch_q21",
+]
+
+# Longest-unvisited breadth: relational core + batteries + the TPC-H
+# twins beyond q1/q18/q21 (those three ran in the r8 window).
+ROUND9_BREADTH = {
+    "q01_scan_project", "q04_inner_join", "q06_left_outer_join_agg",
+    "q08_anti_join", "q09_range_theta_join", "q10_asof_join",
+    "q12_distinct_agg", "q14_cube", "q15_grouping_sets",
+    "q17_window_lag", "q20a_intersect", "q22_conditional_counts",
+    "q24_scalar_battery", "q25_json_extract", "q27_session_window",
+    "q43_pivot", "q44_unpivot", "q45_scalar_subquery",
+    "q46_correlated_exists", "q50_window_battery",
+    "q51_string_battery", "q52_null_datetime_battery",
+    "q53_in_null_semantics",
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q22",
 }
 
-# Breadth rotation filling the rest of the 50-key window.
-ROUND8_BREADTH = {
-    "q30_cosine_topk", "q35_embedding_neardup", "q36_ann_multi_query",
-    "q39_ann_lsh_topk", "q41_winnow_fingerprint", "q47_ngram_jaccard",
-    "q48_sketch_stats", "q59_kmv_distinct",
-    "q90_bloom_fp_audit", "q54_hash_split", "q73_dsir_weights",
-    "q62_duplicate_spans", "q63_decontamination", "q75_line_dedup",
-    "q109_pii_audit", "q103_triangles",
+# The r8 window, kept verbatim to measure rotation distance.
+ROUND8_WINDOW = {
+    "q111_canonical_selection", "q112_url_canonical_dedup",
+    "q113_format_roundtrip", "q114_index_retention",
+    "q115_split_leakage", "q116_media_headers", "q117_index_expiry",
+    "q118_ivf_join_path", "q119_classifier_score",
+    "q120_domain_blocklist", "q121_fuzzy_blocking",
+    "q122_bucketed_join", "q123_prefix_filter_join",
+    "q124_incremental_rollup", "q125_basket_affinity",
+    "q126_multipass_linkage", "q127_cms_audit",
+    "q110_incremental_minhash", "q37_minhash_lsh_neardup",
+    "q38_simhash_neardup", "q42_ann_ivf_topk", "q65_kmeans_assign",
+    "q66_semantic_dedup", "q71_dup_components", "q78_minhash_accuracy",
+    "q82_ann_rrf_fusion", "q83_pagerank", "q84_pq_adc_audit",
+    "q87_funnel", "q92_interval_join", "tpch_q1", "tpch_q18",
+    "tpch_q21", "q30_cosine_topk", "q35_embedding_neardup",
+    "q36_ann_multi_query", "q39_ann_lsh_topk",
+    "q41_winnow_fingerprint", "q47_ngram_jaccard", "q48_sketch_stats",
+    "q59_kmv_distinct", "q90_bloom_fp_audit", "q54_hash_split",
+    "q73_dsir_weights", "q62_duplicate_spans", "q63_decontamination",
+    "q75_line_dedup", "q109_pii_audit", "q103_triangles",
     "q89_scd2_intervals",
 }
 
@@ -71,20 +79,29 @@ def test_every_query_key_has_an_oracle():
     assert set(q) == set(o), (
         f"queries-only: {set(q) - set(o)}; oracles-only: {set(o) - set(q)}"
     )
-    assert len(q) >= 142
+    assert len(q) >= 144
 
 
 def test_fresh_tier_leads_the_window_for_first_driver_contact():
-    assert list(entry.queries())[: len(ROUND8_FRESH)] == ROUND8_FRESH
+    lead = ROUND9_FRESH + ROUND9_SENTINELS
+    assert list(entry.queries())[: len(lead)] == lead
 
 
-def test_round8_window_is_exactly_pins_plus_rotation():
+def test_round9_window_is_exactly_fresh_plus_sentinels_plus_breadth():
     first50 = set(list(entry.queries())[:50])
-    want = set(ROUND8_FRESH) | HIGH_RISK | ROUND8_BREADTH
+    want = set(ROUND9_FRESH) | set(ROUND9_SENTINELS) | ROUND9_BREADTH
     assert first50 == want, (
         f"window drift — extra: {first50 - want}; "
         f"missing: {want - first50}"
     )
+
+
+def test_round9_window_rotates_at_least_35_keys_off_round8():
+    """Verdict-r8 ask #3's done-criterion: >= 35 of the 50 window keys
+    were NOT in the r8 window."""
+    first50 = set(list(entry.queries())[:50])
+    fresh = first50 - ROUND8_WINDOW
+    assert len(fresh) >= 35, f"only {len(fresh)} keys rotated"
 
 
 def test_q92b_is_retired_from_window_and_sweep_but_not_from_parity():
@@ -120,11 +137,11 @@ def test_explains_snapshot_covers_every_registry_key():
     import re
     from pathlib import Path
 
-    text = (Path(__file__).resolve().parents[1] / "EXPLAINS.md").read_text()
-    sections = set(re.findall(r"(?m)^## (\S+)", text))
-    registry = set(entry.queries())
-    assert sections == registry, (
-        f"EXPLAINS.md stale — missing: {sorted(registry - sections)[:5]}; "
-        f"orphaned: {sorted(sections - registry)[:5]} "
-        "(run scripts/gen_explains.py)"
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "EXPLAINS.md"
+    ).read_text()
+    sections = set(re.findall(r"^## (\S+)$", text, re.MULTILINE))
+    assert sections == set(entry.queries()), (
+        f"missing plans: {set(entry.queries()) - sections}; "
+        f"stale plans: {sections - set(entry.queries())}"
     )

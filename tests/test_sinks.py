@@ -209,3 +209,28 @@ def test_ensure_bucketed_table_reregisters_committed_layout(
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS gckfs_test_ens2")
+
+
+def test_csv_multi_file_roundtrip_value_exact(spark, tmp_path):
+    """maxRecordsPerFile bounds every CSV file (the multiLine reader
+    makes files unsplittable, so bounded files = bounded serialism);
+    a roundtrip across MANY small files must stay value-exact,
+    including the NULL/empty/newline hazards."""
+    import glob
+
+    from golang_cassandra_kafka_feed_spark.sources.sinks import (
+        read_csv,
+        write_csv,
+    )
+
+    rows = [
+        (i, None if i % 7 == 0 else ("" if i % 5 == 0 else f"v{i}\nx"))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string").coalesce(1)
+    path = str(tmp_path / "multi")
+    write_csv(df, path, max_records_per_file=25)
+    files = glob.glob(path + "/*.csv")
+    assert len(files) >= 8, f"cap did not split: {len(files)} files"
+    back = read_csv(spark, path, "id long, s string")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
