@@ -45,6 +45,15 @@ DEFAULT_ITERS = 2
 DEFAULT_SIM_THRESHOLD = 0.35
 DEFAULT_CLUSTER_CAP = 2000
 
+# Vectorized (Arrow/NumPy) stages are the DEFAULT at every k: unlike
+# the IVF literal tier (pure codegen'd projections with a real
+# crossover), the HOF folds here are interpreted even at k=8 — 8 x 64
+# interpreted ops/row already costs more than the Arrow round trip
+# (measured at sf0.1: q65 steady 2.1 s Arrow vs 2.4 s HOF at k=8; q66
+# 3.4 s all-Arrow vs 4.3 s with HOF assignment).  vectorized=False
+# keeps the pure-JVM twin for the bit-identity tests and for clusters
+# without Python workers.
+
 
 DEFAULT_TARGET_CLUSTER_SIZE = 250
 
@@ -96,6 +105,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     reliable: bool = False,
     checkpoint_dir: str | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Quantized Lloyd's k-means: returns (id, cluster_id, dist2).
 
@@ -104,7 +114,17 @@ def kmeans_assign(
     (min over (dist2, cluster_id) structs); centroid updates are exact
     integer floor-averages.  A cluster that loses all members simply
     drops out (no re-seeding), identically in the SQL twin.
-    """
+
+    ``vectorized=True`` (default, r9) runs each assignment pass as an
+    int64 NumPy matmul per Arrow batch (clustering_vec.assign_arrow)
+    against collected centroids (k x dim ints — the bounded-collect
+    precedent) instead of the interpreted HOF folds — BIT-IDENTICAL
+    by the module's integer-exactness contract (asserted against the
+    HOF path in test_clustering.py) and faster at every measured k
+    (see the module constant comment): the folds are not
+    whole-stage-codegen'd and burn ~k x dim interpreted ops per point
+    per pass.  The Lloyd UPDATE stays JVM-side (the posexplode partial
+    agg is already scale-shaped)."""
     pts = df.select(F.col(id_col).alias("__id"), quantize(vec_col).alias("__q"))
     pts = pts.withColumn("__n2", _dot(F.col("__q"), F.col("__q")))
     # The iterative-algorithm persist idiom: every Lloyd pass (init scan,
@@ -154,10 +174,23 @@ def kmeans_assign(
             )
         )
 
+    if vectorized:
+        from golang_cassandra_kafka_feed_spark.operators.clustering_vec import (  # noqa: E501
+            assign_arrow,
+            collect_centroids,
+        )
+
+        def _assign_vec(centroids: DataFrame) -> DataFrame:
+            return assign_arrow(pts, *collect_centroids(centroids))
+
+        assign = _assign_vec
+    else:
+        assign = _assign
+
     for _ in range(iters):
         # Lloyd update: per-(cluster, dim) exact integer floor-average.
         per_dim = (
-            _assign(cents).join(pts, "__id")
+            assign(cents).join(pts, "__id")
             .select("__cid", F.posexplode("__q").alias("__pos", "__v"))
         )
         cents = (
@@ -178,7 +211,7 @@ def kmeans_assign(
 
     # Final assignment against the last updated centroids, so the
     # returned dist2 matches the final geometry.
-    return _assign(cents).select(
+    return assign(cents).select(
         F.col("__id").alias(id_col),
         F.col("__cid").alias("cluster_id"),
         F.col("__d2").alias("dist2"),
@@ -195,6 +228,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     reliable: bool = False,
     checkpoint_dir: str | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """SemDeDup: near-duplicate pairs *within* k-means clusters.
 
@@ -221,7 +255,37 @@ def semantic_dedup_pairs(
     assigned = kmeans_assign(
         df, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
         reliable=reliable, checkpoint_dir=checkpoint_dir,
+        vectorized=vectorized,
     )
+    if vectorized:
+        # One applyInPandas per cluster: members shuffle ONCE by
+        # cluster_id (narrow id+vector rows) and the whole intra-
+        # cluster similarity matrix comes from a single int64 matmul —
+        # the join form below ships every vector once per PAIR.  The
+        # shared rounding projection stays JVM-side, so pair set and
+        # values are bit-identical (test_clustering.py).
+        from golang_cassandra_kafka_feed_spark.operators.clustering_vec import (  # noqa: E501
+            cluster_pairs_arrow,
+        )
+
+        members = assigned.select(
+            F.col(id_col).alias("__id"), "cluster_id"
+        ).join(
+            df.select(
+                F.col(id_col).alias("__id"),
+                quantize(vec_col).alias("__q"),
+            ),
+            "__id",
+        )
+        return (
+            cluster_pairs_arrow(members, threshold, cluster_cap)
+            .select(
+                "keep_id",
+                "drop_id",
+                (F.round(F.col("__sim") * 10000) / 10000).alias("sim"),
+            )
+            .orderBy("keep_id", "drop_id")
+        )
     pair_ids = (
         assigned.groupBy("cluster_id")
         .agg(

@@ -3313,8 +3313,9 @@ ORACLES["q128_streaming_rollup"] = """
 _Q129_PASS = """
         SELECT '{label}' AS block_pass,
                (SELECT count(*) FROM dirty) AS n_true,
-               coalesce(sum(CASE WHEN match_id = dirty_id
-                                 THEN 1 ELSE 0 END), 0) AS n_recovered
+               CAST(coalesce(sum(CASE WHEN match_id = dirty_id
+                                      THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_recovered
         FROM (
             SELECT dirty_id, match_id FROM (
                 SELECT d.dirty_id, c.cid AS match_id,

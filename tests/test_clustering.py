@@ -148,3 +148,39 @@ def test_kmeans_seeds_k_smallest_ids_not_id_lt_k(spark):
     assert set(
         r.cluster_id for r in out.select("cluster_id").distinct().collect()
     ) <= {100, 101, 102, 103}
+
+
+def test_vectorized_paths_match_hof_paths_exactly(spark, sf_dir):
+    """The Arrow matmul/einsum stages must be BIT-identical to the
+    interpreted HOF folds — not epsilon-close: the module's quantized
+    integer contract makes every dot/distance an exact int64 in any
+    summation order, and the one float op per pair is the same two
+    IEEE ops on the same values."""
+    from golang_cassandra_kafka_feed_spark.operators.clustering import (
+        kmeans_assign,
+        semantic_dedup_pairs,
+    )
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a_vec = {
+        tuple(r)
+        for r in kmeans_assign(emb, k=16, iters=2, vectorized=True).collect()
+    }
+    a_hof = {
+        tuple(r)
+        for r in kmeans_assign(emb, k=16, iters=2, vectorized=False).collect()
+    }
+    assert a_vec == a_hof and a_vec
+
+    p_vec = {
+        tuple(r)
+        for r in semantic_dedup_pairs(emb, k=16, vectorized=True).collect()
+    }
+    p_hof = {
+        tuple(r)
+        for r in semantic_dedup_pairs(emb, k=16, vectorized=False).collect()
+    }
+    assert p_vec == p_hof and p_vec

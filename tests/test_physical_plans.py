@@ -59,16 +59,24 @@ def test_range_theta_join_is_not_cartesian(spark, sf_dir):
 
 
 def test_declared_queries_have_no_python_udfs(spark, sf_dir):
-    """Everything oracle-checked stays JVM-side (whole-stage codegen);
-    only the multimodal keys (q40, q116) use the Arrow mapInPandas
-    path — media byte parsing is the documented Python-permitted
-    surface."""
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned in EVERY
+    declared plan; Arrow-vectorized stages (ArrowEvalPython /
+    mapInPandas) are permitted only on the documented vectorized
+    surfaces — media byte parsing (q40/q116) and the Arrow matmul
+    tiers for IVF assignment (q118, r9) and quantized clustering
+    (q65/q66, r9), each hash-asserted against a pure-JVM twin."""
+    arrow_ok = {
+        "q40_multimodal_features",
+        "q116_media_headers",
+        "q118_ivf_join_path",
+        "q65_kmeans_assign",
+        "q66_semantic_dedup",
+    }
     for name in QUERIES:
-        if name in ("q40_multimodal_features", "q116_media_headers"):
-            continue
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name
+        if name not in arrow_ok:
+            assert "ArrowEvalPython" not in plan, name
 
 
 def test_declared_queries_emit_no_fetch_sensitive_output_types(
@@ -274,12 +282,24 @@ def test_vocab_membership_join_is_broadcast(spark, sf_dir):
 
 
 def test_semantic_dedup_runs_lloyd_chain_once(spark, sf_dir):
-    """q66 regression guard for the self-join trap: each k-means
-    assignment pass is one centroid BroadcastNestedLoopJoin, and with
-    iters=2 the final plan must contain exactly iters+1 = 3 of them —
-    the old pair self-join duplicated the whole chain (6)."""
+    """q66 regression guard for the self-join trap: the FINAL plan must
+    reference exactly ONE assignment pass — the r9 Arrow tier runs
+    assignment as an ArrowEvalPython projection against collected
+    centroids (earlier Lloyd passes materialize during centroid
+    collection, so they never nest in the final plan), and the old
+    pair self-join that duplicated the whole chain would show up as a
+    second one.  No centroid BroadcastNestedLoopJoin remains (the
+    codebook ships as a broadcast variable, not a join)."""
     plan = _plan(spark, sf_dir, "q66_semantic_dedup")
-    assert plan.count("BroadcastNestedLoopJoin") == 3
+    # exactly ONE assignment stage (earlier Lloyd passes materialize
+    # during centroid collection, so they never nest in the final
+    # plan; a duplicated chain would show a second one) plus the
+    # per-cluster pair-scoring applyInPandas.
+    assert plan.count("ArrowEvalPython") == 1, plan.count(
+        "ArrowEvalPython"
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_dsir_scoring_never_shuffles_the_doc_side(spark, sf_dir):
