@@ -84,28 +84,44 @@ def test_kmeans_reliable_matches_local(spark, tmp_path):
 
 def test_semantic_dedup_reliable_matches_local(spark, tmp_path):
     embs = _embs(spark)
-    ckdir = str(tmp_path / "ck")
     base = _rows(semantic_dedup_pairs(embs, k=4, iters=1, threshold=0.5))
+
+    # vectorized default (r9): the pair stage is one join +
+    # applyInPandas, so only kmeans_assign's pts frame needs a durable
+    # checkpoint — exactly ONE checkpointer base
+    ckdir = str(tmp_path / "ck_vec")
     durable = _rows(
         semantic_dedup_pairs(
-            embs,
-            k=4,
-            iters=1,
-            threshold=0.5,
-            reliable=True,
-            checkpoint_dir=ckdir,
+            embs, k=4, iters=1, threshold=0.5,
+            reliable=True, checkpoint_dir=ckdir,
         )
     )
     assert durable == base
-    # both kmeans_assign's pts AND the pair-side pts frame are durable:
-    # two separate checkpointer bases under the same dir
     bases = {
         d
         for root, ds, _ in os.walk(ckdir)
         for d in ds
         if d.startswith("gckfs-")
     }
-    assert len(bases) == 2, f"expected 2 checkpointed frames, got {bases}"
+    assert len(bases) == 1, f"expected 1 checkpointed frame, got {bases}"
+
+    # HOF twin: both kmeans_assign's pts AND the pair-side pts frame
+    # are durable — two separate checkpointer bases under the same dir
+    ckdir2 = str(tmp_path / "ck_hof")
+    durable2 = _rows(
+        semantic_dedup_pairs(
+            embs, k=4, iters=1, threshold=0.5,
+            reliable=True, checkpoint_dir=ckdir2, vectorized=False,
+        )
+    )
+    assert durable2 == base
+    bases2 = {
+        d
+        for root, ds, _ in os.walk(ckdir2)
+        for d in ds
+        if d.startswith("gckfs-")
+    }
+    assert len(bases2) == 2, f"expected 2 checkpointed frames, got {bases2}"
 
 
 def test_reliable_without_dir_fails_fast(spark):
