@@ -23,7 +23,8 @@ Lift is an exact-integer ratio evaluated in ONE double division
 cross-engine, the q70/q85 idiom.
 
 Reference tie: the fan-out join's per-key bounded work contract
-(internal/feed/service.go:70-86) at pair grain; q85's token
+(cmd/worker/worker.go:134-156, fanoutLimit semaphore) at pair
+grain; q85's token
 collocations are the same mathematics over adjacency instead of
 basket membership.
 """

@@ -264,8 +264,8 @@ def canonical_docs(
     to one row per partition BEFORE the exchange, where a
     ``row_number() over (partition by comp)`` window would ship the
     whole component's rows to a single task.  Reference tie: the
-    survivor policy generalizes get_feed's top-1-per-key shape
-    (internal/feed/service.go:120-138) from recency to quality.
+    survivor policy generalizes GetFeed's recency-first LIMIT serve
+    (internal/store/feed.go:143-171) from recency to quality.
 
     Pass ``groups`` (a precomputed ``duplicate_groups`` /
     ``dup_groups_store`` frame) to select over a shared component

@@ -28,10 +28,10 @@ wide.  Best-match selection is argmin-via-min(struct) with map-side
 partials — never a window over the block (a hot block would ship to
 one task; the q111 canonical-selection lesson).
 
-Reference tie: the reference normalizes usernames before its
-existence probe (internal/feed/service.go:58-66) — exact-key
-reconciliation; this operator is the same contract when the dirty
-side cannot be trusted to normalize to an exact key.
+Reference tie: the reference reconciles by exact-key existence
+probe (internal/store/feed.go:14-28, probe-then-branch at :32-43);
+this operator is the same contract when the dirty side cannot be
+trusted to normalize to an exact key.
 """
 
 from __future__ import annotations

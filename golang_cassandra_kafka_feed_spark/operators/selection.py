@@ -366,8 +366,8 @@ def classifier_score(
     cluster scale leave it None, file splits already parallelize the
     scan and the widen would shuffle raw text for nothing.
     Reference tie: the length-validation gate before insert
-    (internal/feed/service.go:58-66) — score-then-branch, here with a
-    learned scorer.
+    (cmd/server/httphandlers.go:33-37,133-137) — score-then-branch,
+    here with a learned scorer.
     """
     if widen_partitions is not None:
         df = df.repartition(widen_partitions, id_col)

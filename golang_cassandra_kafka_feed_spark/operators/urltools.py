@@ -44,10 +44,10 @@ exported so the DuckDB oracle interpolates the SAME pattern text
 (the q109 one-source-of-truth idiom; both engines' dialects cover
 this pattern subset identically).
 
-Reference tie: the reference normalizes usernames before its CAS
-existence check (internal/feed/service.go:58-66 lowercases and trims
-before the duplicate probe); this is the same normalize-then-dedup
-contract applied to URLs.
+Reference tie: the reference gates inserts on an exact-key
+duplicate probe + CAS (internal/store/feed.go:32-59); it never
+normalizes its keys — URL canonicalization is the extension that
+makes dirty keys exact before the same probe-then-insert contract.
 """
 
 from __future__ import annotations
@@ -284,7 +284,7 @@ def domain_block_matches(
     compliance review asks.
 
     Reference tie: the validate-then-reject insert gate
-    (internal/feed/service.go:58-66) applied at the crawl frontier.
+    (cmd/server/httphandlers.go:33-37) applied at the crawl frontier.
     """
     hit = df.select(
         id_col,

@@ -2673,9 +2673,9 @@ def q111(spark, sf_dir):
     oracle-proven, so this key isolates the SELECTION mechanism).
     Selection is argmax-via-max(struct) with map-side partials — no
     window over comp (a giant component would ship to one task).
-    Reference tie: get_feed's top-1-per-key survivor shape
-    (internal/feed/service.go:120-138) generalized from recency to
-    quality.
+    Reference tie: GetFeed's recency-first serve shape
+    (internal/store/feed.go:143-171, LIMIT over the created_at DESC
+    clustering) generalized from recency to quality.
 
     The component labeling comes from the SHARED materialized store
     (graph.dup_groups_store) rather than re-deriving the q47 pair
@@ -2709,8 +2709,9 @@ def q112(spark, sf_dir):
     the DuckDB twin; each engine canonicalizes with its OWN expression
     stack over the shared regex constants, so hash-equality proves the
     canonicalization rules, not the plant.  Reference tie:
-    normalize-then-CAS-probe (internal/feed/service.go:58-66) at URL
-    level."""
+    the probe-then-CAS insert gate (internal/store/feed.go:32-59) at
+    URL level — the reference probes exact usernames; canonicalizing
+    the key first is this engine's URL-grain extension."""
     from golang_cassandra_kafka_feed_spark.operators.urltools import (
         canonicalize_url,
     )
@@ -2860,9 +2861,9 @@ def q114(spark, sf_dir):
     marker written AFTER the delete, not on build's own meta: meta
     commits the build alone, and a crash between build and delete
     would otherwise skip the erasure forever while looking complete
-    (review-found, round 7).  Reference tie: unfollow's
-    delete-then-serve contract (internal/feed/service.go:88-96) at
-    index level."""
+    (review-found, round 7).  Reference tie: the serve-from-
+    materialized-index contract (internal/store/feed.go:143-171);
+    erasure itself is an extension — the reference never deletes."""
     import hashlib
 
     from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
@@ -2908,7 +2909,7 @@ def q115(spark, sf_dir):
     pipeline's OWN splits; both ingredient mechanisms are
     independently oracle-proven, so this key isolates the leakage
     join + policy.  Reference tie: the existence-probe-then-branch
-    shape (internal/feed/service.go:58-66) — probe the protected set,
+    shape (internal/store/feed.go:32-43) — probe the protected set,
     act on the probe."""
     from golang_cassandra_kafka_feed_spark.operators.contamination import (
         cross_split_leakage,
@@ -2971,8 +2972,9 @@ def q117(spark, sf_dir):
     rebuild-without-expired — exact below the width cap, like q114.
     Create-if-absent gated on an EXPIRY marker written after the
     expire, not on build's meta (the q114 composite-op lesson).
-    Reference tie: the unfollow delete-then-serve contract
-    (internal/feed/service.go:88-96) driven by age instead of id."""
+    Reference tie: an age-driven erasure extension of the recency
+    serve (internal/store/feed.go:143-171); the reference itself
+    never deletes."""
     import hashlib
 
     from golang_cassandra_kafka_feed_spark.operators.minhash_index import (
@@ -3056,8 +3058,8 @@ def q119(spark, sf_dir):
     weight sum then one pinned double division chain — bit-identical
     cross-engine, no transcendentals.  Pure projection: zero exchanges
     (plan-asserted in test_selection.py).  Reference tie: the validate-
-    then-branch insert gate (internal/feed/service.go:58-66) with a
-    learned scorer."""
+    then-reject insert gate (cmd/server/httphandlers.go:33-37,133-137)
+    with a learned scorer."""
     from golang_cassandra_kafka_feed_spark.operators.selection import (
         classifier_score,
     )
@@ -3087,7 +3089,7 @@ def q120(spark, sf_dir):
     exchange regroups the blocked subset), the oracle joins
     ``host = rule OR host LIKE '%.' || rule``.  Hash-equality proves
     the boundary semantics, not the plant.  Reference tie: the
-    validate-then-reject insert gate (internal/feed/service.go:58-66)
+    validate-then-reject insert gate (cmd/server/httphandlers.go:33-37)
     at the crawl frontier."""
     from golang_cassandra_kafka_feed_spark.operators.urltools import (
         BLOCKLIST_RULES,
@@ -3133,9 +3135,9 @@ def q121(spark, sf_dir):
     truncation per block), so the twin is exact at every scale factor
     — blocks run ~N/1000 wide and would bind at ~4.2M customers,
     where a below-the-cap argument would silently break
-    (review-found).  Reference tie: the normalize-then-probe username
-    reconciliation (internal/feed/service.go:58-66) when the dirty
-    side cannot normalize to an exact key."""
+    (review-found).  Reference tie: the exact-key username probe
+    (internal/store/feed.go:14-28,32-43) when the dirty side cannot
+    normalize to an exact key."""
     from golang_cassandra_kafka_feed_spark.operators.linkage import (
         blocked_fuzzy_matches,
     )
@@ -3221,8 +3223,9 @@ def q123(spark, sf_dir):
     exercises the SHORT-prefix regime — ~30% of each set indexed —
     where the theorem does the most pruning work; cost anatomy of
     both thresholds in PERFORMANCE.md.  Reference tie: the fan-out
-    bounded-work contract (internal/feed/service.go:70-86) — do the
-    quadratic only where signal can exist."""
+    bounded-work contract (cmd/worker/worker.go:134-156, the
+    fanoutLimit semaphore) — do the quadratic only where signal can
+    exist."""
     from golang_cassandra_kafka_feed_spark.operators.dedup import (
         prefix_filter_jaccard_pairs,
     )
@@ -3248,7 +3251,8 @@ def q124(spark, sf_dir):
     difference between scanning 30 days and scanning one: history
     partitions are never rescanned.  Reference tie: the feed
     fan-out's write-once-read-many materialization
-    (internal/feed/service.go:70-86) applied to aggregates."""
+    (internal/store/feed.go:129-141, AddToFeed) applied to
+    aggregates."""
     import hashlib
 
     from golang_cassandra_kafka_feed_spark.sources.fsutil import (
@@ -3310,7 +3314,7 @@ def q125(spark, sf_dir):
     cross-engine; the (lift desc, item_a, item_b) order pins the top-k
     boundary.  Reference tie: q85's collocation lift over basket
     membership instead of token adjacency; the fan-out bounded-work
-    contract (internal/feed/service.go:70-86) at pair grain."""
+    contract (cmd/worker/worker.go:134-156) at pair grain."""
     from golang_cassandra_kafka_feed_spark.operators.affinity import (
         basket_affinity,
     )
@@ -3384,8 +3388,9 @@ def q127(spark, sf_dir):
     exact, >= 0 by the CMS one-sided guarantee).  Deterministic md5
     bucket hashing, so the DuckDB twin rebuilds the SAME counter
     matrix and hash-equality proves estimator+guarantee cross-engine.
-    Reference tie: the bench's latency histogram accumulation
-    (bench/e2e_bench.go:130-160) replaced by a bounded-memory sketch.
+    Reference tie: the bench's unbounded in-memory latency
+    accumulation (bench/e2e_bench/e2e_bench.go:177,214) replaced by
+    a bounded-memory sketch.
     """
     from golang_cassandra_kafka_feed_spark.operators.sketches import (
         cms_topk_audit,

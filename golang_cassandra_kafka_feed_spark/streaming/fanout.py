@@ -190,7 +190,8 @@ def run_fanout_pipeline(
     ``processing_time`` switches from the default drain-everything
     ``availableNow`` trigger to a continuous processing-time trigger
     (e.g. ``"1 second"``) — the long-running worker deployment shape
-    (reference cmd/worker/main.go:55-71); stop with ``query.stop()``,
+    (reference main.go:55-71, signal-scoped worker.Run); stop with
+    ``query.stop()``,
     which checkpoint-commits the in-flight epoch boundary so a restart
     resumes with no loss or duplication (drain semantics,
     worker.go:66-70).

@@ -70,7 +70,8 @@ retained for in-flight readers; a janitor may delete versions older
 than the previous one (documented, not automated here).
 
 Reference tie: the feed fan-out's write-once-read-many
-materialization (internal/feed/service.go:70-86) driven by a stream.
+materialization (internal/store/feed.go:129-141, AddToFeed) driven
+by a stream.
 """
 
 from __future__ import annotations
