@@ -179,7 +179,13 @@ def main() -> None:
                 store,
                 f"{work}/ckpt{i}",
             )
-            q.awaitTermination(600)
+            from golang_cassandra_kafka_feed_spark.streaming.rollup import (
+                drain_or_raise,
+            )
+
+            # a timed-out (still-running) pipeline must fail the bench,
+            # not record a partial feed count as throughput
+            drain_or_raise(q, 600, "bench fan-out pipeline")
             if i > 0:
                 pipeline_runs.append(time.time() - t0)
         pipeline_feed_rows = store.table("feed_by_user").count()

@@ -291,6 +291,19 @@ def _release(path: str, token: str) -> None:
 # --------------------------------------------------------------------
 
 
+def _is_create_contention(e: Exception) -> bool:
+    """True when a FileSystem.create(overwrite=false) failure means
+    'the file already exists' (lock held) rather than a real fault.
+
+    Matched case-insensitively on class name + message: Hadoop
+    surfaces FileAlreadyExistsException, but some filesystems/versions
+    raise a plain IOException('File already exists: ...') with no
+    class-name leak — that is still contention, and re-raising it
+    would crash the waiter instead of waiting (review-found)."""
+    msg = (str(e.__class__) + str(e)).lower()
+    return "alreadyexists" in msg or "already exists" in msg
+
+
 class _HFS:
     """Thin Hadoop FileSystem wrapper for the lock protocol (one
     getFileSystem resolution per lock acquisition)."""
@@ -329,7 +342,7 @@ class _HFS:
         try:
             out = self._fs.create(self._path(p), False)
         except Exception as e:  # FileAlreadyExistsException et al.
-            if "AlreadyExists" in str(e.__class__) + str(e):
+            if _is_create_contention(e):
                 return False
             raise
         try:

@@ -209,7 +209,12 @@ def blocklist_filter_urls(df, rules, url_col: str = "url"):
     spelling of a banned host, including ones a later canonicalizer
     would quarantine."""
     u = F.col(url_col) if isinstance(url_col, str) else url_col
-    schemeless_prefix = F.regexp_extract(u, "^([^/?#]+)", 1)
+    # '(?://)?'' admits protocol-relative spellings ('//banned.com/x'):
+    # with a bare '^([^/?#]+)' the leading '//' matches nothing and the
+    # banned host would be KEPT under the host-less rule (review-found).
+    # A SINGLE leading '/' stays unmatched — '/about/x' is a rooted
+    # path, not a host spelling.
+    schemeless_prefix = F.regexp_extract(u, "^(?://)?([^/?#]+)", 1)
     fallback_host = F.lower(
         F.regexp_extract(
             F.regexp_extract(schemeless_prefix, AUTH_HOSTPORT_RE, 1),

@@ -3429,6 +3429,7 @@ def q128(spark, sf_dir):
         write_marker,
     )
     from golang_cassandra_kafka_feed_spark.streaming.rollup import (
+        drain_or_raise,
         read_rollup,
         rollup_foreach_batch,
     )
@@ -3471,7 +3472,7 @@ def q128(spark, sf_dir):
                     .trigger(availableNow=True)
                     .start()
                 )
-                q.awaitTermination(300)
+                drain_or_raise(q, 300, "q128 rollup stream")
                 write_marker(spark, root + "/_STREAMED", "4 batches")
     return (
         read_rollup(spark, roll)

@@ -213,6 +213,22 @@ def _run_identity(batch_df: DataFrame, explicit: str | None) -> str:
     return "adhoc"
 
 
+def drain_or_raise(query, timeout_sec: float, what: str = "stream") -> None:
+    """Block until ``query`` terminates, or stop it and raise.
+
+    ``awaitTermination(timeout)`` returns False on timeout with the
+    stream still mid-run; a caller that then commits a completion
+    marker would permanently cache a partial rollup under a
+    create-if-absent key (review-found).  This helper makes 'drained'
+    explicit: it returns only when the query actually terminated."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise RuntimeError(
+            f"{what} did not drain within {timeout_sec}s; "
+            "completion marker withheld so the next run rebuilds"
+        )
+
+
 def rollup_foreach_batch(
     path: str,
     ts_col: str = "ts",

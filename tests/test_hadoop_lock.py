@@ -143,3 +143,25 @@ def test_rollup_lease_true_is_honest_on_uri_paths(spark, tmp_path):
         map(tuple, rollup_partials(b0.unionByName(b1)).collect())
     )
     assert got == want
+
+
+def test_create_contention_classification_is_message_robust():
+    """'Already exists' classification must not require the Java class
+    name: some Hadoop filesystems raise a plain
+    IOException('File already exists: ...') (review-found r9).  Real
+    faults (permissions, transient IO) must still re-raise."""
+    from golang_cassandra_kafka_feed_spark.feed.lock import (
+        _is_create_contention,
+    )
+
+    class FileAlreadyExistsException(Exception):
+        pass
+
+    assert _is_create_contention(FileAlreadyExistsException("/p"))
+    assert _is_create_contention(Exception("File already exists: /p"))
+    assert _is_create_contention(Exception("FILE ALREADY EXISTS: /p"))
+    assert _is_create_contention(
+        Exception("org.apache.hadoop.fs.FileAlreadyExistsException: /p")
+    )
+    assert not _is_create_contention(Exception("Permission denied: /p"))
+    assert not _is_create_contention(Exception("Connection reset"))

@@ -134,13 +134,20 @@ def test_url_blocklist_filter_blocks_schemeless_spellings(spark):
             (4, "notexample.org/x"),
             (5, "keep.com/y"),
             (6, "https://example.org/still-blocked"),
+            # protocol-relative spelling (review-found r9): '//' strips
+            # before host extraction, so the banned host is BLOCKED
+            (7, "//example.org/x"),
+            (8, "//keep.com/z"),
+            # a SINGLE leading '/' is a rooted path, not a host — kept
+            # even when the first segment spells a banned name
+            (9, "/example.org/rooted-path"),
         ],
         "id bigint, url string",
     )
     kept = blocklist_filter_urls(
         df, ("example.org", "site7.example.com")
     )
-    assert sorted(r.id for r in kept.collect()) == [4, 5]
+    assert sorted(r.id for r in kept.collect()) == [4, 5, 8, 9]
 
 
 def test_suffix_block_key_short_names_use_whole_string(spark):

@@ -216,3 +216,35 @@ def test_new_run_with_restarted_batch_ids_raises(spark, tmp_path):
     fn_b = rollup_foreach_batch(path, run_id="run-b")
     with pytest.raises(RollupRunMismatch):
         fn_b(_rows(spark, [(1, "buy", 2.0)]), 0)
+
+
+def test_drain_or_raise_stops_and_raises_on_timeout():
+    """awaitTermination(timeout) returning False means the stream is
+    still mid-run; committing a completion marker then would cache a
+    partial rollup forever (review-found r9).  The helper must stop
+    the query and raise — and return silently on a real drain."""
+    import pytest
+
+    from golang_cassandra_kafka_feed_spark.streaming.rollup import (
+        drain_or_raise,
+    )
+
+    class _Query:
+        def __init__(self, drained):
+            self.drained = drained
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            return self.drained
+
+        def stop(self):
+            self.stopped = True
+
+    ok = _Query(True)
+    drain_or_raise(ok, 1, "t")
+    assert not ok.stopped
+
+    hung = _Query(False)
+    with pytest.raises(RuntimeError, match="did not drain"):
+        drain_or_raise(hung, 1, "t")
+    assert hung.stopped
