@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -186,12 +187,33 @@ def decode_media(
                     continue
                 raise
             n = len(vals)
-            mean = (sum(vals) / n / scale) if n else 0.0
-            hist = [0] * n_bins
-            for v in vals:
-                # values in [-scale, scale); map to [0, 1) then bin
-                u = (v / scale + 1.0) / 2.0 if scale == 32768.0 else v / 256.0
-                hist[min(n_bins - 1, int(u * n_bins))] += 1
+            if n:
+                # frombuffer + bincount compute the SAME integers as the
+                # former per-value Python loop: inputs are exact
+                # uint8/int16, the mean's sum is an exact int64, and the
+                # binning ops ((v/scale+1)/2 resp. v/256, *n_bins,
+                # truncate) are the identical IEEE-754 float64 ops NumPy
+                # element-wise ops perform — provable bit-identity (the
+                # clustering_vec int64 contract), asserted against an
+                # inline reimplementation of the loop in
+                # test_multimodal.py.  The loop was ~3M interpreted
+                # iterations per decoded megapixel — the stage cost at
+                # a multimodal-corpus scale (review-found r9).
+                if isinstance(vals, (bytes, bytearray)):
+                    arr = np.frombuffer(vals, dtype=np.uint8)
+                else:
+                    arr = np.asarray(vals, dtype=np.int64)
+                mean = int(arr.sum(dtype=np.int64)) / n / scale
+                if scale == 32768.0:
+                    # values in [-scale, scale); map to [0, 1) then bin
+                    u = (arr / np.float64(32768.0) + 1.0) / 2.0
+                else:
+                    u = arr / np.float64(256.0)
+                idx = np.minimum(n_bins - 1, (u * n_bins).astype(np.int64))
+                hist = np.bincount(idx, minlength=n_bins).tolist()
+            else:
+                mean = 0.0
+                hist = [0] * n_bins
             yield {
                 "doc_id": doc_id,
                 "content_type": ctype,

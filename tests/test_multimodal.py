@@ -343,3 +343,84 @@ def test_decode_media_rejects_corrupt_headers_like_other_formats(spark):
     with pytest.raises(PythonException, match="MediaFormatError"):
         decode_media(bad).collect()
     assert decode_media(bad, on_error="skip").count() == 0
+
+
+def test_decode_media_stats_bit_identical_to_scalar_loop(spark):
+    """The vectorized frombuffer/bincount stats (round-10 rewrite of the
+    per-value Python loop) must be BIT-identical to the former loop —
+    the inputs are exact uint8/int16 and the binning float ops are the
+    same IEEE-754 ops, so this is the clustering_vec int64 contract:
+    equality is ==, not approx.  Covers uint8 (BMP), int16 incl.
+    negative samples (WAV), a multi-KB PNG, and the n=0 header-only
+    JPEG path."""
+    import hashlib as _h
+
+    from golang_cassandra_kafka_feed_spark.operators.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+    from golang_cassandra_kafka_feed_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    def scalar_stats(vals, scale, n_bins=8):
+        # verbatim reimplementation of the pre-round-10 loop
+        n = len(vals)
+        mean = (sum(vals) / n / scale) if n else 0.0
+        hist = [0] * n_bins
+        for v in vals:
+            u = (v / scale + 1.0) / 2.0 if scale == 32768.0 else v / 256.0
+            hist[min(n_bins - 1, int(u * n_bins))] += 1
+        return mean, [c / n if n else 0.0 for c in hist]
+
+    blob = b"".join(
+        _h.sha256(i.to_bytes(2, "big")).digest() for i in range(300)
+    )  # 9600 pseudo-random bytes
+    png_rgb = blob[: 40 * 30 * 3]
+    bmp_rgb = blob[:48]
+    samples = [
+        int.from_bytes(blob[2 * i : 2 * i + 2], "little", signed=True)
+        for i in range(2048)
+    ]
+    # boundary values: extremes of both domains must bin identically
+    samples[0], samples[1] = -32768, 32767
+    bmp_rgb = bytes([0, 255]) + bmp_rgb[2:]
+
+    rows = [
+        (1, "image/bmp", bytearray(encode_bmp(4, 4, bmp_rgb)), 0),
+        (2, "audio/wav", bytearray(encode_wav(samples, sample_rate=8000)), 0),
+        (3, "image/png", bytearray(encode_png(40, 30, png_rgb)), 0),
+    ]
+    rows = [(i, c, p, len(p)) for i, c, p, _ in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.doc_id: r for r in decode_media(media).collect()}
+
+    expected = {
+        1: scalar_stats(decode_bmp(bytes(rows[0][2]))[2], 255.0),
+        2: scalar_stats(decode_wav(bytes(rows[1][2]))[2], 32768.0),
+        3: scalar_stats(decode_png(bytes(rows[2][2]))[2], 255.0),
+    }
+    for doc_id, (mean, feature) in expected.items():
+        assert out[doc_id].mean_value == mean, doc_id
+        assert list(out[doc_id].feature) == feature, doc_id
+
+    # n=0 header-only path: zero mean, zero feature (unchanged)
+    import struct
+
+    sof = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 30, 40, 3) + b"\x00" * 6
+        + b"\xff\xd9"
+    )
+    jmedia = spark.createDataFrame(
+        [(9, "image/jpeg", bytearray(sof), len(sof))], MEDIA_SCHEMA
+    )
+    jrows = decode_media(jmedia, on_error="skip").collect()
+    if jrows:  # header synthesis is best-effort; stats contract if parsed
+        assert jrows[0].mean_value == 0.0
+        assert list(jrows[0].feature) == [0.0] * 8
+        assert jrows[0].n_values == 0
