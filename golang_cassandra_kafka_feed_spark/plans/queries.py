@@ -1490,13 +1490,19 @@ def q73(spark, sf_dir):
     operators/selection.py::dsir_importance): hashed-bigram likelihood
     ratios of the lang='en' target subcorpus vs the full raw corpus,
     folded per doc in sorted order (exact-arithmetic mean-ratio form;
-    the paper's log-sum is the non-declared utility path)."""
+    the paper's log-sum is the non-declared utility path).
+    widen_partitions=32 compensates the single local file split (the
+    q112/q113 small-source lesson) — both scans were serializing on one
+    task; engine='hof' is the measured winner once widened (r10
+    cost-model note in dsir_importance)."""
     from golang_cassandra_kafka_feed_spark.operators.selection import (
         dsir_importance,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return dsir_importance(d, F.col("lang") == "en").orderBy("doc_id")
+    return dsir_importance(
+        d, F.col("lang") == "en", widen_partitions=32
+    ).orderBy("doc_id")
 
 
 def q74(spark, sf_dir):
