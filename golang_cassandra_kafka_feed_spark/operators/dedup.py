@@ -862,6 +862,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    width_observation: Observation | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (SSJoin, Chaudhuri et
     al. ICDE 2006; All-Pairs, Bayardo et al. WWW 2007) — the
@@ -886,6 +887,17 @@ def prefix_filter_jaccard_pairs(
     high-df, prefixes still collide quadratically; completeness forbids
     capping here, so drain exact duplicates first (``exact_dedup``),
     the same precondition the MinHash family documents.
+    ``width_observation`` (optional Observation) makes that pathology
+    OBSERVABLE at runtime instead of documented-only: it records
+    ``n_enumerated_pairs`` (the pre-dedup candidate enumeration —
+    exactly sum over prefix shingles of w*(w-1)/2, the quadratic mass
+    a template corpus re-forms); a healthy corpus keeps it within a
+    small multiple of the doc count, a template corpus drives it
+    toward n_docs^2/2 — the alarm that says "run exact_dedup first"
+    (test_dedup.py plants both corpora and asserts the metric fires
+    and that the precondition recovers the cost).  Like _cap_bucket's
+    observation, the CollectMetrics node is for corpus audits, not the
+    steady-state pipeline.
 
     Cost shape: one shuffle for global shingle frequencies, one
     frequency join back (AQE broadcasts it when the vocabulary is
@@ -942,8 +954,13 @@ def prefix_filter_jaccard_pairs(
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if width_observation is not None:
+        cand = cand.observe(
+            width_observation,
+            F.count(F.lit(1)).alias("n_enumerated_pairs"),
+        )
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     sa = sets.select(
         F.col("id").alias("id_a"),
         F.col("sh").alias("sh_a"),

@@ -393,3 +393,56 @@ def test_prefix_index_is_smaller_and_holds_the_rarest_shingles(spark):
     # windows touching its rareX/tailX/endX tail — are ALL indexed
     # before any corpus-wide shared shingle fills the prefix
     assert pref.filter(F.col("df") == 1).count() == 20 * 3
+
+
+def test_prefix_filter_template_corpus_metric_fires_and_recovers(spark):
+    """The documented residual pathology made observable (verdict-r9
+    ask #6): a mass-identical template corpus re-forms the quadratic in
+    the candidate enumeration — completeness forbids capping it — and
+    the new width_observation records exactly that mass.  The
+    documented precondition (exact_dedup first) must then recover the
+    cost on the SAME corpus: one survivor per template, enumeration
+    collapses, and the pair answer over survivors is unchanged."""
+    from pyspark.sql import Observation
+
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        exact_dedup,
+        prefix_filter_jaccard_pairs,
+    )
+
+    n_copies = 120
+    template = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rows = [(i, template) for i in range(n_copies)]
+    # a handful of genuinely distinct docs riding along
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta"),
+        (1001, "alpha beta gamma delta epsilon eta"),
+        (1002, "one two three four five six seven"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    obs = Observation()
+    pairs = prefix_filter_jaccard_pairs(
+        corpus, n=3, threshold=0.5, width_observation=obs
+    )
+    n_template_pairs = pairs.filter("id_a < 1000 and id_b < 1000").count()
+    # completeness: every template pair is found...
+    assert n_template_pairs == n_copies * (n_copies - 1) // 2
+    # ...and the metric shows the quadratic enumeration that produced it
+    assert obs.get["n_enumerated_pairs"] >= n_copies * (n_copies - 1) // 2
+
+    # precondition recovers the cost: exact-dedup first, re-run
+    survivors = exact_dedup(corpus).select("doc_id", "text")
+    obs2 = Observation()
+    pairs2 = sorted(
+        map(
+            tuple,
+            prefix_filter_jaccard_pairs(
+                survivors, n=3, threshold=0.5, width_observation=obs2
+            ).collect(),
+        )
+    )
+    enum2 = obs2.get["n_enumerated_pairs"]
+    assert enum2 < n_copies  # linear-ish, not quadratic
+    # survivors' near-dup structure intact (the 1000/1001 pair)
+    assert [(a, b) for a, b, _ in pairs2] == [(1000, 1001)]
