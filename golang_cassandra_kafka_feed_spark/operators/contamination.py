@@ -242,3 +242,79 @@ def cross_split_leakage(
         .otherwise(F.greatest("id_a", "id_b"))
         .alias("drop_id"),
     )
+
+
+def chunk_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+    n: int = 8,
+) -> DataFrame:
+    """CHUNK-grain decontamination: ``benchmark_overlap``'s n-gram
+    membership probe applied to the q67 training windows instead of
+    whole documents.  One row per training chunk:
+
+    ``(id_col, chunk_idx, n_chunk_grams, n_bench_grams, keep)``
+
+    ``keep`` is strict — ANY benchmark n-gram in the chunk kills the
+    chunk (the Lee et al. 2021 span-exactness stance), versus q63's
+    whole-doc 10%-threshold verdict.  The policy difference is the
+    point: doc-grain decontamination throws away every clean window of
+    a long document that quotes one benchmark item; chunk-grain keeps
+    them and drops only the quoting window — at trillion-token scale
+    that is real data back.  Composite of two oracle-proven mechanisms
+    (q67 chunking + q63 membership probe), isolating the policy — the
+    q115/q124 composite-key idiom.
+
+    Plan shape: chunking is a zero-shuffle explode (chunk_documents);
+    the benchmark gram set is globally distinct and BROADCAST; per-chunk
+    rollup is one groupBy on (doc, chunk) — at 100 TB the training side
+    is scanned once and never shuffled against the benchmark.  Every
+    chunk carries >= 1 shingle (_shingles' short-text fallback), so the
+    rollup covers every chunk — no join-back needed.
+
+    Reference tie: the validate-then-reject insert gate
+    (cmd/server/httphandlers.go:33-37) at window grain — reject the
+    window, not the author."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(
+        train,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_size=chunk_size,
+        overlap=overlap,
+    )
+    grams = chunks.select(
+        F.col(id_col).alias("id"),
+        "chunk_idx",
+        F.explode(F.array_distinct(_shingles("chunk_text", n))).alias("g"),
+    )
+    bg = (
+        _distinct_grams(bench, text_col, id_col, n)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    probed = grams.join(F.broadcast(bg), "g", "left").select(
+        "id", "chunk_idx", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    return (
+        probed.groupBy("id", "chunk_idx")
+        .agg(
+            F.count("*").alias("n_chunk_grams"),
+            F.sum("hit").alias("n_bench_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_idx",
+            "n_chunk_grams",
+            "n_bench_grams",
+            (F.col("n_bench_grams") == 0).alias("keep"),
+        )
+    )

@@ -835,3 +835,65 @@ def collocations(
         "w1", "w2", "c_bg", "c1", "c2",
         (F.round(F.col("__lift") * 1000000) / 1000000).alias("lift"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's
+    DISTINCT word-bigrams appear for the FIRST time in the corpus
+    (first = smallest ``id_col`` carrying the gram).  Returns
+    ``(id, n_distinct_grams, n_novel, novelty)`` for EVERY document
+    (featureless docs score 0) — the marginal-contribution signal a
+    curation pipeline uses to rank near-boilerplate corpora: templated
+    docs contribute ~0 novel grams, fresh content contributes many.
+
+    Cross-engine determinism: counts are exact integers; novelty is ONE
+    int/int double division then the x10000 rounding idiom, identical
+    in the DuckDB twin.
+
+    100 TB posture: explode distinct grams (map-side array_distinct
+    bounds multiplicity), one combine-safe groupBy on the gram for
+    first-seen (min), one join back on the gram (AQE handles celebrity
+    grams — join output stays postings-sized), one groupBy on the doc
+    id.  No window over the gram (a hot gram's postings would ship to
+    one task).
+
+    Reference tie: first-seen = min(doc_id) is the batch analogue of
+    the CAS first-writer-wins insert (internal/store/feed.go:44-59 —
+    later writers discover the existing row instead of creating)."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(bigram_array(text_col))).alias("__g"),
+    )
+    first = grams.groupBy("__g").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        grams.join(first, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.count_if(F.col("__first") == F.col(id_col)).alias("n_novel"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_distinct_grams", zero).alias("n_distinct_grams"),
+            F.coalesce("n_novel", zero).alias("n_novel"),
+            (
+                F.round(
+                    F.coalesce("n_novel", zero)
+                    / F.greatest(
+                        F.coalesce("n_distinct_grams", zero), F.lit(1)
+                    )
+                    * 10000
+                )
+                / 10000
+            ).alias("novelty"),
+        )
+    )

@@ -3414,3 +3414,82 @@ ORACLES["q127_cms_audit"] = f"""
     )
     ORDER BY n_exact DESC, token
 """
+
+# q130: chunk-grain decontamination — the q67 chunk rebuild (same
+# constants via _CHUNK_SIZE/_OVERLAP/_STRIDE) over the q63 train split,
+# each chunk's distinct 8-grams (the _shingles extraction incl. the
+# short-text full-string fallback) probed against the q63 eval gram
+# set; keep = zero hits.  Composite of two proven twins isolating the
+# policy grain.
+ORACLES["q130_chunk_decontam"] = f"""
+    WITH {_distinct_gram_cte(8)},
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+          WHERE doc_id % 19 <> 0),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, toks,
+                 greatest(1, CAST(floor((n - {_OVERLAP} + {_STRIDE - 1})
+                                        / {_STRIDE}) AS BIGINT)) AS n_chunks
+          FROM nn),
+    e AS (SELECT doc_id,
+                 unnest(range(0, n_chunks)) AS chunk_idx,
+                 toks
+          FROM c),
+    ct AS (SELECT doc_id, chunk_idx,
+                  list_slice(toks, chunk_idx * {_STRIDE} + 1,
+                             chunk_idx * {_STRIDE} + {_CHUNK_SIZE})
+                      AS ctoks
+           FROM e),
+    cg AS (SELECT doc_id, chunk_idx,
+                  unnest(list_distinct(
+                    CASE WHEN len(ctoks) < 8
+                         THEN [array_to_string(ctoks, ' ')]
+                         ELSE list_transform(range(1, len(ctoks) - 6),
+                              i -> array_to_string(
+                                     list_slice(ctoks, i, i + 7), ' '))
+                    END)) AS g
+           FROM ct),
+    bg AS (SELECT DISTINCT unnest(sh) AS g FROM sets8
+           WHERE doc_id % 19 = 0),
+    probed AS (
+        SELECT cg.doc_id, cg.chunk_idx,
+               CASE WHEN bg.g IS NULL THEN 0 ELSE 1 END AS hit
+        FROM cg LEFT JOIN bg ON cg.g = bg.g
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_chunk_grams,
+           CAST(sum(hit) AS BIGINT) AS n_bench_grams,
+           sum(hit) = 0 AS keep
+    FROM probed GROUP BY doc_id, chunk_idx
+    ORDER BY doc_id, chunk_idx
+"""
+
+# q131: first-seen n-gram novelty — distinct word-bigrams per doc, the
+# corpus-wide first carrier by min(doc_id), counts exact, novelty one
+# int/int double division + the x10000 rounding idiom (the q73 family's
+# exactness contract).
+ORACLES["q131_ngram_novelty"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+               )) AS gram
+        FROM t WHERE len(toks) >= 2
+    ),
+    f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+    p AS (
+        SELECT g.doc_id,
+               count(*) AS n_distinct_grams,
+               count(*) FILTER (WHERE f.first_id = g.doc_id) AS n_novel
+        FROM g JOIN f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_distinct_grams, 0) AS n_distinct_grams,
+           coalesce(n_novel, 0) AS n_novel,
+           ROUND(coalesce(n_novel, 0)
+                 / greatest(coalesce(n_distinct_grams, 0), 1) * 10000)
+               / 10000 AS novelty
+    FROM documents d LEFT JOIN p USING (doc_id)
+    ORDER BY d.doc_id
+"""

@@ -3577,9 +3577,43 @@ def q129(spark, sf_dir):
     )
 
 
+def q130(spark, sf_dir):
+    """Chunk-grain decontamination (operators/contamination.py::
+    chunk_decontaminate): the q63 plant (every 19th doc plays the eval
+    set) with the q63 membership probe applied to q67's 64/16 training
+    windows — strict keep (any shared 8-gram kills the window, not the
+    document).  Composite of two oracle-proven mechanisms isolating the
+    POLICY grain; the DuckDB twin rebuilds the same chunks and probes
+    the same distinct-8-gram set."""
+    from golang_cassandra_kafka_feed_spark.operators.contamination import (
+        chunk_decontaminate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    train = d.filter(F.col("doc_id") % 19 != 0)
+    return chunk_decontaminate(train, bench).orderBy("doc_id", "chunk_idx")
+
+
+def q131(spark, sf_dir):
+    """First-seen n-gram novelty (operators/textstats.py::ngram_novelty):
+    fraction of each doc's distinct word-bigrams whose corpus-wide
+    first carrier (min doc_id) is the doc itself — the marginal-
+    contribution ranking a curation pipeline uses against templated
+    corpora.  Exact integer counts + ONE int/int double division with
+    the x10000 rounding idiom; the DuckDB twin recomputes first-seen
+    with its own min() over the identical distinct-bigram stream."""
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(d).orderBy("doc_id")
+
+
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
-# this insertion-ordered registry; the _R9_WINDOW list below documents
-# the round-9 rotation rationale.  q92b remains RETIRED from the
+# this insertion-ordered registry; the _R10_WINDOW list below documents
+# the round-10 rotation rationale.  q92b remains RETIRED from the
 # window and the bench sweep (r6 retire-after-two-green rule; decision
 # recorded in COVERAGE.md) — its oracle and pytest parity coverage
 # remain (RETIRED dict below).  All other keys stay registered and are
@@ -3723,6 +3757,8 @@ _REGISTRY = {
     "q127_cms_audit": q127,
     "q128_streaming_rollup": q128,
     "q129_linkage_recall": q129,
+    "q130_chunk_decontam": q130,
+    "q131_ngram_novelty": q131,
 }
 _REGISTRY.update(TPCH_QUERIES)
 
@@ -3737,64 +3773,69 @@ _REGISTRY.update(TPCH_QUERIES)
 # q124 (locked build), q42 (shares the IVF code).  44/50 keys were NOT
 # in the r8 window.  Everything else stays registered and is swept by
 # scripts/driver_sim.py + pytest every round regardless of window.
-_R9_WINDOW = [
-    # -- first external contact (r9-new) --
+_R10_WINDOW = [
+    # -- first external contact (r10-new) --
+    "q130_chunk_decontam",
+    "q131_ngram_novelty",
+    # -- r10-changed-code sentinels --
+    # q73: widen_partitions + engine tiering; q123: width_observation
+    # plumbed through the SSJoin; q40/q116: vectorized decode stats;
+    # q128: drain_or_raise marker gate; q65/q66: ADVICE-r9 ask — the
+    # r9 vectorized-clustering reroute gets external driver contact.
+    "q73_dsir_weights",
+    "q123_prefix_filter_join",
+    "q40_multimodal_features",
+    "q116_media_headers",
     "q128_streaming_rollup",
-    "q129_linkage_recall",
-    # -- r9-changed-code sentinels --
-    "q118_ivf_join_path",
-    "q111_canonical_selection",
-    "q113_format_roundtrip",
-    "q47_ngram_jaccard",
-    "q124_incremental_rollup",
-    "q42_ann_ivf_topk",
-    # -- relational core breadth (last driver contact r5-r7) --
-    "q01_scan_project",
-    "q04_inner_join",
-    "q06_left_outer_join_agg",
-    "q08_anti_join",
-    "q09_range_theta_join",
-    "q10_asof_join",
-    "q12_distinct_agg",
-    "q14_cube",
-    "q15_grouping_sets",
-    "q17_window_lag",
-    "q20a_intersect",
-    "q22_conditional_counts",
-    "q24_scalar_battery",
-    "q25_json_extract",
-    "q27_session_window",
-    # -- batteries --
-    "q43_pivot",
-    "q44_unpivot",
-    "q45_scalar_subquery",
-    "q46_correlated_exists",
-    "q50_window_battery",
-    "q51_string_battery",
-    "q52_null_datetime_battery",
-    "q53_in_null_semantics",
-    # -- the 19 TPC-H twins beyond q1/q18/q21 --
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
+    "q65_kmeans_assign",
+    "q66_semantic_dedup",
+    # -- bench-watch re-contact (q126 reconciled as weather in r10;
+    #    driver timing re-pins it) --
+    "q126_multipass_linkage",
+    # -- breadth: hash-mechanism + LLM-pipeline families longest out
+    #    of window (none sampled in the r9 first-50) --
+    "q29_token_topk",
+    "q30_cosine_topk",
+    "q31_token_stats",
+    "q32_quality_score",
+    "q33_lang_id",
+    "q34_fingerprint",
+    "q35_embedding_neardup",
+    "q36_ann_multi_query",
+    "q37_minhash_lsh_neardup",
+    "q38_simhash_neardup",
+    "q39_ann_lsh_topk",
+    "q41_winnow_fingerprint",
+    "q48_sketch_stats",
+    "q49_bpe_token_count",
+    "q54_hash_split",
+    "q55_per_source_cap",
+    "q56_mixture_downsample",
+    "q57_sequence_pack",
+    "q58_moments_battery",
+    "q59_kmv_distinct",
+    "q60_repetition_stats",
+    "q61_quality_flags",
+    "q62_duplicate_spans",
+    "q63_decontamination",
+    "q64_tfidf_top_terms",
+    "q67_doc_chunking",
+    "q68_vocab_coverage",
+    "q69_temperature_mixture",
+    "q70_bigram_typicality",
+    "q71_dup_components",
+    "q72_length_histogram",
+    "q74_typicality_buckets",
+    "q75_line_dedup",
+    "q76_weighted_sample",
+    "q109_pii_audit",
+    "q110_incremental_minhash",
+    "q112_url_canonical_dedup",
+    "q114_index_retention",
+    "q115_split_leakage",
+    "q117_index_expiry",
 ]
-assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
 # Retired from the driver window AND the bench sweep (still
 # oracle-registered and pytest-parity-covered via this dict): q92b was
@@ -3802,7 +3843,7 @@ assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 # r6 retirement rule.
 RETIRED = {"q92b_interval_join_bounds": q92b}
 
-QUERIES = {k: _REGISTRY[k] for k in _R9_WINDOW}
+QUERIES = {k: _REGISTRY[k] for k in _R10_WINDOW}
 QUERIES.update(
     {k: v for k, v in _REGISTRY.items() if k not in RETIRED}
 )

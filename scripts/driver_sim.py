@@ -2,8 +2,11 @@
 entry(), then full oracle hash-compare at sf0.01.
 
 Usage: python scripts/driver_sim.py [--queries k1,k2,...]
-(no flag = the whole registry; unknown keys fail fast rather than
-silently checking nothing)."""
+                                    [--sf DIR] [--master M] [--mem G]
+(no flag = the whole registry at sf0.01; unknown keys fail fast rather
+than silently checking nothing.  --sf points BOTH engines at another
+testdata dir — e.g. /tmp/sf1.0 for the scale-parity sweep, r10
+verdict ask #5)."""
 import argparse
 import hashlib
 import sys
@@ -16,7 +19,6 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
 
-SF = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -25,7 +27,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # setup (the registry import is cheap, the sessions are not).
 ap = argparse.ArgumentParser()
 ap.add_argument("--queries", default="", help="comma-separated key subset")
-wanted = [k for k in ap.parse_args().queries.split(",") if k]
+ap.add_argument("--sf", default="/root/testdata/sf0.01")
+ap.add_argument("--master", default="local[8]")
+ap.add_argument("--mem", default="8g")
+args = ap.parse_args()
+SF = args.sf
+wanted = [k for k in args.queries.split(",") if k]
 if wanted:
     unknown = sorted(set(wanted) - set(e.queries()))
     if unknown:
@@ -50,8 +57,8 @@ def digest(cols, rows):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.driver.memory", "8g")
+spark = (SparkSession.builder.master(args.master)
+         .config("spark.driver.memory", args.mem)
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
@@ -63,7 +70,13 @@ assert len(rows) >= 0
 
 con = duckdb.connect()
 for t in TABLES:
-    con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # driver testdata is one file per table; scale-probe dirs (e.g. the
+    # r9 /tmp/sf1.0) use Spark's directory-of-parts layout
+    import os
+    src = f"{SF}/{t}.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
 
 qs, osql = e.queries(), e.oracle_sql()
 if wanted:

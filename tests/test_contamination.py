@@ -154,3 +154,47 @@ def test_cross_split_leakage_generic_ids_and_labels(spark):
     assert set(rows) == {("u1", "u2"), ("u2", "u4")}
     assert rows[("u1", "u2")].drop_id == "u2"
     assert rows[("u2", "u4")].drop_id == "u4"
+
+
+def test_chunk_decontaminate_keeps_clean_windows_of_quoting_doc(spark):
+    """The policy grain q130 exists to prove: a long training document
+    that quotes ONE benchmark item loses only the quoting window —
+    doc-grain q63 at the same strictness would lose the whole doc."""
+    from golang_cassandra_kafka_feed_spark.operators.contamination import (
+        benchmark_overlap,
+        chunk_decontaminate,
+    )
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"tok{i}" for i in range(40))   # 40 unique tokens
+    quoting = filler + " " + bench_text + " " + " ".join(
+        f"pad{i}" for i in range(40)
+    )
+    train = spark.createDataFrame(
+        [(1, quoting), (2, "clean text only " * 10)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id bigint, text string"
+    )
+    out = chunk_decontaminate(
+        train, bench, chunk_size=16, overlap=0, n=8
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: some windows dropped (the quote spans tokens 40-47), but
+    # NOT all — the clean windows survive
+    keeps1 = [r.keep for r in by_doc[1]]
+    assert any(keeps1) and not all(keeps1)
+    dropped = [r for r in by_doc[1] if not r.keep]
+    assert all(r.n_bench_grams > 0 for r in dropped)
+    # doc 2 untouched
+    assert all(r.keep for r in by_doc[2])
+    # contrast: strict doc-grain would kill doc 1 entirely
+    doc_grain = {
+        r.doc_id: r
+        for r in benchmark_overlap(train, bench, n=8, threshold=1e-9)
+        .collect()
+    }
+    assert doc_grain[1].contaminated and not doc_grain[2].contaminated

@@ -1,9 +1,12 @@
 """Driver-contract invariants of __spark_entry__ that need no
-SparkSession: registry/oracle key parity, and the round-9 rotation —
-the r9-new keys (q128/q129) in front for first external driver
-contact, the r9-changed-code sentinels, then the longest-unvisited
-breadth tier (relational core, q43-q46/q50-q53 batteries, the 19
-TPC-H twins beyond q1/q18/q21 — last driver contact r5-r7), plus the
+SparkSession: registry/oracle key parity, and the round-10 rotation —
+the r10-new keys (q130/q131) in front for first external driver
+contact, the r10-changed-code sentinels (q73 widen/engine tiering,
+q123 width_observation, q40/q116 vectorized decode stats, q128 drain
+gate, q65/q66 per ADVICE-r9 #4 — the r9 clustering reroute's first
+driver contact), the q126 bench-watch re-contact, then the
+longest-unvisited breadth tier (the hash-mechanism and LLM-pipeline
+families none of which were sampled in the r9 first-50), plus the
 standing q92b retirement (window + bench sweep only; oracle and
 pytest parity coverage remain via RETIRED)."""
 
@@ -11,28 +14,52 @@ from __future__ import annotations
 
 import __spark_entry__ as entry
 
-# First-contact tier: r9-new keys the driver has never checked.
-ROUND9_FRESH = [
+# First-contact tier: r10-new keys the driver has never checked.
+ROUND10_FRESH = [
+    "q130_chunk_decontam",
+    "q131_ngram_novelty",
+]
+
+# Keys whose code paths CHANGED in round 10 — regression sentinels —
+# plus the q126 bench-watch re-contact.
+ROUND10_SENTINELS = [
+    "q73_dsir_weights",
+    "q123_prefix_filter_join",
+    "q40_multimodal_features",
+    "q116_media_headers",
     "q128_streaming_rollup",
-    "q129_linkage_recall",
+    "q65_kmeans_assign",
+    "q66_semantic_dedup",
+    "q126_multipass_linkage",
 ]
 
-# Keys whose code paths CHANGED in round 9 — regression sentinels:
-# q118 re-pointed at the Arrow assignment tier; q111/q47 consume the
-# new shared pair-graph store; q113 rides the bounded CSV writer;
-# q124's build is now lock-guarded; q42 shares the IVF code.
-ROUND9_SENTINELS = [
-    "q118_ivf_join_path",
-    "q111_canonical_selection",
-    "q113_format_roundtrip",
-    "q47_ngram_jaccard",
-    "q124_incremental_rollup",
-    "q42_ann_ivf_topk",
-]
+# Longest-unvisited breadth: the dedup/ANN/text/selection families —
+# none were in the r9 first-50.
+ROUND10_BREADTH = {
+    "q29_token_topk", "q30_cosine_topk", "q31_token_stats",
+    "q32_quality_score", "q33_lang_id", "q34_fingerprint",
+    "q35_embedding_neardup", "q36_ann_multi_query",
+    "q37_minhash_lsh_neardup", "q38_simhash_neardup",
+    "q39_ann_lsh_topk", "q41_winnow_fingerprint", "q48_sketch_stats",
+    "q49_bpe_token_count", "q54_hash_split", "q55_per_source_cap",
+    "q56_mixture_downsample", "q57_sequence_pack",
+    "q58_moments_battery", "q59_kmv_distinct", "q60_repetition_stats",
+    "q61_quality_flags", "q62_duplicate_spans", "q63_decontamination",
+    "q64_tfidf_top_terms", "q67_doc_chunking", "q68_vocab_coverage",
+    "q69_temperature_mixture", "q70_bigram_typicality",
+    "q71_dup_components", "q72_length_histogram",
+    "q74_typicality_buckets", "q75_line_dedup", "q76_weighted_sample",
+    "q109_pii_audit", "q110_incremental_minhash",
+    "q112_url_canonical_dedup", "q114_index_retention",
+    "q115_split_leakage", "q117_index_expiry",
+}
 
-# Longest-unvisited breadth: relational core + batteries + the TPC-H
-# twins beyond q1/q18/q21 (those three ran in the r8 window).
-ROUND9_BREADTH = {
+# The r9 window, kept verbatim to measure rotation distance.
+ROUND9_WINDOW = {
+    "q128_streaming_rollup", "q129_linkage_recall",
+    "q118_ivf_join_path", "q111_canonical_selection",
+    "q113_format_roundtrip", "q47_ngram_jaccard",
+    "q124_incremental_rollup", "q42_ann_ivf_topk",
     "q01_scan_project", "q04_inner_join", "q06_left_outer_join_agg",
     "q08_anti_join", "q09_range_theta_join", "q10_asof_join",
     "q12_distinct_agg", "q14_cube", "q15_grouping_sets",
@@ -48,30 +75,6 @@ ROUND9_BREADTH = {
     "tpch_q19", "tpch_q20", "tpch_q22",
 }
 
-# The r8 window, kept verbatim to measure rotation distance.
-ROUND8_WINDOW = {
-    "q111_canonical_selection", "q112_url_canonical_dedup",
-    "q113_format_roundtrip", "q114_index_retention",
-    "q115_split_leakage", "q116_media_headers", "q117_index_expiry",
-    "q118_ivf_join_path", "q119_classifier_score",
-    "q120_domain_blocklist", "q121_fuzzy_blocking",
-    "q122_bucketed_join", "q123_prefix_filter_join",
-    "q124_incremental_rollup", "q125_basket_affinity",
-    "q126_multipass_linkage", "q127_cms_audit",
-    "q110_incremental_minhash", "q37_minhash_lsh_neardup",
-    "q38_simhash_neardup", "q42_ann_ivf_topk", "q65_kmeans_assign",
-    "q66_semantic_dedup", "q71_dup_components", "q78_minhash_accuracy",
-    "q82_ann_rrf_fusion", "q83_pagerank", "q84_pq_adc_audit",
-    "q87_funnel", "q92_interval_join", "tpch_q1", "tpch_q18",
-    "tpch_q21", "q30_cosine_topk", "q35_embedding_neardup",
-    "q36_ann_multi_query", "q39_ann_lsh_topk",
-    "q41_winnow_fingerprint", "q47_ngram_jaccard", "q48_sketch_stats",
-    "q59_kmv_distinct", "q90_bloom_fp_audit", "q54_hash_split",
-    "q73_dsir_weights", "q62_duplicate_spans", "q63_decontamination",
-    "q75_line_dedup", "q109_pii_audit", "q103_triangles",
-    "q89_scd2_intervals",
-}
-
 
 def test_every_query_key_has_an_oracle():
     q = entry.queries()
@@ -79,28 +82,28 @@ def test_every_query_key_has_an_oracle():
     assert set(q) == set(o), (
         f"queries-only: {set(q) - set(o)}; oracles-only: {set(o) - set(q)}"
     )
-    assert len(q) >= 144
+    assert len(q) >= 150
 
 
 def test_fresh_tier_leads_the_window_for_first_driver_contact():
-    lead = ROUND9_FRESH + ROUND9_SENTINELS
+    lead = ROUND10_FRESH + ROUND10_SENTINELS
     assert list(entry.queries())[: len(lead)] == lead
 
 
-def test_round9_window_is_exactly_fresh_plus_sentinels_plus_breadth():
+def test_round10_window_is_exactly_fresh_plus_sentinels_plus_breadth():
     first50 = set(list(entry.queries())[:50])
-    want = set(ROUND9_FRESH) | set(ROUND9_SENTINELS) | ROUND9_BREADTH
+    want = set(ROUND10_FRESH) | set(ROUND10_SENTINELS) | ROUND10_BREADTH
     assert first50 == want, (
         f"window drift — extra: {first50 - want}; "
         f"missing: {want - first50}"
     )
 
 
-def test_round9_window_rotates_at_least_35_keys_off_round8():
-    """Verdict-r8 ask #3's done-criterion: >= 35 of the 50 window keys
-    were NOT in the r8 window."""
+def test_round10_window_rotates_at_least_35_keys_off_round9():
+    """The established rotation done-criterion: >= 35 of the 50 window
+    keys were NOT in the r9 window."""
     first50 = set(list(entry.queries())[:50])
-    fresh = first50 - ROUND8_WINDOW
+    fresh = first50 - ROUND9_WINDOW
     assert len(fresh) >= 35, f"only {len(fresh)} keys rotated"
 
 

@@ -406,3 +406,30 @@ def test_collocations_lift_ranks_exclusive_pairs_first(spark):
     assert st.lift == round(3 * n_tokens / (3 * 3) * 1e6) / 1e6
     if ("of", "the") in pairs:
         assert pairs.index(("of", "the")) > 0
+
+
+def test_ngram_novelty_first_writer_wins(spark):
+    from golang_cassandra_kafka_feed_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),   # bigrams: 'alpha beta','beta gamma'
+            (2, "alpha beta gamma"),   # exact copy: zero novel
+            (3, "alpha beta delta"),   # shares 'alpha beta' only
+            (4, "solo"),               # < 2 tokens: no grams
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].n_distinct_grams, out[1].n_novel) == (2, 2)
+    assert out[1].novelty == 1.0
+    assert (out[2].n_distinct_grams, out[2].n_novel) == (2, 0)
+    assert out[2].novelty == 0.0
+    assert (out[3].n_distinct_grams, out[3].n_novel) == (2, 1)
+    assert out[3].novelty == 0.5
+    assert (out[4].n_distinct_grams, out[4].n_novel, out[4].novelty) == (
+        0, 0, 0.0,
+    )
