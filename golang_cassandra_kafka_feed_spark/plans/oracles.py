@@ -136,6 +136,55 @@ def _distinct_gram_cte(n: int, src: str = "documents") -> str:
         )"""
 
 
+def _pairs_postings_cte(threshold: float, cap: int | None = 1000) -> str:
+    """Shared-shingle pair enumeration in POSTINGS form — the oracle
+    twin of dedup.ngram_jaccard_pairs.  ``cap`` mirrors the engine's
+    max_shingle_freq bucket window [2, cap] exactly (the q121
+    cap-in-oracle precedent); ``cap=None`` keeps candidate completeness
+    (any pair with J > 0 shares a shingle, so postings enumeration is
+    mathematically identical to brute-force all-pairs) for the
+    prefix-filter twin.  Replaces the r1-r9 ``sets a JOIN sets b ON
+    a.doc_id < b.doc_id`` brute force, which was O(N^2) list_intersect
+    — compute-bound at sf1.0 (50k docs = 1.25e9 pairs) AND blind to
+    the cap the engine applies (r10 sf1.0 parity sweep finding)."""
+    cap_pred = f" AND count(*) <= {cap}" if cap is not None else ""
+    return f"""sets AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(
+                                  list_slice(toks, i, i + 2), ' '))
+                 END) AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    inv AS (
+        SELECT doc_id, len(sh) AS set_size, unnest(sh) AS shingle
+        FROM sets
+    ),
+    bw AS (
+        SELECT shingle FROM inv GROUP BY shingle
+        HAVING count(*) >= 2{cap_pred}
+    ),
+    pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   shared / (size_a + size_b - shared) AS jaccard
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.set_size AS size_a, b.set_size AS size_b,
+                       count(*) AS shared
+                FROM inv a
+                JOIN inv b ON a.shingle = b.shingle
+                          AND a.doc_id < b.doc_id
+                JOIN bw ON bw.shingle = a.shingle
+                GROUP BY 1, 2, 3, 4
+            )
+        ) WHERE jaccard >= {threshold}
+    )"""
+
+
 ORACLES: dict[str, str] = {
     "q01_scan_project": """
         SELECT c_custkey, c_name FROM customer ORDER BY c_custkey
@@ -967,29 +1016,9 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY c_custkey
     """,
-    "q47_ngram_jaccard": """
-        WITH sets AS (
-            SELECT doc_id,
-                   list_distinct(
-                     CASE WHEN len(toks) < 3
-                          THEN [array_to_string(toks, ' ')]
-                          ELSE list_transform(range(1, len(toks) - 1),
-                               i -> array_to_string(
-                                      list_slice(toks, i, i + 2), ' '))
-                     END) AS sh
-            FROM (SELECT doc_id,
-                         list_filter(
-                           regexp_split_to_array(lower(text), '[^a-z]+'),
-                           t -> length(t) > 0) AS toks
-                  FROM documents)
-        )
-        SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh))
-                     / (len(a.sh) + len(b.sh)
-                        - len(list_intersect(a.sh, b.sh))) AS jaccard
-            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        ) WHERE jaccard >= 0.5
+    "q47_ngram_jaccard": f"""
+        WITH {_pairs_postings_cte(0.5)}
+        SELECT id_a, id_b, jaccard FROM pairs
         ORDER BY id_a, id_b
     """,
     "q49_bpe_token_count": """
@@ -1391,26 +1420,7 @@ ORACLES["q70_bigram_typicality"] = f"""
 # component); min(lab) per id is the component min — the same unique
 # fixpoint the Spark label-propagation loop converges to.
 ORACLES["q71_dup_components"] = f"""
-    WITH RECURSIVE sets AS (
-        SELECT doc_id,
-               list_distinct(
-                 CASE WHEN len(toks) < 3
-                      THEN [array_to_string(toks, ' ')]
-                      ELSE list_transform(range(1, len(toks) - 1),
-                           i -> array_to_string(
-                                  list_slice(toks, i, i + 2), ' '))
-                 END) AS sh
-        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    pairs AS (
-        SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh))
-                     / (len(a.sh) + len(b.sh)
-                        - len(list_intersect(a.sh, b.sh))) AS jaccard
-            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        ) WHERE jaccard >= 0.5
-    ),
+    WITH RECURSIVE {_pairs_postings_cte(0.5)},
     sym AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -2800,26 +2810,7 @@ assert "% 16" not in ORACLES["q118_ivf_join_path"]
 # priority).  Ranks via CASE, never equal after the split_a <>
 # split_b filter.
 ORACLES["q115_split_leakage"] = f"""
-    WITH sets AS (
-        SELECT doc_id,
-               list_distinct(
-                 CASE WHEN len(toks) < 3
-                      THEN [array_to_string(toks, ' ')]
-                      ELSE list_transform(range(1, len(toks) - 1),
-                           i -> array_to_string(
-                                  list_slice(toks, i, i + 2), ' '))
-                 END) AS sh
-        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    pairs AS (
-        SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh))
-                     / (len(a.sh) + len(b.sh)
-                        - len(list_intersect(a.sh, b.sh))) AS jaccard
-            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        ) WHERE jaccard >= 0.5
-    ),
+    WITH {_pairs_postings_cte(0.5)},
     splits AS (
         SELECT doc_id,
                CASE WHEN frac < 0.8 THEN 'train'
@@ -2857,26 +2848,7 @@ ORACLES["q115_split_leakage"] = f"""
 # DESC, doc_id ASC), the same total order Spark's
 # max(struct(quality, n_tokens, -id)) induces.
 ORACLES["q111_canonical_selection"] = f"""
-    WITH RECURSIVE sets AS (
-        SELECT doc_id,
-               list_distinct(
-                 CASE WHEN len(toks) < 3
-                      THEN [array_to_string(toks, ' ')]
-                      ELSE list_transform(range(1, len(toks) - 1),
-                           i -> array_to_string(
-                                  list_slice(toks, i, i + 2), ' '))
-                 END) AS sh
-        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    pairs AS (
-        SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh))
-                     / (len(a.sh) + len(b.sh)
-                        - len(list_intersect(a.sh, b.sh))) AS jaccard
-            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        ) WHERE jaccard >= 0.5
-    ),
+    WITH RECURSIVE {_pairs_postings_cte(0.5)},
     sym AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -3194,10 +3166,16 @@ ORACLES["q122_bucketed_join"] = """
 # single-site derive, the q118 idiom); the Spark side answers through
 # the prefix-filter index, so hash-equality externally proves the
 # prefix theorem's candidate completeness in the short-prefix regime.
-ORACLES["q123_prefix_filter_join"] = ORACLES["q47_ngram_jaccard"].replace(
-    "jaccard >= 0.5", "jaccard >= 0.7"
-)
+ORACLES["q123_prefix_filter_join"] = f"""
+    WITH {_pairs_postings_cte(0.7, cap=None)}
+    SELECT id_a, id_b, jaccard FROM pairs
+    ORDER BY id_a, id_b
+"""
+# cap=None: the Spark side is the CANDIDATE-COMPLETE prefix filter, so
+# its twin must not cap — postings enumeration without the upper bound
+# is mathematically identical to brute-force all-pairs for t > 0
 assert ORACLES["q123_prefix_filter_join"].count("0.7") == 1
+assert "count(*) <=" not in ORACLES["q123_prefix_filter_join"]
 
 # q124: incremental rollup — the oracle aggregates ALL events in one
 # pass; the Spark side merges a stored history rollup (built once,

@@ -14,8 +14,15 @@ Each query is ONE ANSI-SQL string executed verbatim by Spark (over temp
 views) AND by the DuckDB oracle — dialect drift is impossible by
 construction.  Determinism follows the engine conventions
 (plans/queries.py): money sums accumulate in DECIMAL (exact,
-order-independent) and emit as DOUBLE; averages/ratios round via the
-portable cents idiom; every ORDER BY ends in a unique tiebreak.
+order-independent), are ROUNDED TO CENTS in decimal, and only then
+emit as DOUBLE — the r10 sf1.0 parity sweep caught DuckDB's
+DECIMAL(38,6)->DOUBLE cast landing 1 ulp off correct rounding once the
+unscaled value passes 2^53 (sum_charge at 6M rows: ...129010 ->
+...129005 vs Spark's correctly-rounded BigDecimal.doubleValue).  At
+scale 2 the unscaled cents fit 2^53 up to ~9e13 in value, so the
+int->double step is exact and the one division by 100 is the same IEEE
+op in both engines; averages/ratios round via the portable cents
+idiom; every ORDER BY ends in a unique tiebreak.
 
 Date predicates are shifted into the generator's 1995-2001 span
 (TESTDATA.md; TPC-H spec dates 1992-1998 would select nothing).
@@ -37,8 +44,9 @@ TPCH_SQL: dict[str, str] = {
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS sum_base_price,
-               CAST(sum({_DISC}) AS DOUBLE) AS sum_disc_price,
-               CAST(sum({_DISC} * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               CAST(ROUND(sum({_DISC}), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(sum({_DISC} * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE)
                    AS sum_charge,
                ROUND((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                       / count(*)) * 100) / 100 AS avg_qty,
@@ -55,7 +63,7 @@ TPCH_SQL: dict[str, str] = {
     # Q3: shipping-priority candidates (o_orderpriority substituted)
     "tpch_q3": f"""
         SELECT l_orderkey,
-               CAST(sum({_DISC}) AS DOUBLE) AS revenue,
+               CAST(ROUND(sum({_DISC}), 2) AS DOUBLE) AS revenue,
                CAST(o_orderdate AS DATE) AS o_orderdate,
                o_orderpriority
         FROM customer
@@ -71,7 +79,7 @@ TPCH_SQL: dict[str, str] = {
     # Q5: local supplier volume (6-table join; supplier and customer in
     # the same nation)
     "tpch_q5": f"""
-        SELECT n_name, CAST(sum({_DISC}) AS DOUBLE) AS revenue
+        SELECT n_name, CAST(ROUND(sum({_DISC}), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -86,8 +94,8 @@ TPCH_SQL: dict[str, str] = {
     """,
     # Q6: forecasting revenue change (pure scan + filter + agg)
     "tpch_q6": """
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
                    AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -98,7 +106,7 @@ TPCH_SQL: dict[str, str] = {
     # Q10: returned-item reporting (top-20 customers by lost revenue)
     "tpch_q10": f"""
         SELECT c_custkey, c_name,
-               CAST(sum({_DISC}) AS DOUBLE) AS revenue,
+               CAST(ROUND(sum({_DISC}), 2) AS DOUBLE) AS revenue,
                c_acctbal, n_name
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -115,7 +123,7 @@ TPCH_SQL: dict[str, str] = {
     # extraction; nation names per the generator's NATION_k scheme)
     "tpch_q7": f"""
         SELECT supp_nation, cust_nation, l_year,
-               CAST(sum(volume) AS DOUBLE) AS revenue
+               CAST(ROUND(sum(volume), 2) AS DOUBLE) AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -137,10 +145,10 @@ TPCH_SQL: dict[str, str] = {
     # Q8: national market share inside one region for one part type
     "tpch_q8": f"""
         SELECT o_year,
-               ROUND((CAST(sum(CASE WHEN nation = 'NATION_9' THEN volume
-                                    ELSE CAST(0 AS DECIMAL(18,2)) END)
+               ROUND((CAST(ROUND(sum(CASE WHEN nation = 'NATION_9' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
                            AS DOUBLE)
-                      / CAST(sum(volume) AS DOUBLE)) * 100) / 100
+                      / CAST(ROUND(sum(volume), 2) AS DOUBLE)) * 100) / 100
                    AS mkt_share
         FROM (
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -167,7 +175,7 @@ TPCH_SQL: dict[str, str] = {
     "tpch_q15": f"""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(sum({_DISC}) AS DOUBLE) AS total_revenue
+                   CAST(ROUND(sum({_DISC}), 2) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -263,7 +271,7 @@ TPCH_SQL: dict[str, str] = {
     # factor stays DECIMAL so the sum is exact and order-independent —
     # (18,2)x(9,2)x(2,1) never exceeds precision 38, no rounding)
     "tpch_q9": f"""
-        SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        SELECT nation, o_year, CAST(ROUND(sum(amount), 2) AS DOUBLE) AS sum_profit
         FROM (
             SELECT n_name AS nation,
                    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -288,7 +296,7 @@ TPCH_SQL: dict[str, str] = {
     # DECIMAL(4,3) product, so the comparison is deterministic.
     "tpch_q11": f"""
         SELECT l_partkey AS ps_partkey,
-               CAST(sum({_DISC}) AS DOUBLE) AS part_value
+               CAST(ROUND(sum({_DISC}), 2) AS DOUBLE) AS part_value
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -357,7 +365,7 @@ TPCH_SQL: dict[str, str] = {
     # predicates (adapted: p_container/l_shipmode clauses dropped — the
     # OR-of-ANDs join predicate, the operator under test, is unchanged)
     "tpch_q19": f"""
-        SELECT CAST(sum({_DISC}) AS DOUBLE) AS revenue
+        SELECT CAST(ROUND(sum({_DISC}), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -446,11 +454,11 @@ TPCH_SQL: dict[str, str] = {
     """,
     # Q14: promotion effect (conditional / total revenue ratio)
     "tpch_q14": f"""
-        SELECT ROUND(((CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        SELECT ROUND(((CAST(ROUND(sum(CASE WHEN p_type LIKE 'PROMO%'
                                      THEN {_DISC}
-                                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
                             AS DOUBLE)
-                       / CAST(sum({_DISC}) AS DOUBLE)) * 100) * 100) / 100
+                       / CAST(ROUND(sum({_DISC}), 2) AS DOUBLE)) * 100) * 100) / 100
                    AS promo_revenue
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
