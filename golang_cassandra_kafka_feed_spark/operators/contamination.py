@@ -279,12 +279,15 @@ def chunk_decontaminate(
     Reference tie: the validate-then-reject insert gate
     (cmd/server/httphandlers.go:33-37) at window grain — reject the
     window, not the author."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
+    )
     from golang_cassandra_kafka_feed_spark.operators.textstats import (
         chunk_documents,
     )
 
     chunks = chunk_documents(
-        train,
+        _parallelize(train),
         text_col=text_col,
         id_col=id_col,
         chunk_size=chunk_size,

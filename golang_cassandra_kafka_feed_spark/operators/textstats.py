@@ -864,7 +864,11 @@ def ngram_novelty(
     Reference tie: first-seen = min(doc_id) is the batch analogue of
     the CAS first-writer-wins insert (internal/store/feed.go:44-59 —
     later writers discover the existing row instead of creating)."""
-    grams = df.select(
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
+    )
+
+    grams = _parallelize(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(bigram_array(text_col))).alias("__g"),
     )
