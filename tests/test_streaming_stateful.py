@@ -242,3 +242,76 @@ def test_late_row_before_open_session_is_its_own_island(spark, tmp_path):
     assert len(rows) == 2, f"expected two sessions, got {rows}"
     assert rows[0][2] == 1 and rows[0][3] == 2.0  # the 10:00 island
     assert rows[1][2] == 1 and rows[1][3] == 1.0  # the 12:00 session
+
+
+def test_transform_with_state_twin_matches_group_state_api(
+    spark, sf_dir, tmp_path
+):
+    """The Spark-4 transformWithStateInPandas sessionizer must emit the
+    EXACT same closed sessions (full rows, not totals) as the
+    applyInPandasWithState operator on the same stream — they share the
+    _fold_session_batch implementation, and this pins the timer/state
+    plumbing around it.
+
+    Gated like the connector tests: the TWS python runner needs
+    protobuf (absent in this image).  The gate probe ALWAYS runs — when
+    protobuf is missing, the wrapper must raise the documented
+    NotImplementedError up front instead of crashing the stream."""
+    import pytest as _pt
+
+    from golang_cassandra_kafka_feed_spark.streaming.stateful import (
+        sessionize_transform_with_state,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+        protobuf_ok = True
+    except ImportError:
+        protobuf_ok = False
+
+    if not protobuf_ok:
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path))
+        )
+        with _pt.raises(NotImplementedError, match="protobuf"):
+            sessionize_transform_with_state(stream)
+        _pt.skip("protobuf absent: TWS runner cannot start in this image")
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = tmp_path / "ev"
+    ev.coalesce(1).write.parquet(str(src / "batch0"))
+    far = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    for i, ts in enumerate([far, far + dt.timedelta(days=1)], start=1):
+        spark.createDataFrame(
+            [(_SENTINEL_USER, ts, 0.0)], _SCHEMA
+        ).write.parquet(str(src / f"batch{i}"))
+
+    def run(op, name):
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "batch*"))
+        )
+        q = (
+            op(stream, gap_seconds=1800, watermark="1 minute")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ("ck_" + name)))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return {
+            tuple(r)
+            for r in spark.sql(f"SELECT * FROM {name}")
+            .filter(F.col("user_id") != _SENTINEL_USER)
+            .collect()
+        }
+
+    v1 = run(sessionize_with_state, "sess_v1_api")
+    v2 = run(sessionize_transform_with_state, "sess_v2_api")
+    assert len(v2) > 0
+    assert v1 == v2
