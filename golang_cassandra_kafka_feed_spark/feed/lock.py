@@ -291,17 +291,33 @@ def _release(path: str, token: str) -> None:
 # --------------------------------------------------------------------
 
 
-def _is_create_contention(e: Exception) -> bool:
+def _is_create_contention(e: Exception, lock_path: str = "") -> bool:
     """True when a FileSystem.create(overwrite=false) failure means
-    'the file already exists' (lock held) rather than a real fault.
+    'the lock file already exists' (lock held) rather than a real fault.
 
-    Matched case-insensitively on class name + message: Hadoop
-    surfaces FileAlreadyExistsException, but some filesystems/versions
-    raise a plain IOException('File already exists: ...') with no
-    class-name leak — that is still contention, and re-raising it
-    would crash the waiter instead of waiting (review-found)."""
-    msg = (str(e.__class__) + str(e)).lower()
-    return "alreadyexists" in msg or "already exists" in msg
+    Two accepted shapes (case-insensitive), review-tightened r11 so a
+    persistent NON-lock fault (e.g. 'parent path already exists as a
+    file') cannot be misread as contention and silently waited out:
+
+    - the exception CLASS or message mentions FileAlreadyExists —
+      Hadoop's specific contention type (py4j renders the Java class
+      name into a generic Python exception's message), trusted as-is;
+    - a generic message ('File already exists: ...', raised by some
+      filesystems/versions with no class-name leak — review-found r9)
+      — accepted only when it references the lock path itself (full
+      scheme-stripped path, or its basename when the FS re-renders the
+      scheme/authority)."""
+    cls = str(e.__class__).lower()
+    msg = str(e).lower()
+    if "filealreadyexists" in cls or "filealreadyexists" in msg:
+        return True
+    if "already exists" not in msg:
+        return False
+    if not lock_path:
+        return True  # no path to verify against — keep r9 behavior
+    bare = lock_path.split("://", 1)[-1].lower()
+    base = bare.rstrip("/").rsplit("/", 1)[-1]
+    return bare in msg or (base != "" and base in msg)
 
 
 class _HFS:
@@ -342,7 +358,7 @@ class _HFS:
         try:
             out = self._fs.create(self._path(p), False)
         except Exception as e:  # FileAlreadyExistsException et al.
-            if _is_create_contention(e):
+            if _is_create_contention(e, p):
                 return False
             raise
         try:

@@ -43,6 +43,7 @@ __all__ = [
     "duplicate_ngram_spans",
     "benchmark_overlap",
     "cross_split_leakage",
+    "chunk_decontaminate",
 ]
 
 

@@ -152,20 +152,23 @@ def _dsir_importance_arrow(
 
     The ratio table is n_buckets rows by construction — collected
     driver-side (bounded-collect precedent) into a plain dict shipped
-    in the UDF closure.  Per-task gram->ratio memo (capped) turns the
-    per-INSTANCE md5 of the HOF path into a per-distinct-gram-per-task
-    md5 — the Zipf win.  Fold order and arithmetic are bit-identical
-    to the HOF path (see dsir_importance docstring)."""
+    in the UDF closure.  The gram->ratio memo (capped) lives in the
+    closure OUTSIDE ``_score``, so its lifetime is the Python worker
+    process that unpickled the UDF — shared across every Arrow batch
+    and task that worker runs — turning the per-INSTANCE md5 of the HOF
+    path into a per-distinct-gram-per-worker md5, the Zipf win.  (It is
+    pickled empty at definition time; each worker fills its own copy.)
+    Fold order and arithmetic are bit-identical to the HOF path (see
+    dsir_importance docstring)."""
     ratio_by_bucket = {
         int(r["bucket"]): float(r["ratio"]) for r in ratios.collect()
     }
     suffix = (":" + salt).encode("utf-8")
+    memo: dict[str, float] = {}
 
     @F.pandas_udf("n_grams int, n_boost int, s double")
     def _score(grams: pd.Series) -> pd.DataFrame:
         import hashlib
-
-        memo: dict[str, float] = {}
 
         def gram_ratio(g: str) -> float:
             r = memo.get(g)
@@ -261,9 +264,9 @@ def dsir_importance(
     - ``'arrow'``: Arrow-batched pandas_udf; the n_buckets-row ratio
       table is collected driver-side (the bounded-collect precedent —
       IVF codebooks, k-means centroids) and shipped in the UDF closure;
-      each task memoizes gram->ratio, so the Zipf head of the
-      vocabulary is md5-hashed ONCE per task instead of once per
-      instance.  It beats the interpreted HOF md5 when scoring is
+      each Python worker process memoizes gram->ratio across batches
+      and tasks, so the Zipf head of the vocabulary is md5-hashed ONCE
+      per worker instead of once per instance.  It beats the interpreted HOF md5 when scoring is
       SERIAL (one split / few cores: 1.6-2.4 s vs 1.9-3.2 s), but pays
       Arrow string shipping of every gram, so widened JVM wins —
       measured, not assumed (PERFORMANCE.md round 10).

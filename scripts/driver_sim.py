@@ -77,15 +77,20 @@ rows = df.collect()
 print(f"entry: {len(rows)} rows, schema={[f.name for f in df.schema]}")
 assert len(rows) >= 0
 
-con = duckdb.connect()
-for t in TABLES:
-    # driver testdata is one file per table; scale-probe dirs (e.g. the
-    # r9 /tmp/sf1.0) use Spark's directory-of-parts layout
-    import os
-    src = f"{SF}/{t}.parquet"
-    if os.path.isdir(src):
-        src = f"{src}/*.parquet"
-    con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
+def fresh_con():
+    c = duckdb.connect()
+    for t in TABLES:
+        # driver testdata is one file per table; scale-probe dirs (e.g.
+        # the r9 /tmp/sf1.0) use Spark's directory-of-parts layout
+        import os
+        src = f"{SF}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        c.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
+    return c
+
+
+con = fresh_con()
 
 qs, osql = e.queries(), e.oracle_sql()
 if wanted:
@@ -105,7 +110,19 @@ for name in sorted(qs):
         timer = None
         if args.oracle_timeout > 0:
             import threading
-            timer = threading.Timer(args.oracle_timeout, con.interrupt)
+            # The timer can fire AFTER fetchall() returns but BEFORE
+            # cancel() runs; an unguarded con.interrupt() then lands
+            # on the NEXT key's query and mislabels it ORACLE-TIMEOUT
+            # (advice r10).  The `done` flag closes that window: the
+            # callback re-checks it, and the flag is flipped before
+            # leaving the protected region.
+            done = threading.Event()
+
+            def _interrupt():
+                if not done.is_set():
+                    con.interrupt()
+
+            timer = threading.Timer(args.oracle_timeout, _interrupt)
             timer.start()
         try:
             rel = con.sql(osql[name])
@@ -114,9 +131,14 @@ for name in sorted(qs):
         except duckdb.InterruptException:
             print(f"{name}: ORACLE-TIMEOUT after {args.oracle_timeout}s "
                   f"(spark side returned {len(srows)} rows)")
+            # a pending interrupt must never leak into the next key's
+            # query (advice r10) — drop the connection entirely
+            con.close()
+            con = fresh_con()
             continue
         finally:
             if timer is not None:
+                done.set()
                 timer.cancel()
         problems = []
         if set(scols) != set(ocols):

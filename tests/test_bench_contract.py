@@ -55,6 +55,14 @@ def _worst_case_record() -> dict:
         "fanout_runs_sec": [0.1, 0.2, 0.3],
         "pipeline_runs_sec": [1.0, 2.0, 3.0],
         "prev_bench_sf": 0.1,
+        "retries": {
+            f"q{i:03d}_{'x' * 30}": {
+                "sweep_sec": 12.345, "retry_sec": 1.234,
+                "ref_sec": 1.111, "resolved": True,
+            } for i in range(24)
+        },
+        "n_retried": 24,
+        "n_retry_unresolved": 24,
     }
 
 
@@ -80,3 +88,49 @@ def test_contract_fields_present():
     compact = bench.compact_summary(_worst_case_record())
     for k in ("metric", "value", "unit", "sf"):
         assert k in compact
+
+
+# --- weather-defense retry pass (round-11 verdict ask #1) -------------
+#
+# The driver reads ONE bench run; r9 (q126) and r10 (11 keys at load
+# 11.16) both lost their external perf signal to host IO bursts that
+# outlasted the 3 in-sweep steady reps but reproduced in zero isolated
+# probes.  flag_keys_for_retry selects the keys bench.py re-measures in
+# isolation after the sweep; these tests pin its threshold semantics
+# and the artifact fields that report the reconciliation.
+
+
+def test_retry_flags_only_keys_over_factor_and_excess():
+    ref = {"qa": 1.0, "qb": 0.2, "qc": 0.05, "qd": 2.0}
+    timings = {
+        "qa": 1.9,   # 1.9x ref, excess 0.9 -> flagged
+        "qb": 0.34,  # 1.7x ref -> under factor, not flagged
+        "qc": 0.12,  # 2.4x ref but excess 0.07 < floor, not flagged
+        "qd": 1.8,   # faster than ref, not flagged
+        "qe": 99.0,  # no reference entry, not flagged
+    }
+    assert bench.flag_keys_for_retry(timings, ref) == ["qa"]
+
+
+def test_retry_orders_worst_ratio_first_and_caps():
+    ref = {f"q{i}": 1.0 for i in range(40)}
+    timings = {f"q{i}": 2.0 + i * 0.1 for i in range(40)}
+    flagged = bench.flag_keys_for_retry(timings, ref, cap=5)
+    assert flagged == ["q39", "q38", "q37", "q36", "q35"]
+
+
+def test_retry_ignores_zero_or_missing_reference():
+    assert bench.flag_keys_for_retry({"qa": 9.9}, {}) == []
+    assert bench.flag_keys_for_retry({"qa": 9.9}, {"qa": 0.0}) == []
+
+
+def test_retry_scalars_on_stdout_line_but_not_the_map():
+    record = _worst_case_record()
+    record["retries"] = {"qa": {"sweep_sec": 2.0, "retry_sec": 0.5,
+                                "ref_sec": 1.0, "resolved": True}}
+    record["n_retried"] = 1
+    record["n_retry_unresolved"] = 0
+    compact = bench.compact_summary(record)
+    assert compact["n_retried"] == 1
+    assert compact["n_retry_unresolved"] == 0
+    assert "retries" not in compact  # per-key map stays in BENCH_LOCAL

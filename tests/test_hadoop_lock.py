@@ -165,3 +165,33 @@ def test_create_contention_classification_is_message_robust():
     )
     assert not _is_create_contention(Exception("Permission denied: /p"))
     assert not _is_create_contention(Exception("Connection reset"))
+
+
+def test_create_contention_generic_message_requires_lock_path():
+    """r11 review tightening: a GENERIC 'already exists' message is
+    contention only when it references the lock path — a persistent
+    non-lock fault ('parent path already exists as a file') must
+    re-raise, not convert into a silent wait-until-lease-timeout."""
+    from golang_cassandra_kafka_feed_spark.feed.lock import (
+        _is_create_contention,
+    )
+
+    lock = "file:///data/store/.lock/writer.lock"
+    # generic message naming the lock path (scheme-stripped or basename)
+    assert _is_create_contention(
+        Exception("File already exists: /data/store/.lock/writer.lock"),
+        lock,
+    )
+    assert _is_create_contention(
+        Exception("file already exists: writer.lock"), lock
+    )
+    # generic message naming a DIFFERENT path -> real fault, re-raise
+    assert not _is_create_contention(
+        Exception("parent path /data/store already exists as a file"),
+        lock,
+    )
+    # the specific Hadoop class is trusted regardless of message shape
+    assert _is_create_contention(
+        Exception("org.apache.hadoop.fs.FileAlreadyExistsException: x"),
+        lock,
+    )
