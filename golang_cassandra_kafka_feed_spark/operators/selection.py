@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from golang_cassandra_kafka_feed_spark.operators.sampling import (
     hash_fraction,
 )
+from golang_cassandra_kafka_feed_spark.session import auto_widen
 from golang_cassandra_kafka_feed_spark.operators.textstats import (
     bigram_array,
     bigram_array_from_tokens,
@@ -280,11 +281,14 @@ def dsir_importance(
     take the HOF path (no Python xxhash64 twin; libm log is not
     cross-runtime-pinned).
 
-    ``widen_partitions``: optional repartition width on ``id_col``
-    before the two scans — a SMALL-SOURCE knob (one local file split
-    would otherwise serialize both scans, the q112/q113 lesson); at
-    cluster scale leave it None, file splits already parallelize and
-    the widen would shuffle raw text for nothing.
+    ``widen_partitions``: repartition width on ``id_col`` before the
+    two scans — a SMALL-SOURCE defense (one local file split would
+    otherwise serialize both scans, the q112/q113 lesson).  ``None``
+    (default) AUTO-DERIVES via :func:`session.auto_widen`: widen to
+    ``defaultParallelism`` only when the input has fewer splits than
+    that, so at cluster scale (files arrive pre-split) it is
+    structurally a no-op and shuffles nothing.  ``0`` disables; an
+    explicit int forces that width (tests).
 
     100 TB posture: the corpus is scanned twice (once for bucket counts,
     once for scoring) and NEVER shuffled on the doc side: the ratio
@@ -301,7 +305,9 @@ def dsir_importance(
         )
     if engine not in ("arrow", "hof"):
         raise ValueError(f"engine must be 'arrow' or 'hof', got {engine!r}")
-    if widen_partitions is not None:
+    if widen_partitions is None:
+        df = auto_widen(df, id_col)
+    elif widen_partitions:
         df = df.repartition(widen_partitions, id_col)
     ratios = dsir_bucket_ratios(
         df, target, text_col=text_col, id_col=id_col,
@@ -493,14 +499,17 @@ def classifier_score(
     broadcast join + one map-side-combined groupBy on the id.
     ``widen_partitions`` repartitions the source first — the per-bigram
     md5 fold is heavy per-row work that a SINGLE-FILE source would
-    serialize onto one task (the q112/q113 small-source lesson); at
-    cluster scale leave it None, file splits already parallelize the
-    scan and the widen would shuffle raw text for nothing.
+    serialize onto one task (the q112/q113 small-source lesson).
+    ``None`` (default) auto-derives via :func:`session.auto_widen`
+    (no-op once the input has >= defaultParallelism splits, i.e. at
+    cluster scale); ``0`` disables; an explicit int forces that width.
     Reference tie: the length-validation gate before insert
     (cmd/server/httphandlers.go:33-37,133-137) — score-then-branch,
     here with a learned scorer.
     """
-    if widen_partitions is not None:
+    if widen_partitions is None:
+        df = auto_widen(df, id_col)
+    elif widen_partitions:
         df = df.repartition(widen_partitions, id_col)
     bg = bigram_array(F.col(text_col))
     if weights is None:

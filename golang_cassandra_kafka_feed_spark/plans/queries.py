@@ -1491,18 +1491,18 @@ def q73(spark, sf_dir):
     ratios of the lang='en' target subcorpus vs the full raw corpus,
     folded per doc in sorted order (exact-arithmetic mean-ratio form;
     the paper's log-sum is the non-declared utility path).
-    widen_partitions=32 compensates the single local file split (the
-    q112/q113 small-source lesson) — both scans were serializing on one
-    task; engine='hof' is the measured winner once widened (r10
-    cost-model note in dsir_importance)."""
+    The single local file split (the q112/q113 small-source lesson —
+    both scans were serializing on one task) is compensated by
+    dsir_importance's default auto_widen derivation (r11 verdict #2:
+    width from defaultParallelism vs actual splits, not a constant);
+    engine='hof' is the measured winner once widened (r10 cost-model
+    note in dsir_importance)."""
     from golang_cassandra_kafka_feed_spark.operators.selection import (
         dsir_importance,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return dsir_importance(
-        d, F.col("lang") == "en", widen_partitions=32
-    ).orderBy("doc_id")
+    return dsir_importance(d, F.col("lang") == "en").orderBy("doc_id")
 
 
 def q74(spark, sf_dir):
@@ -2726,12 +2726,11 @@ def q112(spark, sf_dir):
     # the plan at all) and widen: a single-file corpus arrives as ONE
     # split, which would serialize the regex-heavy canonicalization
     # onto one core (the q110 signature-pass lesson; repartitioning an
-    # 8-byte column is free by comparison).
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # 8-byte column is free by comparison).  auto_widen derives the
+    # width and no-ops on a pre-split cluster source (r11 verdict #2).
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
+
+    d = auto_widen(_t(spark, sf_dir, "documents").select("doc_id"))
     base = F.col("doc_id") % 50
     s = base.cast("string")
     did = F.col("doc_id").cast("string")
@@ -2812,12 +2811,11 @@ def q113(spark, sf_dir):
 
     # Widen before writing: the single-file source reads as ONE split,
     # which would push all three format writes (and the readbacks)
-    # through one task — the q110 small-file lesson again.  At cluster
-    # scale the source arrives pre-split and the repartition is just
-    # the write parallelism knob.
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # through one task — the q110 small-file lesson again.  auto_widen
+    # derives the width and no-ops on a pre-split cluster source.
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
+
+    d = auto_widen(_t(spark, sf_dir, "documents"))
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     paths = {
         fmt: f"/tmp/gckfs_q113_{fmt}_{key}" for fmt in ("orc", "json", "csv")
@@ -3071,13 +3069,11 @@ def q119(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    # widen first: the per-bigram md5 fold over a single-file testdata
-    # source would serialize onto one task (q112/q113 lesson); at
-    # cluster scale the source arrives pre-split and this is just the
-    # parallelism knob.
-    return classifier_score(
-        d, widen_partitions=spark.sparkContext.defaultParallelism
-    ).orderBy("doc_id")
+    # the per-bigram md5 fold over a single-file testdata source would
+    # serialize onto one task (q112/q113 lesson); classifier_score's
+    # default auto_widen derivation handles it (no-op on a pre-split
+    # cluster source).
+    return classifier_score(d).orderBy("doc_id")
 
 
 def q120(spark, sf_dir):
