@@ -889,22 +889,28 @@ def prefix_filter_jaccard_pairs(
     the same precondition the MinHash family documents.
     ``width_observation`` (optional Observation) makes that pathology
     OBSERVABLE at runtime instead of documented-only: it records
-    ``n_enumerated_pairs`` (the pre-dedup candidate enumeration —
-    exactly sum over prefix shingles of w*(w-1)/2, the quadratic mass
-    a template corpus re-forms); a healthy corpus keeps it within a
-    small multiple of the doc count, a template corpus drives it
-    toward n_docs^2/2 — the alarm that says "run exact_dedup first"
-    (test_dedup.py plants both corpora and asserts the metric fires
-    and that the precondition recovers the cost).  Like _cap_bucket's
-    observation, the CollectMetrics node is for corpus audits, not the
-    steady-state pipeline.
+    ``n_enumerated_pairs`` — the pre-dedup candidate enumeration that
+    SURVIVES the PPJoin positional/length filters below (r11: the raw
+    sum over prefix shingles of w*(w-1)/2 no longer materializes; the
+    filters discard most of a template corpus's late-position
+    boilerplate matches inside the join itself).  A healthy corpus
+    keeps the metric within a small multiple of the doc count; a
+    mass-identical corpus still drives it toward n_docs^2/2 (true
+    pairs must enumerate — completeness) — the alarm that says "run
+    exact_dedup first" (test_dedup.py plants both corpora and asserts
+    the metric fires, the filters' drop, and that the precondition
+    recovers the cost).  Like _cap_bucket's observation, the
+    CollectMetrics node is for corpus audits, not the steady-state
+    pipeline.
 
     Cost shape: one shuffle for global shingle frequencies, one
     frequency join back (AQE broadcasts it when the vocabulary is
-    small), one per-doc rank window, the prefix-postings self-join,
-    then exact verification by joining the candidate pairs back to the
-    full shingle ARRAYS (array_intersect per pair — candidates are few
-    by construction, and no exploded row ever carries pair
+    small), one per-doc rank window, the prefix-postings self-join
+    with the PPJoin positional + length filters applied INSIDE the
+    join condition (candidates are discarded before they ever become
+    rows), then exact verification by joining the surviving pairs back
+    to the full shingle ARRAYS (array_intersect per pair — candidates
+    are few by construction, and no exploded row ever carries pair
     multiplicity).  More passes than the capped inverted index, in
     exchange for provable completeness and a frequency-bounded index —
     the right trade when recall is contractual (dedup for eval-set
@@ -942,14 +948,52 @@ def prefix_filter_jaccard_pairs(
         inv.join(freq, "shingle")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select("id", "shingle")
+        .select("id", "shingle", F.col("__rn").alias("pos"), "set_size")
+    )
+    # PPJoin positional + length filters (Xiao et al. WWW 2008), r11
+    # verdict #3 — prune candidates BEFORE they exist, without losing
+    # completeness:
+    #
+    # - minoverlap: J >= t  =>  |A∩B| >= t/(1+t) * (|A|+|B|) =: alpha
+    #   (tighter than the per-set ceil(t*max) the prefix lengths use).
+    # - positional: a match at positions (p_a, p_b) of the frequency
+    #   order bounds the overlap by 1 + min(|A|-p_a, |B|-p_b) — the
+    #   current match plus everything AFTER it in each ordered set.
+    #   Completeness: all common elements of a true pair sit at-or-
+    #   after its FIRST common element c1, so ubound(c1) >= |A∩B| >=
+    #   alpha, and the prefix theorem already guarantees c1 is inside
+    #   both prefixes — c1's match always survives, so dropDuplicates
+    #   sees every qualifying pair.  What dies is the template-corpus
+    #   blast radius: boilerplate shingles sit LATE in the frequency
+    #   order, exactly where the positional bound is strongest.
+    # - length: J >= t => min(|A|,|B|) >= t * max(|A|,|B|).
+    #
+    # Both float thresholds carry the 1e-9 bias in the KEEP direction
+    # (alpha one ulp smaller, size bound one ulp looser) — same ulp
+    # discipline as prefix_len above, so float rounding can only admit
+    # a doomed candidate (verification kills it), never drop a true
+    # pair.
+    alpha = F.ceil(
+        (F.col("a.set_size") + F.col("b.set_size"))
+        * (threshold / (1.0 + threshold))
+        - 1e-9
+    )
+    overlap_ubound = 1 + F.least(
+        F.col("a.set_size") - F.col("a.pos"),
+        F.col("b.set_size") - F.col("b.pos"),
+    )
+    length_ok = (
+        F.least("a.set_size", "b.set_size").cast("double")
+        >= F.greatest("a.set_size", "b.set_size") * threshold - 1e-9
     )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (overlap_ubound >= alpha)
+            & length_ok,
         )
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")

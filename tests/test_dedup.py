@@ -430,6 +430,17 @@ def test_prefix_filter_template_corpus_metric_fires_and_recovers(spark):
     assert n_template_pairs == n_copies * (n_copies - 1) // 2
     # ...and the metric shows the quadratic enumeration that produced it
     assert obs.get["n_enumerated_pairs"] >= n_copies * (n_copies - 1) // 2
+    # r11 PPJoin positional filter: the 8-word template has s=6
+    # shingles, prefix length 4; identical-pair matches at position p
+    # survive iff 1 + (6-p) >= alpha = ceil((6+6)*0.5/1.5) = 4, i.e.
+    # p <= 3 — the 4th prefix entry's matches are discarded inside the
+    # join, so enumeration is EXACTLY 3*C(n,2) (plus 1 for the
+    # 1000/1001 pair, whose pos-3 match is likewise pruned) instead of
+    # the r10 value 4*C(n,2) + 2.
+    assert (
+        obs.get["n_enumerated_pairs"]
+        == 3 * n_copies * (n_copies - 1) // 2 + 1
+    )
 
     # precondition recovers the cost: exact-dedup first, re-run
     survivors = exact_dedup(corpus).select("doc_id", "text")
@@ -444,5 +455,60 @@ def test_prefix_filter_template_corpus_metric_fires_and_recovers(spark):
     )
     enum2 = obs2.get["n_enumerated_pairs"]
     assert enum2 < n_copies  # linear-ish, not quadratic
+    # r11 positional filter on the survivor corpus: the 1000/1001 pair
+    # shares shingles at positions 2 and 3 of each 4-shingle set; only
+    # the pos-2 match satisfies 1 + (4-p) >= alpha = ceil(8*0.5/1.5)
+    # = 3, so enumeration is exactly 1 (was 2 in r10).
+    assert enum2 == 1
     # survivors' near-dup structure intact (the 1000/1001 pair)
     assert [(a, b) for a, b, _ in pairs2] == [(1000, 1001)]
+
+
+def test_prefix_filter_positional_and_length_filters_prune(spark):
+    """PPJoin candidate pruning (verdict r11 #3), planted closed-form:
+
+    - doc 1 ("sa sb sc", ONE shingle) and doc 2 (same probe head +
+      the filler tail) share their RAREST shingle (sa,sb,sc) at
+      positions 1 and 3 of their frequency orders — both inside their
+      prefixes, so r10 ENUMERATED the pair and paid verification to
+      reject it (true J = 1/11 < 0.7).  The r11 length filter kills it
+      in the join condition (min size 1 < 0.7 * 11) — and so does the
+      positional bound (ubound 1 < alpha 5): enumerated ZERO times.
+    - docs 10/11 are identical 10-shingle docs (a TRUE pair, J=1):
+      their prefix has 4 entries, but matches survive the positional
+      bound 1 + (10-p) >= alpha = ceil(20*0.7/1.7) = 9 only at
+      p <= 2 — so the pair enumerates exactly twice (was 4), and
+      STILL reaches verification (completeness: the first common
+      shingle always survives).
+    - doc 2 vs the fillers share the tail shingles at positions
+      deep enough that ubound = 1 + min(11-4, 10-3) = 8 < alpha = 9
+      prunes every match (true J = 8/13 < 0.7 — correctly no pair).
+    """
+    import string
+
+    from pyspark.sql import Observation
+
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    fw = [f"f{c}" for c in string.ascii_lowercase[:12]]  # fa..fl
+    filler = " ".join(fw)
+    rows = [
+        (1, "sa sb sc"),
+        (2, "sa sb sc " + " ".join(fw[2:])),
+        (10, filler),
+        (11, filler),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    obs = Observation()
+    pairs = sorted(
+        map(
+            tuple,
+            prefix_filter_jaccard_pairs(
+                corpus, n=3, threshold=0.7, width_observation=obs
+            ).collect(),
+        )
+    )
+    assert [(a, b, j) for a, b, j in pairs] == [(10, 11, 1.0)]
+    assert obs.get["n_enumerated_pairs"] == 2
