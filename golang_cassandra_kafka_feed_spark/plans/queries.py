@@ -3608,8 +3608,8 @@ def q131(spark, sf_dir):
 
 
 # The external driver's CORRECTNESS gate samples the FIRST 50 keys of
-# this insertion-ordered registry; the _R10_WINDOW list below documents
-# the round-10 rotation rationale.  q92b remains RETIRED from the
+# this insertion-ordered registry; the _R11_WINDOW list below documents
+# the round-11 rotation rationale.  q92b remains RETIRED from the
 # window and the bench sweep (r6 retire-after-two-green rule; decision
 # recorded in COVERAGE.md) — its oracle and pytest parity coverage
 # remain (RETIRED dict below).  All other keys stay registered and are
@@ -3758,80 +3758,81 @@ _REGISTRY = {
 }
 _REGISTRY.update(TPCH_QUERIES)
 
-# The round-9 driver window (first 50 keys), verdict-r8 ask #3: the
-# longest-unvisited breadth tier — the relational core, the q43-q46 /
-# q50-q53 batteries, and the 19 TPC-H twins beyond q1/q18/q21 last had
-# driver contact in r5-r7.  Led by the two r9-new keys (q128 streaming
-# rollup maintenance, q129 blocking recall audit) for first external
-# contact, plus the keys whose code paths CHANGED this round as
-# regression sentinels: q118 (re-pointed at the Arrow assignment
-# tier), q111/q47 (shared pair-graph store), q113 (bounded CSV files),
-# q124 (locked build), q42 (shares the IVF code).  44/50 keys were NOT
-# in the r8 window.  Everything else stays registered and is swept by
+# The round-11 driver window (first 50 keys), verdict-r10 ask #6:
+# changed-code sentinels first (q123 PPJoin filters, the auto_widen
+# call sites, the streaming-pipeline key, the sessionizer fold), then
+# the named longest-unvisited breadth tier — the q77-q108 analytics
+# block and the q120-q127 infrastructure keys, last driver contact
+# r8-r9 — then longest-unvisited fillers.  46/50 keys were NOT in the
+# r10 window.  Everything else stays registered and is swept by
 # scripts/driver_sim.py + pytest every round regardless of window.
-_R10_WINDOW = [
-    # -- first external contact (r10-new) --
-    "q130_chunk_decontam",
-    "q131_ngram_novelty",
-    # -- r10-changed-code sentinels --
-    # q73: widen_partitions + engine tiering; q123: width_observation
-    # plumbed through the SSJoin; q40/q116: vectorized decode stats;
-    # q128: drain_or_raise marker gate; q65/q66: ADVICE-r9 ask — the
-    # r9 vectorized-clustering reroute gets external driver contact.
-    "q73_dsir_weights",
+_R11_WINDOW = [
+    # -- r11-changed-code sentinels --
+    # q123: PPJoin positional+length filters inside the SSJoin
+    # candidate join (the round's headline operator change);
+    # q73/q112/q113/q119: widen width now auto-derived
+    # (session.auto_widen) instead of hand-passed constants;
+    # q128: fan-out pipeline epoch-floor work (streaming path);
+    # q27: the sessionizer fold shared with the newly mock-tested
+    # Spark-4 StatefulProcessor twin; q47: same-file (dedup.py)
+    # neighbor of the PPJoin change, proving the uncapped inverted
+    # index is untouched.
     "q123_prefix_filter_join",
-    "q40_multimodal_features",
-    "q116_media_headers",
-    "q128_streaming_rollup",
-    "q65_kmeans_assign",
-    "q66_semantic_dedup",
-    # -- bench-watch re-contact (q126 reconciled as weather in r10;
-    #    driver timing re-pins it) --
-    "q126_multipass_linkage",
-    # -- breadth: hash-mechanism + LLM-pipeline families longest out
-    #    of window (none sampled in the r9 first-50) --
-    "q29_token_topk",
-    "q30_cosine_topk",
-    "q31_token_stats",
-    "q32_quality_score",
-    "q33_lang_id",
-    "q34_fingerprint",
-    "q35_embedding_neardup",
-    "q36_ann_multi_query",
-    "q37_minhash_lsh_neardup",
-    "q38_simhash_neardup",
-    "q39_ann_lsh_topk",
-    "q41_winnow_fingerprint",
-    "q48_sketch_stats",
-    "q49_bpe_token_count",
-    "q54_hash_split",
-    "q55_per_source_cap",
-    "q56_mixture_downsample",
-    "q57_sequence_pack",
-    "q58_moments_battery",
-    "q59_kmv_distinct",
-    "q60_repetition_stats",
-    "q61_quality_flags",
-    "q62_duplicate_spans",
-    "q63_decontamination",
-    "q64_tfidf_top_terms",
-    "q67_doc_chunking",
-    "q68_vocab_coverage",
-    "q69_temperature_mixture",
-    "q70_bigram_typicality",
-    "q71_dup_components",
-    "q72_length_histogram",
-    "q74_typicality_buckets",
-    "q75_line_dedup",
-    "q76_weighted_sample",
-    "q109_pii_audit",
-    "q110_incremental_minhash",
+    "q73_dsir_weights",
     "q112_url_canonical_dedup",
-    "q114_index_retention",
-    "q115_split_leakage",
-    "q117_index_expiry",
+    "q113_format_roundtrip",
+    "q119_classifier_score",
+    "q128_streaming_rollup",
+    "q27_session_window",
+    "q47_ngram_jaccard",
+    # -- breadth: the q77-q108 analytics block + q120-q127
+    #    infrastructure keys, last driver contact r8-r9 (verdict r11
+    #    ask #6's named longest-unvisited tier) --
+    "q77_lateral_topk",
+    "q78_minhash_accuracy",
+    "q79_token_diversity",
+    "q80_length_zscore",
+    "q81_bm25_search",
+    "q82_ann_rrf_fusion",
+    "q83_pagerank",
+    "q84_pq_adc_audit",
+    "q85_collocations",
+    "q86_asof_nearest",
+    "q87_funnel",
+    "q88_cohort_retention",
+    "q89_scd2_intervals",
+    "q90_bloom_fp_audit",
+    "q91_salted_join",
+    "q92_interval_join",
+    "q93_array_battery",
+    "q94_multiset_ops",
+    "q95_regex_battery",
+    "q96_table_profile",
+    "q97_quality_checks",
+    "q98_share_of_total",
+    "q99_mad_outliers",
+    "q100_markov_transitions",
+    "q101_rolling_median",
+    "q102_drawdown",
+    "q103_triangles",
+    "q104_time_to_convert",
+    "q105_interevent_gaps",
+    "q106_trailing_wau",
+    "q107_wow_growth",
+    "q108_topk_with_ties",
+    "q120_domain_blocklist",
+    "q121_fuzzy_blocking",
+    "q122_bucketed_join",
+    "q124_incremental_rollup",
+    "q125_basket_affinity",
+    "q127_cms_audit",
+    # -- fillers: longest-unvisited keys outside the named blocks --
+    "q16_topk_per_key",
+    "q28b_dup_groups",
+    "q111_canonical_selection",
+    "q129_linkage_recall",
 ]
-assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
 # Retired from the driver window AND the bench sweep (still
 # oracle-registered and pytest-parity-covered via this dict): q92b was
@@ -3839,7 +3840,7 @@ assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 # r6 retirement rule.
 RETIRED = {"q92b_interval_join_bounds": q92b}
 
-QUERIES = {k: _REGISTRY[k] for k in _R10_WINDOW}
+QUERIES = {k: _REGISTRY[k] for k in _R11_WINDOW}
 QUERIES.update(
     {k: v for k, v in _REGISTRY.items() if k not in RETIRED}
 )

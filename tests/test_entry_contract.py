@@ -1,46 +1,68 @@
 """Driver-contract invariants of __spark_entry__ that need no
-SparkSession: registry/oracle key parity, and the round-10 rotation —
-the r10-new keys (q130/q131) in front for first external driver
-contact, the r10-changed-code sentinels (q73 widen/engine tiering,
-q123 width_observation, q40/q116 vectorized decode stats, q128 drain
-gate, q65/q66 per ADVICE-r9 #4 — the r9 clustering reroute's first
-driver contact), the q126 bench-watch re-contact, then the
-longest-unvisited breadth tier (the hash-mechanism and LLM-pipeline
-families none of which were sampled in the r9 first-50), plus the
-standing q92b retirement (window + bench sweep only; oracle and
-pytest parity coverage remain via RETIRED)."""
+SparkSession: registry/oracle key parity, and the round-11 rotation —
+changed-code sentinels in front (q123 PPJoin positional/length
+filters, the q73/q112/q113/q119 auto_widen call sites, q128 for the
+streaming-pipeline epoch work, q27 for the sessionizer fold shared
+with the newly mock-tested StatefulProcessor twin, q47 as the
+same-file dedup.py neighbor), then the verdict-named longest-unvisited
+breadth tier (the q77-q108 analytics block + q120-q127 infrastructure
+keys, last driver contact r8-r9), then longest-unvisited fillers,
+plus the standing q92b retirement (window + bench sweep only; oracle
+and pytest parity coverage remain via RETIRED)."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entry
 
-# First-contact tier: r10-new keys the driver has never checked.
-ROUND10_FRESH = [
-    "q130_chunk_decontam",
-    "q131_ngram_novelty",
-]
-
-# Keys whose code paths CHANGED in round 10 — regression sentinels —
-# plus the q126 bench-watch re-contact.
-ROUND10_SENTINELS = [
-    "q73_dsir_weights",
+# Changed-code sentinels lead the r11 window (no r11-new keys yet;
+# if one lands it goes in front of these).
+ROUND11_SENTINELS = [
     "q123_prefix_filter_join",
-    "q40_multimodal_features",
-    "q116_media_headers",
+    "q73_dsir_weights",
+    "q112_url_canonical_dedup",
+    "q113_format_roundtrip",
+    "q119_classifier_score",
     "q128_streaming_rollup",
-    "q65_kmeans_assign",
-    "q66_semantic_dedup",
-    "q126_multipass_linkage",
+    "q27_session_window",
+    "q47_ngram_jaccard",
 ]
 
-# Longest-unvisited breadth: the dedup/ANN/text/selection families —
-# none were in the r9 first-50.
-ROUND10_BREADTH = {
-    "q29_token_topk", "q30_cosine_topk", "q31_token_stats",
-    "q32_quality_score", "q33_lang_id", "q34_fingerprint",
-    "q35_embedding_neardup", "q36_ann_multi_query",
-    "q37_minhash_lsh_neardup", "q38_simhash_neardup",
-    "q39_ann_lsh_topk", "q41_winnow_fingerprint", "q48_sketch_stats",
+# Verdict-named longest-unvisited breadth: the q77-q108 analytics
+# block + the q120-q127 infrastructure keys (last contact r8-r9).
+ROUND11_BREADTH = {
+    "q77_lateral_topk", "q78_minhash_accuracy", "q79_token_diversity",
+    "q80_length_zscore", "q81_bm25_search", "q82_ann_rrf_fusion",
+    "q83_pagerank", "q84_pq_adc_audit", "q85_collocations",
+    "q86_asof_nearest", "q87_funnel", "q88_cohort_retention",
+    "q89_scd2_intervals", "q90_bloom_fp_audit", "q91_salted_join",
+    "q92_interval_join", "q93_array_battery", "q94_multiset_ops",
+    "q95_regex_battery", "q96_table_profile", "q97_quality_checks",
+    "q98_share_of_total", "q99_mad_outliers",
+    "q100_markov_transitions", "q101_rolling_median", "q102_drawdown",
+    "q103_triangles", "q104_time_to_convert", "q105_interevent_gaps",
+    "q106_trailing_wau", "q107_wow_growth", "q108_topk_with_ties",
+    "q120_domain_blocklist", "q121_fuzzy_blocking",
+    "q122_bucketed_join", "q124_incremental_rollup",
+    "q125_basket_affinity", "q127_cms_audit",
+}
+
+# Longest-unvisited fillers outside the named blocks.
+ROUND11_FILLERS = {
+    "q16_topk_per_key", "q28b_dup_groups",
+    "q111_canonical_selection", "q129_linkage_recall",
+}
+
+# The r10 window, kept verbatim to measure rotation distance.
+ROUND10_WINDOW = {
+    "q130_chunk_decontam", "q131_ngram_novelty", "q73_dsir_weights",
+    "q123_prefix_filter_join", "q40_multimodal_features",
+    "q116_media_headers", "q128_streaming_rollup", "q65_kmeans_assign",
+    "q66_semantic_dedup", "q126_multipass_linkage", "q29_token_topk",
+    "q30_cosine_topk", "q31_token_stats", "q32_quality_score",
+    "q33_lang_id", "q34_fingerprint", "q35_embedding_neardup",
+    "q36_ann_multi_query", "q37_minhash_lsh_neardup",
+    "q38_simhash_neardup", "q39_ann_lsh_topk",
+    "q41_winnow_fingerprint", "q48_sketch_stats",
     "q49_bpe_token_count", "q54_hash_split", "q55_per_source_cap",
     "q56_mixture_downsample", "q57_sequence_pack",
     "q58_moments_battery", "q59_kmv_distinct", "q60_repetition_stats",
@@ -54,27 +76,6 @@ ROUND10_BREADTH = {
     "q115_split_leakage", "q117_index_expiry",
 }
 
-# The r9 window, kept verbatim to measure rotation distance.
-ROUND9_WINDOW = {
-    "q128_streaming_rollup", "q129_linkage_recall",
-    "q118_ivf_join_path", "q111_canonical_selection",
-    "q113_format_roundtrip", "q47_ngram_jaccard",
-    "q124_incremental_rollup", "q42_ann_ivf_topk",
-    "q01_scan_project", "q04_inner_join", "q06_left_outer_join_agg",
-    "q08_anti_join", "q09_range_theta_join", "q10_asof_join",
-    "q12_distinct_agg", "q14_cube", "q15_grouping_sets",
-    "q17_window_lag", "q20a_intersect", "q22_conditional_counts",
-    "q24_scalar_battery", "q25_json_extract", "q27_session_window",
-    "q43_pivot", "q44_unpivot", "q45_scalar_subquery",
-    "q46_correlated_exists", "q50_window_battery",
-    "q51_string_battery", "q52_null_datetime_battery",
-    "q53_in_null_semantics",
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q19", "tpch_q20", "tpch_q22",
-}
-
 
 def test_every_query_key_has_an_oracle():
     q = entry.queries()
@@ -85,25 +86,25 @@ def test_every_query_key_has_an_oracle():
     assert len(q) >= 150
 
 
-def test_fresh_tier_leads_the_window_for_first_driver_contact():
-    lead = ROUND10_FRESH + ROUND10_SENTINELS
+def test_sentinel_tier_leads_the_window():
+    lead = ROUND11_SENTINELS
     assert list(entry.queries())[: len(lead)] == lead
 
 
-def test_round10_window_is_exactly_fresh_plus_sentinels_plus_breadth():
+def test_round11_window_is_exactly_sentinels_plus_breadth_plus_fillers():
     first50 = set(list(entry.queries())[:50])
-    want = set(ROUND10_FRESH) | set(ROUND10_SENTINELS) | ROUND10_BREADTH
+    want = set(ROUND11_SENTINELS) | ROUND11_BREADTH | ROUND11_FILLERS
     assert first50 == want, (
         f"window drift — extra: {first50 - want}; "
         f"missing: {want - first50}"
     )
 
 
-def test_round10_window_rotates_at_least_35_keys_off_round9():
+def test_round11_window_rotates_at_least_35_keys_off_round10():
     """The established rotation done-criterion: >= 35 of the 50 window
-    keys were NOT in the r9 window."""
+    keys were NOT in the r10 window."""
     first50 = set(list(entry.queries())[:50])
-    fresh = first50 - ROUND9_WINDOW
+    fresh = first50 - ROUND10_WINDOW
     assert len(fresh) >= 35, f"only {len(fresh)} keys rotated"
 
 
