@@ -106,6 +106,7 @@ def _with_buckets(
     vec_col: str,
     planes: list[list[float]],
     bands: int,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """One row per (id, band) with the LSH ``bucket`` key: the band id and
     the band's hyperplane sign-bit pattern packed into one integer
@@ -116,16 +117,59 @@ def _with_buckets(
     have no cross-engine twin); as a join key it is equivalent — buckets
     are opaque.
 
-    The planes ride in a broadcast DataFrame rather than literal
-    expressions: 32 planes x 64 dims as literals is a ~2k-node expression
-    tree whose whole-stage codegen compilation alone costs seconds (and is
-    re-paid for every distinct column binding).  The join form keeps the
-    expression tiny; the 32x row amplification collapses in the map-side
-    partial aggregation, grouped on the scalar id (never on the vector).
+    Default shape (r11, guide §2.4/§4.2): ONE Arrow projection computes
+    all ``n`` plane dots per row and emits the ``bands`` packed bucket
+    keys as an array — zero exchanges, the vector never rides a shuffle.
+    Bit-identity with the join path below is by construction, not by
+    epsilon: the NumPy accumulation iterates dimensions in index order
+    (``acc += v[:, j] * P[:, j]``), which is IEEE-op-for-op the
+    ``_dot`` left-fold (multiply, then add, per dimension), so every
+    sign bit — and therefore every bucket key the DuckDB oracle
+    recomputes — is bit-equal (asserted in
+    test_similarity_ops.py::test_with_buckets_arrow_matches_join_path).
+
+    ``use_arrow=False`` keeps the previous JVM-only shape for
+    deployments without Python workers: the planes ride in a broadcast
+    DataFrame rather than literal expressions (32 planes x 64 dims as
+    literals is a ~2k-node expression tree whose whole-stage codegen
+    compilation alone costs seconds), the 32x row amplification
+    collapses in the map-side partial aggregation — but that partial
+    aggregation is a real exchange CARRYING THE VECTOR (measured
+    8.3 MB shuffle write / 2,000 vectors at sf0.1; the r11 motivation
+    for the Arrow default).
     """
     spark = df.sparkSession
     n = len(planes)
     r = n // bands
+    if use_arrow:
+        P0 = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+        bc = spark.sparkContext.broadcast(P0)
+        band_base = np.arange(bands, dtype=np.int64) << r
+
+        @F.pandas_udf("array<long>")
+        def _buckets(vs: pd.Series) -> pd.Series:
+            planes_m = bc.value
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            v = np.stack(vs.to_numpy())
+            dots = np.zeros((v.shape[0], planes_m.shape[0]))
+            for j in range(v.shape[1]):  # _dot's left-fold, op-for-op
+                dots += v[:, j, None] * planes_m[:, j]
+            bits = (dots >= 0).astype(np.int64)
+            weights = (
+                np.ones(planes_m.shape[0], dtype=np.int64)
+                << (np.arange(planes_m.shape[0], dtype=np.int64) % r)
+            )
+            packed = (bits * weights).reshape(len(vs), -1, r).sum(
+                axis=2
+            ) + band_base
+            return pd.Series([row.tolist() for row in packed])
+
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(_buckets(vec_col)).alias("bucket"),
+        )
     planes_df = spark.createDataFrame(
         [(i, i // r, [float(x) for x in p]) for i, p in enumerate(planes)],
         "plane_idx int, band int, pvec array<double>",
@@ -417,6 +461,7 @@ def _ivf_assign_arrow(
     q: DataFrame,
     codebook,
     n_probe: int,
+    exact: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Vectorized (Arrow/NumPy) cell assignment — the large-codebook
     scale path (verdict-r8 ask #1).
@@ -443,28 +488,52 @@ def _ivf_assign_arrow(
     folds only by non-associative fp rounding (~1e-16 relative);
     assignment flips would need two cells within that epsilon —
     hash-asserted against both other paths in test_similarity_ops.py.
+
+    ``exact=True`` (the r11 small-codebook default tier) removes even
+    that epsilon: scores are computed with the ``_dot``/``_norm``
+    left-folds replayed op-for-op — a dimension-order NumPy
+    accumulation (multiply then add per dimension, like the JVM fold),
+    the row norm folded the same way and the identical
+    ``dot / (vnorm * cnorm)`` expression — so cell choices and probe
+    orderings are BIT-EQUAL to the literal/HOF paths by construction,
+    for any codebook (test_similarity_ops.py asserts hash identity of
+    all four paths).  Cost is ~dim vectorized ops per batch instead of
+    one BLAS matmul — the right trade up to a few thousand cells;
+    beyond that the matmul tier's throughput wins and its epsilon
+    argument has survived external oracle contact (q118 at 256 cells,
+    sf0.01 through sf1.0).
     """
     cell_ids, mat, cnorms = codebook
     bc = c.sparkSession.sparkContext.broadcast(
         (cell_ids.astype(np.int32), mat, cnorms)
     )
 
+    def _scores(v: np.ndarray):
+        ids, m, ns = bc.value
+        if exact:
+            dots = np.zeros((v.shape[0], m.shape[0]))
+            vn = np.zeros(v.shape[0])
+            for j in range(v.shape[1]):  # the _dot/_norm left-folds
+                col = v[:, j]
+                dots += col[:, None] * m[:, j]
+                vn += col * col
+            return ids, dots / (np.sqrt(vn)[:, None] * ns)
+        # matmul tier: row norm dropped (common positive factor —
+        # ordering unaffected up to fp epsilon, see docstring)
+        return ids, (v @ m.T) / ns
+
     @F.pandas_udf("int")
     def _assign(vs: pd.Series) -> pd.Series:
-        ids, m, ns = bc.value
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        v = np.stack(vs.to_numpy())
-        scores = (v @ m.T) / ns
+        ids, scores = _scores(np.stack(vs.to_numpy()))
         return pd.Series(ids[scores.argmax(axis=1)])
 
     @F.pandas_udf("array<int>")
     def _probe(vs: pd.Series) -> pd.Series:
-        ids, m, ns = bc.value
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        v = np.stack(vs.to_numpy())
-        scores = (v @ m.T) / ns
+        ids, scores = _scores(np.stack(vs.to_numpy()))
         return pd.Series(
             [
                 ids[np.lexsort((ids, -row))[:n_probe]].tolist()
@@ -540,6 +609,7 @@ def ivf_topk(
     n_probe: int = 4,
     literal_max_cells: int = IVF_LITERAL_MAX_CELLS,
     arrow_min_cells: int = IVF_ARROW_MIN_CELLS,
+    small_cells_arrow: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
     cells around centroid vectors, search only the ``n_probe`` cells
@@ -626,6 +696,23 @@ def ivf_topk(
         # (empty codebook array -> NULL cell -> zero candidate rows),
         # so no VOID-literal guard is needed on this path
         c_cells, q_cells = _ivf_assign_join(c, q, n_cells, n_probe)
+    elif small_cells_arrow:
+        # r11 default for small codebooks: the EXACT Arrow tier.  The
+        # literal path's cost at tiny n_cells is not the data but the
+        # plan: building the n_cells x dim literal folds through py4j
+        # costs ~1.1 s per call and the resulting projection re-pays
+        # analysis/codegen per execution (measured on q42: 2.3 s wall,
+        # 0.5 s executor time).  The exact accumulation keeps every
+        # score bit-equal to those folds (see _ivf_assign_arrow), so
+        # this is a plan-shape change only — results are identical by
+        # construction.  ``small_cells_arrow=False`` restores the
+        # literal tier for JVM-only deployments.
+        codebook = _ivf_centroid_arrays(c, n_cells)
+        if codebook[0].size == 0:
+            return _empty_result()
+        c_cells, q_cells = _ivf_assign_arrow(
+            c, q, codebook, n_probe, exact=True
+        )
     else:
         cents = _ivf_centroids(c, n_cells)
         if not cents:

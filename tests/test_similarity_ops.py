@@ -344,12 +344,18 @@ def test_ivf_join_path_matches_literal_path(emb, spark):
     q = _queries_df(emb, 5)
     kw = dict(k=5, n_cells=4096, n_probe=6)
     lit = ivf_topk(
-        sub, q, **kw, literal_max_cells=1 << 20, arrow_min_cells=1 << 20
+        sub, q, **kw, literal_max_cells=1 << 20, arrow_min_cells=1 << 20,
+        small_cells_arrow=False,
     )
     join = ivf_topk(
         sub, q, **kw, literal_max_cells=0, arrow_min_cells=1 << 20
     )
     arrow = ivf_topk(sub, q, **kw, literal_max_cells=0, arrow_min_cells=0)
+    # the r11 small-codebook default: exact Arrow assignment (bit-equal
+    # fold replay, not the matmul epsilon argument)
+    exact = ivf_topk(
+        sub, q, **kw, literal_max_cells=1 << 20, arrow_min_cells=1 << 20
+    )
 
     def rows(df):
         return {
@@ -360,6 +366,7 @@ def test_ivf_join_path_matches_literal_path(emb, spark):
     got_lit, got_join, got_arrow = rows(lit), rows(join), rows(arrow)
     assert got_lit == got_join
     assert got_lit == got_arrow, "Arrow assignment tier diverged"
+    assert got_lit == rows(exact), "exact Arrow assignment tier diverged"
     assert got_lit, "probe must return candidates"
 
 
@@ -385,6 +392,82 @@ def test_ivf_join_path_plan_shape(emb):
     # "Arguments: hashpartitioning(...)" detail; broadcast exchanges
     # print broadcast modes — so this counts SHUFFLES only
     assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_with_buckets_arrow_matches_join_path(emb):
+    """The r11 Arrow LSH bucketing (one projection, zero exchanges,
+    vector never shuffled) must emit EXACTLY the (id, bucket) rows of
+    the JVM join/groupBy path: the NumPy dimension-order accumulation
+    replays the ``_dot`` left-fold op-for-op, so every sign bit is
+    bit-equal — set equality here, and the DuckDB oracles of the whole
+    LSH family (q39/q82/q35) stay green unchanged."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        DEFAULT_BANDS,
+        DEFAULT_DIM,
+        DEFAULT_N_PLANES,
+        _hyperplanes,
+        _with_buckets,
+    )
+
+    planes = _hyperplanes(DEFAULT_DIM, DEFAULT_N_PLANES)
+    c = emb.select(F.col("vec_id"), F.col("embedding").alias("e"))
+
+    def rows(use_arrow):
+        got = _with_buckets(
+            c, "vec_id", "e", planes, DEFAULT_BANDS, use_arrow=use_arrow
+        )
+        return {(r.vec_id, r.bucket) for r in got.collect()}
+
+    arrow, join = rows(True), rows(False)
+    assert arrow == join
+    assert len(arrow) == emb.count() * DEFAULT_BANDS
+
+
+def test_lsh_topk_plan_has_no_bucket_shuffle(emb):
+    """Plan property of the Arrow bucketing: the only hash exchanges
+    left in lsh_bucketed_topk are the candidate dedup and the final
+    per-query top-k — the (id, band) partial-aggregation exchange that
+    carried the full vector (8.3 MB write per 2,000 vectors) is gone."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    df = lsh_bucketed_topk(emb, _queries_df(emb, 3), k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan
+
+
+def test_ivf_small_cells_default_is_exact_arrow(emb):
+    """Default-parameter ivf_topk (q42's shape, n_cells=16) routes to
+    the exact Arrow assignment tier: ArrowEvalPython projection, no
+    codebook join, single hash exchange (the per-query top-k) — and the
+    results equal the literal tier bit-for-bit."""
+    from golang_cassandra_kafka_feed_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    kw = dict(k=5, n_cells=16, n_probe=4)
+    df = ivf_topk(emb, _queries_df(emb, 3), **kw)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+    lit = ivf_topk(
+        emb, _queries_df(emb, 3), **kw, small_cells_arrow=False
+    )
+
+    def rows(d):
+        return {
+            (r.query_id, r.vec_id, repr(r.sim), r.rank) for r in d.collect()
+        }
+
+    assert rows(df) == rows(lit)
 
 
 def test_ivf_arrow_path_plan_shape(emb):
