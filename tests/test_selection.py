@@ -205,19 +205,29 @@ def test_dsir_rejects_unknown_hasher(corpus):
 
 
 def test_classifier_score_is_a_pure_projection(spark, sf_dir):
-    """The default (affine-table) scorer never exchanges: tokenize,
-    bigram, hash, fold, threshold — one scan stage (the 100 TB
-    property)."""
+    """The default (affine-table) scorer never exchanges DATA it did
+    not have to: tokenize, bigram, hash, fold, threshold — one scan
+    stage (the 100 TB property).  The ONLY exchange permitted is the
+    r11 auto_widen repartition of the under-split local single-file
+    source (a no-op at cluster scale, where inputs arrive with >=
+    defaultParallelism splits); with the widen disabled the plan must
+    be exchange-free."""
     from golang_cassandra_kafka_feed_spark.operators.selection import (
         classifier_score,
     )
     from golang_cassandra_kafka_feed_spark.sources.testdata import load_table
 
-    df = classifier_score(load_table(spark, sf_dir, "documents"))
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
+    def plan_of(**kw):
+        df = classifier_score(load_table(spark, sf_dir, "documents"), **kw)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    widened = plan_of()
+    assert widened.count("Arguments: hashpartitioning") <= 1, widened
+    assert "Exchange" not in plan_of(widen_partitions=0), (
+        "non-widen exchange crept into the scorer"
     )
-    assert "Exchange" not in plan, plan
 
 
 def test_classifier_score_semantics(spark):
