@@ -20,6 +20,8 @@ BASELINE.json (LLM-data-pipeline operators).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
@@ -179,30 +181,115 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 3,
     hasher: str = "xxhash",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """k seeded minhashes over word shingles.
 
     sig[s] = min over shingles of h(shingle, s) — the standard
     one-permutation-per-seed construction; E[sig_a == sig_b] = J(a, b).
-    ``hasher="xxhash"`` (default) is the fast JVM path; ``hasher="md5"``
+    ``hasher="xxhash"`` is the fast JVM path; ``hasher="md5"``
     hashes each shingle once with the 32-bit md5 prefix and derives the k
     seeded values with the affine family (A[s]*h + B[s]) mod P, so a
-    DuckDB oracle reproduces the signatures bit-for-bit at essentially
-    xxhash cost (use for verification surfaces).
+    DuckDB oracle reproduces the signatures bit-for-bit (use for
+    verification surfaces).
 
-    Shape: explode shingles, fan each out to its k seeded hashes, then a
-    two-level aggregate back to the signature array.  A single nested
-    higher-order expression (transform over seeds x shingles) looks
-    simpler but re-inlines the shingle construction k times after
-    projection collapse — ~50x slower in practice and not better at
-    scale; the explode form is linear work with map-side combine.
+    Shape (md5, r11 default): the per-shingle base hashes stay a JVM
+    array projection (one native md5 per distinct shingle, no explode),
+    and the k seeded minima are ONE exact integer pass per Arrow batch
+    (``_minhash_sigs_md5_arrow``) — zero exchanges, replacing the
+    previous explode-to-(id, shingle, seed) fanout whose k x shingles
+    rows all crossed a partial aggregate and whose (id, seed) ->
+    (id) rollup was a second shuffle.  All arithmetic is int64 with
+    operands < 2^62, so NumPy and the JVM agree bit-for-bit — the
+    signatures are IDENTICAL to the explode path
+    (test_dedup.py::test_minhash_md5_arrow_matches_explode_path), and
+    every persisted band index built by the old path stays valid.
+    ``use_arrow=False`` keeps the JVM-only explode shape.
+
+    Shape (xxhash, and the md5 fallback): explode shingles, fan each
+    out to its k seeded hashes, then a two-level aggregate back to the
+    signature array.  A single nested higher-order expression
+    (transform over seeds x shingles) looks simpler but re-inlines the
+    shingle construction k times after projection collapse — ~50x
+    slower in practice; the explode form is linear work with map-side
+    combine.
     """
+    if hasher == "md5" and use_arrow:
+        return _minhash_sigs_md5_arrow(
+            df, text_col, id_col, num_hashes, shingle_size
+        )
     mh = _minhash_per_seed(df, text_col, id_col, num_hashes, shingle_size, hasher)
     return mh.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("seed", "mh"))),
             lambda s: s["mh"],
         ).alias("sig")
+    )
+
+
+def _minhash_sigs_md5_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_size: int,
+) -> DataFrame:
+    """(id, sig) minhash signatures for the md5/affine family with the
+    seed minima computed vectorized — the r11 scale shape shared by
+    every oracle-checked minhash surface (q37/q78 and the q110/q114/
+    q117 persisted index family).
+
+    The JVM side stays what it is good at: the shingle regex and ONE
+    native md5 per distinct shingle, as an array ``transform``
+    projection (hb = pmod(md5_32(shingle), P) per element — the md5
+    dominates; no explode, so nothing is fanned out k times).  The
+    Arrow side then computes, per document, min over shingles of
+    (A[s] * hb + B[s]) mod P for all k seeds in one flat int64 pass
+    (per-seed ``np.minimum.reduceat`` over the batch-concatenated hb
+    arrays).  Every operand is non-negative and < 2^62, so int64
+    multiply/add/mod agree with the JVM BIGINT arithmetic exactly —
+    bit-identical signatures by construction, not by epsilon.
+
+    Cost shape vs the explode path: zero exchanges and zero
+    aggregate-hash lookups (the old path pushed k x |shingles| rows
+    through a partial aggregate, then shuffled (id, seed) minima
+    twice); here the corpus is touched by one projection + one Arrow
+    stage, both embarrassingly parallel.
+    """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_A)}-coefficient "
+            "limit of the md5 affine family (MINHASH_A/MINHASH_B); use "
+            "num_hashes <= 64 or hasher='xxhash64'"
+        )
+    a_arr = np.array(MINHASH_A[:num_hashes], dtype=np.int64)
+    b_arr = np.array(MINHASH_B[:num_hashes], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(hbs: pd.Series) -> pd.Series:
+        if len(hbs) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in hbs), np.int64, count=len(hbs))
+        # _shingles guarantees >= 1 shingle per doc (short docs yield
+        # the full-text shingle), so reduceat segment starts are strict
+        flat = np.concatenate([np.asarray(x, np.int64) for x in hbs])
+        starts = np.zeros(len(hbs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sigs = np.empty((len(hbs), len(a_arr)), dtype=np.int64)
+        for s in range(len(a_arr)):
+            sigs[:, s] = np.minimum.reduceat(
+                (flat * a_arr[s] + b_arr[s]) % MINHASH_P, starts
+            )
+        return pd.Series([row.tolist() for row in sigs])
+
+    hb = F.transform(
+        F.array_distinct(_shingles(text_col, shingle_size)),
+        lambda x: F.pmod(_md5_32(x), F.lit(MINHASH_P)),
+    )
+    return (
+        _parallelize(df)
+        .select(F.col(id_col).alias("id"), hb.alias("hb"))
+        .select("id", _sig("hb").alias("sig"))
     )
 
 
@@ -305,23 +392,41 @@ def banded_rows(
             f"bands ({bands}) — each band hashes num_hashes/bands rows"
         )
     r = num_hashes // bands
+    if hasher == "md5":
+        # r11: band buckets are sliced out of the Arrow-computed
+        # signature array — the sig is a physical ArrowEvalPython
+        # output attribute, so the per-band slices cannot re-inline
+        # the signature pipeline (the CollapseProject hazard that
+        # forbade slicing the old aggregate-built sig).  Zero
+        # exchanges: projection -> Arrow -> posexplode.  Bucket key
+        # string is unchanged (the band's signature slice joined as
+        # text — DuckDB groups on the identical array_to_string
+        # value), so persisted indexes remain valid.
+        sigs = _minhash_sigs_md5_arrow(
+            df, text_col, id_col, num_hashes, shingle_size
+        )
+        band_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.array_join(
+                F.transform(
+                    F.slice("sig", b * r + F.lit(1), r),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+        )
+        return sigs.select(
+            "id", F.posexplode(band_arr).alias("band", "bucket")
+        ).select("id", F.col("band").cast("int").alias("band"), "bucket")
     mh = _minhash_per_seed(df, text_col, id_col, num_hashes, shingle_size, hasher)
     grouped = mh.groupBy(
         "id", F.floor(F.col("seed") / r).cast("int").alias("band")
     ).agg(
         F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm")
     )
-    if hasher == "md5":
-        # Oracle-portable bucket key: the band's signature slice joined as
-        # a string — DuckDB groups on the identical array_to_string value.
-        # (The xxhash bucket below is narrower per row but has no twin.)
-        bucket = F.array_join(
-            F.transform("sm", lambda s: s["mh"].cast("string")), ","
-        )
-    else:
-        bucket = F.xxhash64(
-            F.transform("sm", lambda s: s["mh"]), F.col("band")
-        ).cast("string")
+    bucket = F.xxhash64(
+        F.transform("sm", lambda s: s["mh"]), F.col("band")
+    ).cast("string")
     return grouped.select("id", "band", bucket.alias("bucket"))
 
 

@@ -51,6 +51,45 @@ def test_minhash_finds_planted_near_dups(corpus):
     assert pairs.filter(F.col("jaccard") < 0.5).count() == 0
 
 
+def test_minhash_md5_arrow_matches_explode_path(spark, sf_dir):
+    """The r11 vectorized md5 signature path (JVM per-shingle md5
+    array projection + one exact int64 Arrow pass for the k seeded
+    minima) must emit signatures BIT-IDENTICAL to the explode/partial-
+    aggregate path — all operands < 2^62, so NumPy int64 and JVM
+    BIGINT arithmetic agree exactly.  banded_rows' md5 buckets (now
+    sliced from the Arrow sig) must equal the band slices of the
+    classic signatures, so every persisted band index stays valid."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        banded_rows,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    arrow = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(docs, hasher="md5").collect()
+    }
+    classic = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(
+            docs, hasher="md5", use_arrow=False
+        ).collect()
+    }
+    assert arrow == classic
+
+    r = 64 // 16
+    want = {
+        (i, b, ",".join(str(v) for v in sig[b * r : (b + 1) * r]))
+        for i, sig in classic.items()
+        for b in range(16)
+    }
+    got = {
+        (x.id, x.band, x.bucket)
+        for x in banded_rows(docs, hasher="md5").collect()
+    }
+    assert got == want
+
+
 def test_minhash_jaccard_values_are_exact(spark, sf_dir):
     """The testdata corpus contains planted near-dups; every returned
     pair's jaccard must equal the independently computed exact value
