@@ -714,17 +714,67 @@ def simhash_signatures(
 
 
 def simhash_signatures_md5(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Engine-portable 64-bit SimHash as TWO 32-bit halves (id, hi, lo).
 
-    One md5 per token supplies both halves (hex digits 1-8 and 9-16); the
-    per-bit +-1 votes are 64 SUM aggregates in a single groupBy(id) — one
-    shuffle, map-side partials, all codegen'd arithmetic a DuckDB oracle
-    replicates exactly.  Two BIGINT halves rather than one 64-bit value
-    keep every quantity non-negative and below 2^32, so no engine
-    disagrees on sign or overflow.
+    One md5 per token supplies both halves (hex digits 1-8 and 9-16);
+    the per-bit +-1 votes and the sign assembly are exact integer
+    arithmetic, so both engines agree bit-for-bit.  Two BIGINT halves
+    rather than one 64-bit value keep every quantity non-negative and
+    below 2^32, so no engine disagrees on sign or overflow.
+
+    Default shape (r11, guide §2.3/§4.2): the JVM computes one md5 hex
+    string per token as an array ``transform`` (no explode), and ONE
+    exact int64 Arrow pass per batch parses the two halves and folds
+    the 64 bit-votes with ``np.add.reduceat`` — zero exchanges,
+    replacing the explode + 64-SUM groupBy whose every token row
+    crossed a partial aggregate and whose vote rollup was a shuffle.
+    Docs with zero tokens are dropped (filter) exactly as the explode
+    path dropped them (no exploded rows -> no group).  Bit-identity
+    with the explode path is asserted in
+    test_dedup.py::test_simhash_md5_arrow_matches_explode_path.
+    ``use_arrow=False`` keeps the JVM-only explode shape.
     """
+    if use_arrow:
+        hexes = F.transform(_tokens(text_col), lambda t: F.md5(t))
+
+        @F.pandas_udf("hi long, lo long")
+        def _sig(hx: pd.Series) -> pd.DataFrame:
+            if len(hx) == 0:
+                return pd.DataFrame({"hi": [], "lo": []}, dtype="int64")
+            lens = np.fromiter((len(x) for x in hx), np.int64, count=len(hx))
+            his = np.empty(int(lens.sum()), dtype=np.int64)
+            los = np.empty_like(his)
+            k = 0
+            for arr in hx:
+                for h in arr:
+                    his[k] = int(h[:8], 16)
+                    los[k] = int(h[8:16], 16)
+                    k += 1
+            starts = np.zeros(len(hx), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            out_hi = np.zeros(len(hx), dtype=np.int64)
+            out_lo = np.zeros(len(hx), dtype=np.int64)
+            for i in range(32):
+                # votes_i = (#set - #unset) = 2 * #set - n_tokens
+                for flat, out in ((his, out_hi), (los, out_lo)):
+                    set_counts = np.add.reduceat(
+                        (flat >> i) & 1, starts
+                    )
+                    out += ((2 * set_counts - lens) > 0).astype(
+                        np.int64
+                    ) << i
+            return pd.DataFrame({"hi": out_hi, "lo": out_lo})
+
+        return (
+            _parallelize(df)
+            .select(F.col(id_col).alias("id"), hexes.alias("hx"))
+            .filter(F.size("hx") > 0)
+            .select("id", _sig("hx").alias("s"))
+            .select("id", F.col("s.hi").alias("hi"), F.col("s.lo").alias("lo"))
+        )
     toks = _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.explode(_tokens(text_col)).alias("tok"),

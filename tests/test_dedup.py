@@ -90,6 +90,34 @@ def test_minhash_md5_arrow_matches_explode_path(spark, sf_dir):
     assert got == want
 
 
+def test_simhash_md5_arrow_matches_explode_path(spark, sf_dir):
+    """The r11 vectorized SimHash (md5 hex array projection + exact
+    int64 Arrow bit-vote fold) must emit (id, hi, lo) BIT-IDENTICAL to
+    the explode/64-SUM-aggregate path, including dropping zero-token
+    docs the same way."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        simhash_signatures_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant a zero-token doc to pin the drop-empty contract
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(999_999, "12345 !!!")], "doc_id long, text string"
+        )
+    )
+    arrow = {
+        (r.id, r.hi, r.lo)
+        for r in simhash_signatures_md5(docs).collect()
+    }
+    classic = {
+        (r.id, r.hi, r.lo)
+        for r in simhash_signatures_md5(docs, use_arrow=False).collect()
+    }
+    assert arrow == classic
+    assert not any(i == 999_999 for i, _, _ in arrow)
+
+
 def test_minhash_jaccard_values_are_exact(spark, sf_dir):
     """The testdata corpus contains planted near-dups; every returned
     pair's jaccard must equal the independently computed exact value
