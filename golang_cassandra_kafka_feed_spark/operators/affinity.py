@@ -7,13 +7,14 @@ independence predicts?  The same computational shape serves
 recommender co-visitation, tag co-occurrence, and corpus-level
 "documents citing both sources" analyses.
 
-Scale shape: pair enumeration is a self-equi-join on the basket key,
-so work per basket is C(items, 2) — NATURALLY bounded when baskets
-are (orders run ~tens of items), and explicitly bounded by
+Scale shape: ONE shuffle groups each basket into its sorted distinct
+item array (map-side set merge), and pairs explode in-task from the
+array, so work per basket is C(items, 2) — NATURALLY bounded when
+baskets are (orders run ~tens of items), and explicitly bounded by
 ``max_basket_items`` for the pathological mega-basket (a crawler tag
-bucket, a bot cart): the cap keeps the smallest item ids via the
-rank-filter WindowGroupLimit idiom (map-side truncation, the dedup
-mega-bucket guard).  Everything after the pair aggregate is
+bucket, a bot cart): the cap keeps the smallest item ids via an
+array slice (the dedup mega-bucket guard's kept set, without its
+window shuffle).  Everything after the pair aggregate is
 dimension-sized: per-item counts join back onto the pair frame (AQE
 broadcasts them when they fit), the basket total rides one broadcast
 row.
@@ -31,7 +32,7 @@ basket membership.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,32 +47,45 @@ def basket_affinity(
     """Top-``k`` item pairs by lift: ``(item_a, item_b, n_ab, lift)``
     with ``n_ab >= min_support``, ordered by (lift desc, item_a,
     item_b) — fully deterministic at the cut boundary."""
-    items = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    # r11 shape (guide §2.3/§2.4): ONE shuffle groups each basket into
+    # its sorted distinct item array (collect_set merges map-side, so
+    # raw fact rows never cross the exchange un-deduped), the mega-
+    # basket cap is an array slice of the smallest ids (replacing the
+    # row_number window — same kept set, no window shuffle), and pairs
+    # explode in-task from the capped array (replacing the basket-key
+    # SELF-JOIN, whose two aliased branches re-ran the distinct and
+    # shuffled both sides — 37 MB shuffle write at sf0.1 for a 10.8 MB
+    # input).  The localCheckpoint materializes the basket arrays once
+    # for the three consumers (pairs, item counts, basket total) —
+    # the ReuseExchange aliasing trap, as everywhere in this repo.
+    # Null items vanish from collect_set exactly as the old pair join
+    # and count join dropped them; only-null baskets still count in
+    # n_baskets (the groupBy keeps their empty array row).
+    sets = df.groupBy(F.col(basket_col).alias("b")).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("ids")
+    )
     if max_basket_items is not None:
-        w = Window.partitionBy("b").orderBy("i")
-        items = (
-            items.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_basket_items)
-            .drop("__rn")
+        sets = sets.select(
+            "b", F.slice("ids", 1, max_basket_items).alias("ids")
         )
+    sets = sets.localCheckpoint(eager=False)
     pairs = (
-        items.alias("a")
-        .join(
-            items.alias("c"),
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.i") < F.col("c.i")),
-        )
+        sets.select(F.explode("ids").alias("ia"), "ids")
+        .select("ia", F.explode("ids").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
         .groupBy(
-            F.col("a.i").alias("item_a"), F.col("c.i").alias("item_b")
+            F.col("ia").alias("item_a"), F.col("ib").alias("item_b")
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)
     )
-    counts = items.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        sets.select(F.explode("ids").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     total = F.broadcast(
-        items.agg(F.countDistinct("b").alias("n_baskets"))
+        sets.agg(F.count(F.lit(1)).alias("n_baskets"))
     )
     ca = counts.select(
         F.col("i").alias("item_a"), F.col("n").alias("n_a")
