@@ -311,6 +311,7 @@ def pagerank(
     symmetrize: bool = False,
     reliable: bool = False,
     checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: r_{t+1}(n) =
     (1-d)/N + d * sum over in-neighbors m of r_t(m)/outdeg(m).  The
@@ -330,8 +331,17 @@ def pagerank(
     checkpointed once up front so the (possibly expensive)
     edge-derivation pipeline runs once, not once per branch per
     iteration (the exchange-reuse aliasing trap), and the rank frame is
-    checkpointed per iteration so the plan stays constant-size instead
-    of growing linearly with the unrolled iterations.  ``reliable=True``
+    checkpointed every ``checkpoint_every`` iterations so the plan
+    stays bounded instead of growing linearly with the unrolled
+    iterations — r11: per-ITERATION eager checkpoints made the 2-round
+    q83 a 28-job driver-bound query (1.6 s of executor work under
+    2.6 s wall); short unrolls now compose into one lazy plan and only
+    long fixpoints pay the truncation jobs.  The node count is likewise
+    collected ONCE (one bounded action) instead of riding a broadcast
+    one-row frame into every iteration's plan: the (1-d)/N and 1/N
+    literals are the same IEEE divisions on the same doubles, so every
+    rank stays bit-identical to the unrolled DuckDB CTE twin.
+    ``reliable=True``
     uses durable ``checkpoint`` blocks (see ``_checkpointer``) so a
     long run survives executor loss.  For web-scale graphs swap in
     Pregel/GraphFrames; for the analytics-query weight class this is
@@ -354,12 +364,16 @@ def pagerank(
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    n_nodes = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    # ONE bounded action instead of a broadcast one-row frame per
+    # iteration: the literals below perform the identical IEEE
+    # divisions the in-plan form performed, so ranks are unchanged.
+    n_nodes = float(nodes.count())
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("r"))
     outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
-    )
-    for _ in range(iterations):
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    base = (1.0 - damping) / n_nodes
+    for i in range(iterations):
         contribs = (
             e.join(outdeg, "u")
             .join(ranks.select(F.col("node").alias("u"), "r"), "u")
@@ -375,16 +389,16 @@ def pagerank(
                 lambda a, x: a + x,
             ).alias("s")
         )
-        ranks = ck(
-            nodes.join(summed, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("r"),
-            ),
-            disposable=True,
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
         )
+        # truncate lineage only when the unroll is long enough for
+        # plan growth to matter; never after the last iteration (the
+        # caller's action materializes it anyway)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ck(ranks, disposable=True)
     return ranks

@@ -25,7 +25,17 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     count(DISTINCT col) per column plans as Spark's expand+aggregate —
     n_cols expansions of one scan, still one job).  Output long format:
     (column, n_rows, n_null, n_distinct, min_val, max_val).
+
+    The input is auto-widened first (session.auto_widen, r11): the
+    expand multiplies every row (n_cols + 1)x BEFORE the partial
+    aggregate, so a single-file local source would run the whole
+    multiplied scan on ONE task (measured: q96's 150k-row profile was
+    a 1-task, 1.4 s stage).  At cluster scale inputs arrive pre-split
+    and the widen is structurally a no-op.
     """
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
+
+    df = auto_widen(df)
     cols = list(columns or df.columns)
     # positional internal aliases + F.lit(name) in the stack, and
     # backtick-quoted (escaped) column references instead of raw
