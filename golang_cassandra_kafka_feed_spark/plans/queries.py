@@ -2809,13 +2809,30 @@ def q113(spark, sf_dir):
         write_orc,
     )
 
-    # Widen before writing: the single-file source reads as ONE split,
-    # which would push all three format writes (and the readbacks)
-    # through one task — the q110 small-file lesson again.  auto_widen
-    # derives the width and no-ops on a pre-split cluster source.
-    from golang_cassandra_kafka_feed_spark.session import auto_widen
+    # Width derives from BYTES, not core count (guide §6 file sizing):
+    # the r10 widen pushed the 0.6 MB local corpus through 32 write
+    # tasks per format — 96 ~6 KB files + 3 fan-in readbacks of 32
+    # tiny files each, pure per-task/per-file overhead (228 tasks,
+    # ~54 ms each).  Target ~32 MB per output file, floor 1, capped at
+    # defaultParallelism; a pre-split cluster source already exceeds
+    # the target and auto_widen no-ops (the write then inherits the
+    # source's real splits).
+    import os
 
-    d = auto_widen(_t(spark, sf_dir, "documents"))
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
+    from golang_cassandra_kafka_feed_spark.sources.testdata import (
+        _parquet_parts,
+    )
+
+    src_bytes = sum(
+        os.path.getsize(p)
+        for p in _parquet_parts(f"{sf_dir}/documents.parquet")
+    )
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-src_bytes // (32 << 20)),  # ceil-div
+    ))
+    d = auto_widen(_t(spark, sf_dir, "documents"), target=width)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     paths = {
         fmt: f"/tmp/gckfs_q113_{fmt}_{key}" for fmt in ("orc", "json", "csv")
