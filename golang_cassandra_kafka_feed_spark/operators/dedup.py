@@ -233,6 +233,7 @@ def _minhash_sigs_md5_arrow(
     id_col: str,
     num_hashes: int,
     shingle_size: int,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig) minhash signatures for the md5/affine family with the
     seed minima computed vectorized — the r11 scale shape shared by
@@ -255,6 +256,14 @@ def _minhash_sigs_md5_arrow(
     through a partial aggregate, then shuffled (id, seed) minima
     twice); here the corpus is touched by one projection + one Arrow
     stage, both embarrassingly parallel.
+
+    ``sets`` (optional, columns ``(id, sh)`` with ``sh`` the distinct
+    shingle array): reuse a caller-materialized shingle extraction —
+    every verified minhash surface needs the shingle STRINGS again for
+    exact-Jaccard verification, so callers that checkpoint the sets
+    frame can feed banding and verification from ONE regex pass
+    instead of two.  Partitioning is then the caller's contract
+    (``_parallelize`` is skipped).
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(
@@ -282,6 +291,13 @@ def _minhash_sigs_md5_arrow(
             )
         return pd.Series([row.tolist() for row in sigs])
 
+    if sets is not None:
+        hb = F.transform(
+            "sh", lambda x: F.pmod(_md5_32(x), F.lit(MINHASH_P))
+        )
+        return sets.select("id", hb.alias("hb")).select(
+            "id", _sig("hb").alias("sig")
+        )
     hb = F.transform(
         F.array_distinct(_shingles(text_col, shingle_size)),
         lambda x: F.pmod(_md5_32(x), F.lit(MINHASH_P)),
@@ -367,6 +383,7 @@ def banded_rows(
     bands: int = 16,
     shingle_size: int = 3,
     hasher: str = "xxhash",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH band rows, pre-cap — the per-document
     banding stage shared by the one-shot candidate pipeline and the
@@ -403,7 +420,7 @@ def banded_rows(
         # text — DuckDB groups on the identical array_to_string
         # value), so persisted indexes remain valid.
         sigs = _minhash_sigs_md5_arrow(
-            df, text_col, id_col, num_hashes, shingle_size
+            df, text_col, id_col, num_hashes, shingle_size, sets=sets
         )
         band_arr = F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -440,6 +457,7 @@ def minhash_lsh_candidates(
     hasher: str = "xxhash",
     max_bucket_width: int = MAX_BUCKET_WIDTH,
     width_observation: Observation | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: ids agreeing on >= 1 LSH band.
 
@@ -466,7 +484,10 @@ def minhash_lsh_candidates(
       ``MAX_BUCKET_WIDTH`` / ``_cap_bucket_width``.
     """
     banded = _cap_bucket_width(
-        banded_rows(df, text_col, id_col, num_hashes, bands, shingle_size, hasher),
+        banded_rows(
+            df, text_col, id_col, num_hashes, bands, shingle_size, hasher,
+            sets=sets,
+        ),
         ["band", "bucket"],
         "id",
         max_bucket_width,
@@ -515,6 +536,20 @@ def minhash_near_duplicates(
         _checkpointer,
     )
 
+    shingle_sets = _parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
+    )
+    # The two verify sides AND (r11, md5 hasher) the banding pipeline
+    # all reference this frame — materialize the shingle extraction
+    # once (iterative/multi-reference persist idiom; q37 cold 13.4 ->
+    # 2.7 s, steady -9% at sf0.1; the sets= reuse removes the second
+    # full regex pass the banding side used to pay).  Executor storage
+    # holds one shingle array per doc, the same volume the two joins
+    # move anyway.
+    shingle_sets = _checkpointer(shingle_sets, reliable, checkpoint_dir)(
+        shingle_sets
+    )
     cands = minhash_lsh_candidates(
         df,
         text_col,
@@ -525,17 +560,7 @@ def minhash_near_duplicates(
         hasher,
         max_bucket_width,
         width_observation,
-    )
-    shingle_sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
-    )
-    # Both verify sides reference this frame — materialize the shingle
-    # extraction once (iterative/multi-reference persist idiom; q37 cold
-    # 13.4 -> 2.7 s, steady -9% at sf0.1).  Executor storage holds one
-    # shingle array per doc, the same volume the two joins move anyway.
-    shingle_sets = _checkpointer(shingle_sets, reliable, checkpoint_dir)(
-        shingle_sets
+        sets=shingle_sets if hasher == "md5" else None,
     )
     return (
         cands.join(
@@ -604,8 +629,20 @@ def minhash_accuracy_audit(
     string — linear, and cheaper than one extra pipeline pass.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_size, "md5"
+    # ONE shingle extraction feeds both the signatures and the exact-
+    # Jaccard verification below (r11; the audit used to regex the
+    # corpus twice) — checkpointed because it anchors three branches.
+    from golang_cassandra_kafka_feed_spark.operators.graph import (
+        _checkpointer,
+    )
+
+    sets = _parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
+    )
+    sets = _checkpointer(sets, reliable, checkpoint_dir)(sets)
+    sigs = _minhash_sigs_md5_arrow(
+        df, text_col, id_col, num_hashes, shingle_size, sets=sets
     )
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -642,18 +679,6 @@ def minhash_accuracy_audit(
             F.first("a.sig").alias("sig_a"), F.first("b.sig").alias("sig_b")
         )
     )
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(_shingles(text_col, shingle_size)).alias("sh"),
-    )
-    # same double-reference as minhash_near_duplicates' verify sides:
-    # materialize the shingle extraction once (durable parquet instead
-    # of executor memory when reliable=True — graph.py::_checkpointer).
-    from golang_cassandra_kafka_feed_spark.operators.graph import (
-        _checkpointer,
-    )
-
-    sets = _checkpointer(sets, reliable, checkpoint_dir)(sets)
     joined = pairs.join(
         sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",

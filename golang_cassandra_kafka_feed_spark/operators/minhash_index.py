@@ -52,6 +52,7 @@ from golang_cassandra_kafka_feed_spark.operators.dedup import (
     MAX_BUCKET_WIDTH,
     _cap_bucket_width,
     _md5_32,
+    _parallelize,
     _shingles,
     banded_rows,
 )
@@ -102,25 +103,16 @@ def _index_rows(
     id_col: str,
     meta: dict,
 ) -> tuple[DataFrame, DataFrame]:
-    """(bands, shingles) frames for ``df`` under pinned parameters."""
-    bands = banded_rows(
-        df,
-        text_col,
-        id_col,
-        meta["num_hashes"],
-        meta["bands"],
-        meta["shingle_size"],
-        meta["hasher"],
-    ).select(
-        F.col("id").cast("long").alias("id"),
-        "band",
-        "bucket",
-        F.pmod(_md5_32(F.col("bucket")), F.lit(meta["bucket_mods"]))
-        .cast("int")
-        .alias("bucket_mod"),
-    )
+    """(bands, shingles) frames for ``df`` under pinned parameters.
+
+    r11: ONE shingle extraction feeds both frames — ``base`` holds
+    (id, sh, ts) and is lazily localCheckpointed so the regex pass
+    runs once whether the caller writes both frames (ensure/append)
+    or checkpoints the bands and unions the shingles (the incremental
+    query path); the md5 banding derives its signatures from the same
+    ``sh`` arrays via ``banded_rows(sets=...)``."""
     ts_col = meta.get("ts_col")
-    shingles = df.select(
+    base = _parallelize(df).select(
         F.col(id_col).cast("long").alias("id"),
         F.array_distinct(_shingles(text_col, meta["shingle_size"])).alias(
             "sh"
@@ -130,7 +122,37 @@ def _index_rows(
             if ts_col
             else F.lit(None).cast("timestamp")
         ).alias("ts"),
+    ).localCheckpoint(eager=False)
+    if meta["hasher"] == "md5":
+        banded = banded_rows(
+            base,
+            text_col,
+            "id",
+            meta["num_hashes"],
+            meta["bands"],
+            meta["shingle_size"],
+            meta["hasher"],
+            sets=base,
+        )
+    else:  # xxhash needs the raw text column — band from the source
+        banded = banded_rows(
+            df,
+            text_col,
+            id_col,
+            meta["num_hashes"],
+            meta["bands"],
+            meta["shingle_size"],
+            meta["hasher"],
+        )
+    bands = banded.select(
+        F.col("id").cast("long").alias("id"),
+        "band",
+        "bucket",
+        F.pmod(_md5_32(F.col("bucket")), F.lit(meta["bucket_mods"]))
+        .cast("int")
+        .alias("bucket_mod"),
     )
+    shingles = base.select("id", "sh", "ts")
     return bands, shingles
 
 
