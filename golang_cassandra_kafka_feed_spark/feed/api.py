@@ -234,14 +234,39 @@ class FeedStore:
 
     # -- AddPost / fan-out / GetFeed ---------------------------------------
 
-    def add_posts(self, posts: DataFrame, fan_out: bool = True) -> DataFrame:
+    def add_posts(
+        self,
+        posts: DataFrame,
+        fan_out: bool = True,
+        concurrent_appends: bool = False,
+    ) -> DataFrame:
         """AddPost (feed.go:115-127) + the worker fan-out (worker.go:112-160)
         in one batch: validate body 1..1000 (httphandlers.go:134-137),
         append to ``posts``, then write one feed row per (post, follower).
+
+        ``concurrent_appends=True`` overlaps the two independent append
+        jobs from two driver threads (guide §2.6 — the scheduler
+        happily runs both; each epoch otherwise pays their latencies
+        back-to-back, a measured slice of the 0.835 s/epoch fixed
+        floor).  ONLY safe when ``posts`` has no live lineage through
+        this store's tables (the streaming path checkpoint-truncates
+        before calling) — with lineage, the posts append could
+        invalidate/re-list the feed branch mid-flight and lose rows,
+        which is exactly why the sequential default orders the feed
+        write first.
         """
         valid = posts.filter(valid_length("body", 1, 1000)).select(
             *[f.name for f in POST_SCHEMA.fields]
         )
+        if fan_out and concurrent_appends:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                ff = pool.submit(self.fan_out, valid)
+                pf = pool.submit(self._append, valid, "posts")
+                ff.result()
+                pf.result()
+            return valid
         # Fan out BEFORE the posts append: if ``posts`` has lineage through
         # this store's posts table (the streaming anti-join does), the
         # append would invalidate/re-list that lineage and the re-evaluated

@@ -246,7 +246,11 @@ def run_fanout_pipeline(
             # the ~5 fixed jobs in every epoch (r10 per-batch-floor
             # measurement: 0.94 s/epoch at 1-row batches)
             fresh = fresh.localCheckpoint(eager=True)
-        store.add_posts(fresh, fan_out=True)
+        # fresh is checkpoint-truncated above, so the two append jobs
+        # (feed fan-out, posts) share no live lineage — overlap them
+        # (r11, verdict #4: they were two of the ~5 sequential jobs in
+        # the 0.835 s/epoch fixed floor)
+        store.add_posts(fresh, fan_out=True, concurrent_appends=True)
         if record_metrics:
             store.record_pipeline_metrics(
                 epoch_id,
