@@ -246,12 +246,20 @@ def repetition_stats(
     reuses that partitioning.  All outputs are integers or portable
     micro-rounded ratios, so a DuckDB oracle reproduces them exactly.
     """
-    from golang_cassandra_kafka_feed_spark.operators.dedup import _shingles
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
+        _shingles,
+    )
 
     r6 = lambda c: F.round(c * 1000000) / 1000000  # noqa: E731
 
+    # r11: widen once; both n-gram branches read the same deterministic
+    # repartition exchange (ReuseExchange-eligible), so the one-split
+    # local source no longer serializes two regex passes on one task
+    pre = _parallelize(df.select(F.col(id_col), F.col(text_col)))
+
     def _per_n(n: int, prefix: str) -> DataFrame:
-        grams = df.select(
+        grams = pre.select(
             F.col(id_col).alias("id"),
             F.explode(_shingles(text_col, n)).alias("g"),
         )
@@ -309,7 +317,11 @@ def tfidf_top_terms(
         top_k_per_key,
     )
 
-    terms = df.select(
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
+    )
+
+    terms = _parallelize(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     )
     tf = terms.groupBy("id", "t").agg(F.count("*").alias("tf")).withColumn(
@@ -406,7 +418,12 @@ def bm25_search(
     # by the query multiplicity whenever two queries share a term.
     # Query ids re-attach AFTER the (id, t) aggregate via a tiny
     # broadcast of term -> query_ids.
-    matched = df.select(
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
+    )
+
+    pre = _parallelize(df.select(F.col(id_col), F.col(text_col)))
+    matched = pre.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).join(F.broadcast(qterms.select("t").distinct()), "t")
     tfq = matched.groupBy("id", "t").agg(F.count("*").alias("tf"))
@@ -422,10 +439,10 @@ def bm25_search(
             F.explode("qids").alias("query_id"), "id", "t", "tf", "df_docs"
         )
     )
-    dl = df.select(
+    dl = pre.select(
         F.col(id_col).alias("id"), token_count(text_col).alias("dl")
     )
-    stats = df.agg(
+    stats = pre.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.sum(token_count(text_col)).cast("double").alias("tot_tokens"),
     )
@@ -563,7 +580,19 @@ def vocab_coverage(
         top_k_per_key,
     )
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
+    )
+
+    # r11: one widened tokenization feeds the vocab count AND the
+    # per-doc OOV rollup (both branches re-ran the regex, single-task
+    # on a one-split local source)
+    toks_doc = (
+        _parallelize(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens(text_col).alias("__ts"))
+        .localCheckpoint(eager=False)
+    )
+    tok = toks_doc.select(F.col(id_col), F.explode("__ts").alias("__t"))
     counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__cnt"))
     vocab = top_k_per_key(
         counts.withColumn("__g", F.lit(1)),
@@ -580,7 +609,7 @@ def vocab_coverage(
         )
     )
     return (
-        df.select(id_col)
+        toks_doc.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -648,10 +677,20 @@ def bigram_typicality(
     one join back (the count table is corpus-vocabulary-sized; Spark
     picks broadcast vs shuffle by stats) + one rollup on the doc id.
     """
-    grams = df.select(
-        F.col(id_col),
-        F.explode(bigram_array(text_col)).alias("__g"),
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
     )
+
+    # r11: ONE widened bigram extraction feeds both the global count
+    # and the per-doc rollup (the two branches each re-ran the regex on
+    # the corpus, single-task on a one-split local source); doc-grain
+    # lazy checkpoint, the shingle-sets idiom.
+    docs_g = (
+        _parallelize(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), bigram_array(text_col).alias("__gs"))
+        .localCheckpoint(eager=False)
+    )
+    grams = docs_g.select(F.col(id_col), F.explode("__gs").alias("__g"))
     counts = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__cnt"))
     per_doc = (
         grams.join(counts, "__g")
@@ -662,7 +701,7 @@ def bigram_typicality(
         )
     )
     return (
-        df.select(id_col)
+        docs_g.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -798,8 +837,25 @@ def collocations(
         top_k_global,
     )
 
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        _parallelize,
+    )
+
+    # r11: tokenize ONCE (widened, doc-grain lazy checkpoint) and
+    # derive bigrams, unigram counts and the token total from the same
+    # token arrays — the three branches each re-ran a regex pass over
+    # the one-split local source (size(__ts) == token_count(text) and
+    # bigram_array == bigram_array_from_tokens(tokens(.)) by
+    # definition, so every count is unchanged)
+    toks_doc = (
+        _parallelize(df.select(F.col(text_col)))
+        .select(tokens(text_col).alias("__ts"))
+        .localCheckpoint(eager=False)
+    )
     bg = (
-        df.select(F.explode(bigram_array(text_col)).alias("bg"))
+        toks_doc.select(
+            F.explode(bigram_array_from_tokens(F.col("__ts"))).alias("bg")
+        )
         .groupBy("bg")
         .agg(F.count("*").alias("c_bg"))
         .filter(F.col("c_bg") >= min_count)
@@ -810,12 +866,12 @@ def collocations(
         )
     )
     uni = (
-        df.select(F.explode(tokens(text_col)).alias("t"))
+        toks_doc.select(F.explode("__ts").alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
     )
-    n_tok = df.agg(
-        F.sum(token_count(text_col)).cast("double").alias("n_tokens")
+    n_tok = toks_doc.agg(
+        F.sum(F.size("__ts")).cast("double").alias("n_tokens")
     )
     lift = (F.col("c_bg").cast("double") * F.col("n_tokens")) / (
         F.col("c1").cast("double") * F.col("c2")
