@@ -2049,11 +2049,16 @@ def q93(spark, sf_dir):
     zip_with, transform, filter, exists — the HOF surface q50-q52 give
     scalars, completed for arrays.  All outputs scalar/string-joined so
     the DuckDB list-function twins compare exactly."""
-    d = _t(spark, sf_dir, "documents")
     from golang_cassandra_kafka_feed_spark.operators.textstats import (
         tokens,
     )
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
 
+    # the battery references the tokenization from ~10 output columns
+    # (interpreted HOFs — no codegen CSE), so a one-split local source
+    # serializes every re-evaluation onto one task (measured: a 1.7 s
+    # single-task stage); widen first (no-op on pre-split sources)
+    d = auto_widen(_t(spark, sf_dir, "documents"))
     toks = tokens("text")
     srt = F.array_sort(toks)
     return d.select(
@@ -2591,8 +2596,12 @@ def q109(spark, sf_dir):
     the URL pass consumes the PII-dense query tail (the round-6
     gap: the old pattern left ?token=... standing)."""
     from golang_cassandra_kafka_feed_spark.operators.pii import pii_audit
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
 
-    d = _t(spark, sf_dir, "documents")
+    # the PII regex battery is heavy per-row work; a one-split local
+    # source ran it single-task (0.97 s stage) — widen first (no-op on
+    # pre-split cluster sources)
+    d = auto_widen(_t(spark, sf_dir, "documents"))
     planted = d.select(
         "doc_id",
         F.concat(
@@ -3414,8 +3423,11 @@ def q127(spark, sf_dir):
     from golang_cassandra_kafka_feed_spark.operators.sketches import (
         cms_topk_audit,
     )
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
 
-    d = _t(spark, sf_dir, "documents")
+    # token explode + per-token md5 bucketing single-tasked on the
+    # one-split local source — widen first (no-op when pre-split)
+    d = auto_widen(_t(spark, sf_dir, "documents"))
     return cms_topk_audit(d, k=20)
 
 
