@@ -62,15 +62,33 @@ def test_declared_queries_have_no_python_udfs(spark, sf_dir):
     """Row-at-a-time Python UDFs (BatchEvalPython) are banned in EVERY
     declared plan; Arrow-vectorized stages (ArrowEvalPython /
     mapInPandas) are permitted only on the documented vectorized
-    surfaces — media byte parsing (q40/q116) and the Arrow matmul
-    tiers for IVF assignment (q118, r9) and quantized clustering
-    (q65/q66, r9), each hash-asserted against a pure-JVM twin."""
+    surfaces — media byte parsing (q40/q116), the Arrow matmul tiers
+    for IVF assignment (q118, r9) and quantized clustering (q65/q66,
+    r9), and the r11 exact Arrow tiers: LSH plane bucketing
+    (q35/q39/q82), small-codebook IVF assignment (q36/q42/q82/q84),
+    and the md5 minhash/simhash signature folds (q37/q38/q78 and the
+    q110/q114/q117 index family, whose checkpoint-truncated plans may
+    or may not surface the node) — each bit-identity-asserted against
+    a pure-JVM twin (test_similarity_ops / test_dedup)."""
     arrow_ok = {
         "q40_multimodal_features",
         "q116_media_headers",
         "q118_ivf_join_path",
         "q65_kmeans_assign",
         "q66_semantic_dedup",
+        # r11 exact Arrow tiers (bit-identical fold replays)
+        "q35_embedding_neardup",
+        "q36_ann_multi_query",
+        "q37_minhash_lsh_neardup",
+        "q38_simhash_neardup",
+        "q39_ann_lsh_topk",
+        "q42_ann_ivf_topk",
+        "q78_minhash_accuracy",
+        "q82_ann_rrf_fusion",
+        "q84_pq_adc_audit",
+        "q110_incremental_minhash",
+        "q114_index_retention",
+        "q117_index_expiry",
     }
     for name in QUERIES:
         plan = _plan(spark, sf_dir, name)
