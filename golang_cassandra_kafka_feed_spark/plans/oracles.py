@@ -392,7 +392,8 @@ ORACLES: dict[str, str] = {
                    AS net_price,
                CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year
         FROM lineitem
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, flag_status, net_price,
+                 ship_year
         LIMIT 100
     """,
     "q25_json_extract": """
