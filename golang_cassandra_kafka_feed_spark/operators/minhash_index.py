@@ -552,10 +552,18 @@ def minhash_near_duplicates_incremental(
     # delta signature pass once — batch-sized, not corpus-sized.
     # ``reliable=True`` swaps executor-memory localCheckpoint for
     # durable parquet under ``checkpoint_dir`` (the cluster mode the
-    # other minhash entry points thread through).
-    delta_bands = _checkpointer(delta_bands, reliable, checkpoint_dir)(
-        delta_bands
-    )
+    # other minhash entry points thread through).  Local mode
+    # checkpoints LAZILY (r11): the eager form scheduled the
+    # materialization as its own driver job followed by a ~0.5 s
+    # planning gap before the main query's first stage; lazy defers it
+    # into the hot-bucket broadcast build (the first consumer), same
+    # single materialization.
+    if reliable:
+        delta_bands = _checkpointer(delta_bands, True, checkpoint_dir)(
+            delta_bands
+        )
+    else:
+        delta_bands = delta_bands.localCheckpoint(eager=False)
     stored_bands = spark.read.schema(_BANDS_SCHEMA).parquet(
         _p(path, "bands")
     )
