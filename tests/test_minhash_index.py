@@ -519,3 +519,54 @@ def test_reingested_null_text_still_wins_over_stored(spark, tmp_path):
     )
     keys = [(p[0], p[1]) for p in got]
     assert len(keys) == len(set(keys))
+
+
+def test_reingested_null_text_md5_index(spark, tmp_path):
+    """md5-hasher twin of the NULL-text re-ingest test: the md5 index
+    routes signatures through the Arrow fold, whose pandas UDF crashed
+    on the NULL shingle array a NULL text produces (the explode path
+    silently dropped such docs; ADVICE r11 high).  The NULL row must be
+    dropped before the UDF, its stale stored copy must stop emitting
+    pairs, and the query must not raise."""
+    full = _corpus(spark, n=40)
+    a = full.filter("doc_id % 3 != 0")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(a, idx, hasher="md5")
+
+    victim = 1 if 1 % 3 != 0 else 2
+    delta = full.filter("doc_id % 3 = 0").unionByName(
+        spark.createDataFrame([(victim, None)], _SCHEMA)
+    )
+    got = _pairs(
+        minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+    )
+    assert not any(victim in (p[0], p[1]) for p in got), (
+        "stale stored copy of the NULL-replayed id leaked pairs (md5)"
+    )
+    keys = [(p[0], p[1]) for p in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_minhash_md5_arrow_drops_null_text_rows(spark):
+    """Direct contract: md5/Arrow signatures for a corpus containing a
+    NULL-text doc equal the JVM explode path's (which drops it) — no
+    crash, no NULL-sig row."""
+    from golang_cassandra_kafka_feed_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = _corpus(spark, n=12).unionByName(
+        spark.createDataFrame([(99, None)], _SCHEMA)
+    )
+    got = {
+        r["id"]: tuple(r["sig"])
+        for r in minhash_signatures(docs, hasher="md5").collect()
+    }
+    want = {
+        r["id"]: tuple(r["sig"])
+        for r in minhash_signatures(
+            docs, hasher="md5", use_arrow=False
+        ).collect()
+    }
+    assert 99 not in got
+    assert got == want
