@@ -91,6 +91,21 @@ def flag_keys_for_retry(
     return [k for _, k in flagged[:cap]]
 
 
+def scope_stores_for_run(tmp: str = "/tmp") -> list[str]:
+    """Delete every cross-run ``materialize_once`` store so the next
+    cold execution pays the build.  Returns the removed paths (for the
+    scoping test).  Only the ``gckfs_*`` namespace under ``tmp`` is the
+    store protocol's; everything else in /tmp is left alone."""
+    import glob
+    import shutil
+
+    removed = []
+    for d in glob.glob(os.path.join(tmp, "gckfs_*")):
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(d)
+    return removed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -110,6 +125,20 @@ def main() -> None:
     except OSError:
         load_1m = -1.0
     n_cpus = os.cpu_count() or 1
+
+    # Scope the materialize_once stores to THIS bench run (verdict-r11
+    # ask #1): the /tmp/gckfs_* create-if-absent stores (q47/q71/q103/
+    # q111/q115 pair graph + dup groups, q110/q114/q117 band indexes,
+    # q124 rollup, q113 format outputs, q122 bucketed layout, q128
+    # stream rollup) survive process exit, so without this every run —
+    # cold included — measured a parquet read for those keys, never the
+    # build.  Deleting the namespace before the sweep makes the COLD
+    # series measure build+serve (the declared create-if-absent
+    # semantics) while the steady series keeps measuring serve-only,
+    # exactly as before.  SPARK_GRAFT_BENCH_KEEP_STORES=1 opts out (for
+    # A/B probes that want a pre-built store).
+    if os.environ.get("SPARK_GRAFT_BENCH_KEEP_STORES", "0") != "1":
+        scope_stores_for_run()
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")

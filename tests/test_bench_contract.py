@@ -134,3 +134,28 @@ def test_retry_scalars_on_stdout_line_but_not_the_map():
     assert compact["n_retried"] == 1
     assert compact["n_retry_unresolved"] == 0
     assert "retries" not in compact  # per-key map stays in BENCH_LOCAL
+
+
+# --- per-run store scoping (round-12, verdict-r11 ask #1) -------------
+#
+# The /tmp/gckfs_* materialize_once stores survive process exit, so
+# before r12 every bench run — cold included — measured a parquet read
+# for the store-served keys (q47/q71/q103/q111/q115 family and the
+# index/rollup/bucketed keys), never the build.  bench.py now deletes
+# the namespace before the sweep so COLD measures build+serve while
+# steady keeps measuring serve-only.
+
+
+def test_scope_stores_removes_only_gckfs_namespace(tmp_path):
+    import os
+
+    keep = tmp_path / "bench_pipeline_x"
+    keep.mkdir()
+    victims = [tmp_path / "gckfs_pairs_abc", tmp_path / "gckfs_q110_index_d"]
+    for v in victims:
+        v.mkdir()
+        (v / "_STAGE_COMMITTED").write_text("")
+    removed = bench.scope_stores_for_run(str(tmp_path))
+    assert sorted(removed) == sorted(str(v) for v in victims)
+    assert keep.exists()
+    assert not any(os.path.exists(str(v)) for v in victims)
