@@ -318,12 +318,33 @@ def ensure_minhash_index(
 
 
 def read_index_meta(spark: SparkSession, path: str) -> dict:
-    row = (
-        spark.read.schema(_META_SCHEMA).json(_p(path, "meta")).head()
-    )
-    if row is None:
+    """Read the pinned-parameter record back through the Hadoop FS API
+    — the read twin of ``_write_meta``.  The previous
+    ``spark.read.json(...).head()`` paid a full Spark job (plus its
+    scheduling gap) for a 100-byte record, twice per incremental query
+    (ensure + query); the FS read is a driver-side call, zero jobs
+    (r12, verdict-r11 ask #3).  Schema-on-read semantics are kept:
+    only ``_META_SCHEMA`` fields are returned, missing nullable fields
+    (indexes built before ``ts_col`` existed) read as None."""
+    fs, meta_dir = _meta_fs_path(spark, path)
+    if not fs.exists(meta_dir):
         raise FileNotFoundError(f"no index meta under {path}")
-    return json.loads(json.dumps(row.asDict()))
+    blobs = [
+        s.getPath()
+        for s in fs.listStatus(meta_dir)
+        if s.isFile() and s.getPath().getName().endswith(".json")
+    ]
+    if not blobs:
+        raise FileNotFoundError(f"no index meta under {path}")
+    # one part file by the _write_meta contract; sort for determinism
+    # should a foreign writer ever leave several
+    blobs.sort(key=lambda p: p.getName())
+    stream = fs.open(blobs[0])
+    try:
+        raw = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    return {f.name: raw.get(f.name) for f in _META_SCHEMA.fields}
 
 
 def append_to_minhash_index(
@@ -575,15 +596,20 @@ def minhash_near_duplicates_incremental(
     # (NULL/empty text — a replayed page that now fails extraction)
     # produces zero band rows, but its STALE stored copy must still
     # lose (review-found, round 8).
+    # No .distinct() on either broadcast side (r12): semi/anti join
+    # semantics are insensitive to build-side duplicates (a left row
+    # matches ANY or NO build row), and both sides are batch-bounded —
+    # the dedup bought nothing while costing an exchange plus two
+    # HashAggregates (and their AQE stage job) per side.
     delta_ids = new_docs.select(
         F.col(id_col).cast("long").alias("id")
-    ).distinct()
+    )
 
-    # The delta's distinct bucket keys are small (batch-sized): broadcast
-    # them so the stored index is pruned by a semi-join with NO shuffle
-    # of the index — and carry bucket_mod so partition pruning can drop
+    # The delta's bucket keys are small (batch-sized): broadcast them
+    # so the stored index is pruned by a semi-join with NO shuffle of
+    # the index — and carry bucket_mod so partition pruning can drop
     # whole directories before the scan.
-    hot = delta_bands.select("bucket_mod", "band", "bucket").distinct()
+    hot = delta_bands.select("bucket_mod", "band", "bucket")
     relevant = stored_bands.join(
         F.broadcast(hot), ["bucket_mod", "band", "bucket"], "left_semi"
     ).join(F.broadcast(delta_ids), "id", "left_anti")
@@ -614,7 +640,6 @@ def minhash_near_duplicates_incremental(
         )
         .distinct()
     )
-
     stored_shingles = spark.read.schema(_SHINGLES_SCHEMA).parquet(
         _p(path, "shingles")
     )
@@ -626,6 +651,26 @@ def minhash_near_duplicates_incremental(
     sets = stored_shingles.join(
         F.broadcast(delta_ids), "id", "left_anti"
     ).unionByName(delta_shingles)
+    if reliable:
+        # Cluster shape (r12): the sets union is referenced once per
+        # pair side, so the plan otherwise scans the corpus-sized
+        # shingle table TWICE and ships every never-joined shingle
+        # payload through the joins.  Materialize the candidate pairs
+        # (batch-bounded), prune sets to candidate ids with a broadcast
+        # semi-join at the scan — heavy payloads move zero times
+        # (guide §8) — and checkpoint the candidate-sized survivors so
+        # both verify joins read the same materialization.  Local mode
+        # keeps the flat inline plan: the measured local cost of the
+        # extra sequential checkpoint jobs exceeds the one saved scan
+        # (job_profile: 12 -> 18 jobs, wall +0.3-0.5 s per key at
+        # sf0.1), while at cluster scale the saved corpus scan + the
+        # avoided payload movement dominate.
+        cands = _checkpointer(cands, True, checkpoint_dir)(cands)
+        cand_ids = cands.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        ).distinct()
+        sets = sets.join(F.broadcast(cand_ids), "id", "left_semi")
+        sets = _checkpointer(sets, True, checkpoint_dir)(sets)
     return (
         cands.join(
             sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),

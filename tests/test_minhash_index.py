@@ -570,3 +570,28 @@ def test_minhash_md5_arrow_drops_null_text_rows(spark):
     }
     assert 99 not in got
     assert got == want
+
+
+def test_incremental_reliable_mode_matches_local(spark, tmp_path):
+    """reliable=True routes the verify side through the r12
+    candidate-pruned durable-checkpoint shape (one corpus-shingle scan,
+    candidate-id semi-join at the scan); pairs must be identical to the
+    local-mode flat plan."""
+    full = _corpus(spark, n=40)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(full.filter("doc_id % 3 != 0"), idx, hasher="md5")
+    delta = full.filter("doc_id % 3 = 0")
+
+    local = _pairs(
+        minhash_near_duplicates_incremental(delta, idx, threshold=0.5)
+    )
+    durable = _pairs(
+        minhash_near_duplicates_incremental(
+            delta,
+            idx,
+            threshold=0.5,
+            reliable=True,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    )
+    assert durable == local and local
