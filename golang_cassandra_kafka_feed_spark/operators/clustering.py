@@ -106,8 +106,14 @@ def kmeans_assign(
     reliable: bool = False,
     checkpoint_dir: str | None = None,
     vectorized: bool = True,
+    _with_q: bool = False,
 ) -> DataFrame:
     """Quantized Lloyd's k-means: returns (id, cluster_id, dist2).
+
+    ``_with_q`` (internal, vectorized only): additionally return the
+    quantized vector as ``__q`` — SemDeDup consumes the assignment
+    next to the vector, and carrying it through the final Arrow
+    projection is free where a join-back is a shuffle (r12).
 
     Deterministic by construction: init centroids are the quantized
     vectors of the k smallest ids; assignment ties break on cluster id
@@ -176,21 +182,59 @@ def kmeans_assign(
 
     if vectorized:
         from golang_cassandra_kafka_feed_spark.operators.clustering_vec import (  # noqa: E501
+            assemble_centroids,
             assign_arrow,
             collect_centroids,
         )
 
-        def _assign_vec(centroids: DataFrame) -> DataFrame:
-            return assign_arrow(pts, *collect_centroids(centroids))
+        # The centroid state lives driver-side between rounds anyway
+        # (collect_centroids — the bounded k x dim collect the rounds
+        # were already built on), so each Lloyd update collects the
+        # per-(cluster, dim) floor-averages DIRECTLY and assembles the
+        # matrix in NumPy (r12): the previous groupBy(cid) +
+        # collect_list + array_sort aggregate existed only to build
+        # arrays that collect_centroids immediately unpacked — one
+        # whole shuffle/aggregation per round for a representation
+        # change.  Values are the identical JVM floor(sum/count)
+        # integers; ordering by (cid, pos) reproduces array_sort.
+        cstate = collect_centroids(cents)
+        for _ in range(iters):
+            per_dim = assign_arrow(pts, *cstate, carry=("__q",)).select(
+                "__cid", F.posexplode("__q").alias("__pos", "__v")
+            )
+            upd = (
+                per_dim.groupBy("__cid", "__pos")
+                .agg(
+                    F.sum("__v").alias("__s"),
+                    F.count(F.lit(1)).alias("__c"),
+                )
+                .select(
+                    "__cid",
+                    "__pos",
+                    F.floor(F.col("__s").cast("double") / F.col("__c"))
+                    .cast("long")
+                    .alias("__cv_i"),
+                )
+            )
+            cstate = assemble_centroids(upd.collect())
+        # Final assignment against the last updated centroids, so the
+        # returned dist2 matches the final geometry.
+        final = assign_arrow(
+            pts, *cstate, carry=("__q",) if _with_q else ()
+        )
+        cols = [
+            F.col("__id").alias(id_col),
+            F.col("__cid").alias("cluster_id"),
+            F.col("__d2").alias("dist2"),
+        ]
+        return final.select(*cols, "__q") if _with_q else final.select(*cols)
 
-        assign = _assign_vec
-    else:
-        assign = _assign
-
+    if _with_q:
+        raise ValueError("_with_q requires vectorized=True")
     for _ in range(iters):
         # Lloyd update: per-(cluster, dim) exact integer floor-average.
         per_dim = (
-            assign(cents).join(pts, "__id")
+            _assign(cents).join(pts, "__id")
             .select("__cid", F.posexplode("__q").alias("__pos", "__v"))
         )
         cents = (
@@ -211,7 +255,7 @@ def kmeans_assign(
 
     # Final assignment against the last updated centroids, so the
     # returned dist2 matches the final geometry.
-    return assign(cents).select(
+    return _assign(cents).select(
         F.col("__id").alias(id_col),
         F.col("__cid").alias("cluster_id"),
         F.col("__d2").alias("dist2"),
@@ -252,31 +296,26 @@ def semantic_dedup_pairs(
     are joined back per side from the raw quantized scan, with each
     side's norm computed once per id, not once per pair.
     """
-    assigned = kmeans_assign(
-        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
-        reliable=reliable, checkpoint_dir=checkpoint_dir,
-        vectorized=vectorized,
-    )
     if vectorized:
         # One applyInPandas per cluster: members shuffle ONCE by
         # cluster_id (narrow id+vector rows) and the whole intra-
         # cluster similarity matrix comes from a single int64 matmul —
         # the join form below ships every vector once per PAIR.  The
         # shared rounding projection stays JVM-side, so pair set and
-        # values are bit-identical (test_clustering.py).
+        # values are bit-identical (test_clustering.py).  The quantized
+        # vector rides through the final assignment projection
+        # (_with_q) instead of being re-quantized from the raw scan and
+        # joined back by id (r12 — that join was a second corpus scan
+        # plus a shuffle for rows the assignment already held).
         from golang_cassandra_kafka_feed_spark.operators.clustering_vec import (  # noqa: E501
             cluster_pairs_arrow,
         )
 
-        members = assigned.select(
-            F.col(id_col).alias("__id"), "cluster_id"
-        ).join(
-            df.select(
-                F.col(id_col).alias("__id"),
-                quantize(vec_col).alias("__q"),
-            ),
-            "__id",
-        )
+        members = kmeans_assign(
+            df, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+            reliable=reliable, checkpoint_dir=checkpoint_dir,
+            vectorized=True, _with_q=True,
+        ).select(F.col(id_col).alias("__id"), "cluster_id", "__q")
         return (
             cluster_pairs_arrow(members, threshold, cluster_cap)
             .select(
@@ -286,6 +325,11 @@ def semantic_dedup_pairs(
             )
             .orderBy("keep_id", "drop_id")
         )
+    assigned = kmeans_assign(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        reliable=reliable, checkpoint_dir=checkpoint_dir,
+        vectorized=False,
+    )
     pair_ids = (
         assigned.groupBy("cluster_id")
         .agg(

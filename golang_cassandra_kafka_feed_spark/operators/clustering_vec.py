@@ -45,15 +45,44 @@ def collect_centroids(cents: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return cids, mat
 
 
+def assemble_centroids(rows) -> tuple[np.ndarray, np.ndarray]:
+    """(__cid, __pos, __cv_i) rows -> the ``collect_centroids``
+    contract ``(cids ascending, C int64[k, dim])``.  The rows are the
+    Lloyd update's exact JVM floor-averages collected per (cluster,
+    dim); sorting by (cid, pos) reproduces exactly the array the old
+    collect_list + array_sort aggregate built, minus that aggregate's
+    shuffle (r12)."""
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(r["__cid"], {})[r["__pos"]] = r["__cv_i"]
+    cids = np.array(sorted(by_cid), dtype=np.int64)
+    mat = np.array(
+        [[by_cid[c][p] for p in sorted(by_cid[c])] for c in cids],
+        dtype=np.int64,
+    )
+    return cids, mat
+
+
 def assign_arrow(
-    pts: DataFrame, cids: np.ndarray, mat: np.ndarray
+    pts: DataFrame,
+    cids: np.ndarray,
+    mat: np.ndarray,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Vectorized Lloyd assignment over ``pts`` (__id, __q, __n2):
     ``d2 = n2 + cn2 - 2 (V @ C.T)`` in exact int64, argmin with the
     (d2, cid) tie-break — cids ascending makes NumPy's
     first-occurrence argmin equal the HOF path's
     ``min(struct(__d2, __cid))``.  Returns (__id, __cid, __d2),
-    the `_assign` contract."""
+    the `_assign` contract.
+
+    ``carry`` names extra ``pts`` columns to project through alongside
+    the assignment (r12): the Lloyd update and the SemDeDup member
+    build both need ``__q`` next to the assignment, and since the
+    assignment is a PROJECTION over ``pts`` the vector can ride along
+    for free — the join-back by ``__id`` those callers used to pay
+    (one shuffle or broadcast per iteration) carried no information
+    the projection didn't already have."""
     spark = pts.sparkSession
     cn2 = np.einsum("ij,ij->i", mat, mat)  # exact int64 norms
     bc = spark.sparkContext.broadcast((cids, mat, cn2))
@@ -80,9 +109,10 @@ def assign_arrow(
         )
 
     return pts.select(
-        "__id", _assign("__q", "__n2").alias("__best")
+        "__id", *carry, _assign("__q", "__n2").alias("__best")
     ).select(
         "__id",
+        *carry,
         F.col("__best.__cid").alias("__cid"),
         F.col("__best.__d2").alias("__d2"),
     )
