@@ -2006,6 +2006,14 @@ def _q92_pairs(spark, sf_dir):
     scd = scd2_intervals(
         ev, key_cols=["user_id"], ts_col="ts", tie_cols=["event_id"]
     )
+    # r12 note: deriving the open-interval clamp as a max-window over
+    # the SCD rows (dropping this third events scan + broadcast join)
+    # was measured SLOWER in an interleaved 6-pair A/B (1.21 -> 1.35 s
+    # median): the unbounded-frame window buffers every user's rows
+    # where this branch is one map-side-combined aggregate over a
+    # local-file scan.  Kept as-is; revisit only if the scan cost ever
+    # dominates (a 100 TB deployment would weigh the extra corpus scan
+    # against the window buffer the other way).
     mts = ev.groupBy("user_id").agg(F.max("ts").alias("__mts"))
     hist = scd.join(mts, "user_id").select(
         "user_id",
@@ -2235,7 +2243,19 @@ def q98(spark, sf_dir):
     percent-of-parent staple.  Revenue accumulates in exact decimal
     (q58 idiom) so the shares are deterministic divisions of identical
     doubles."""
-    li = _t(spark, sf_dir, "lineitem")
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
+
+    # The plan is all-broadcast below the aggregate, so the whole
+    # 600k-row probe+decimal-sum chain runs at the SCAN's parallelism —
+    # the local single file yields 3 splits (3 tasks owned the 0.9 s
+    # stage).  Project to the 3 needed columns and widen first (no-op
+    # on pre-split cluster sources); interleaved 6-pair A/B: 1.39 ->
+    # 1.16 s median, rows identical (r12, verdict-r11 ask #4).
+    li = auto_widen(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+    )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
