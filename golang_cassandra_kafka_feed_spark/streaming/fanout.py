@@ -250,14 +250,30 @@ def run_fanout_pipeline(
         # (feed fan-out, posts) share no live lineage — overlap them
         # (r11, verdict #4: they were two of the ~5 sequential jobs in
         # the 0.835 s/epoch fixed floor)
-        store.add_posts(fresh, fan_out=True, concurrent_appends=True)
         if record_metrics:
-            store.record_pipeline_metrics(
-                epoch_id,
-                n_envelopes=obs_in.get["n"],
-                n_decoded=obs_dec.get["n"],
-                n_fresh=n_fresh,
-            )
+            # The metrics row depends only on values already known (the
+            # count job above materialized both observations), and the
+            # pipeline_metrics table shares no lineage with posts/feed —
+            # overlap the metrics append with the two post appends
+            # instead of serializing it after them (r12, verdict-r11
+            # ask #6; guide §2.6).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                ap = pool.submit(
+                    store.add_posts, fresh, True, True
+                )
+                mt = pool.submit(
+                    store.record_pipeline_metrics,
+                    epoch_id,
+                    obs_in.get["n"],
+                    obs_dec.get["n"],
+                    n_fresh,
+                )
+                ap.result()
+                mt.result()
+        else:
+            store.add_posts(fresh, fan_out=True, concurrent_appends=True)
 
     writer = envelopes_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
