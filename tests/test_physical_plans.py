@@ -65,11 +65,14 @@ def test_declared_queries_have_no_python_udfs(spark, sf_dir):
     surfaces — media byte parsing (q40/q116), the Arrow matmul tiers
     for IVF assignment (q118, r9) and quantized clustering (q65/q66,
     r9), and the r11 exact Arrow tiers: LSH plane bucketing
-    (q35/q39/q82), small-codebook IVF assignment (q36/q42/q82/q84),
+    (q39/q82), small-codebook IVF assignment (q36/q42/q82/q84),
     and the md5 minhash/simhash signature folds (q37/q38/q78 and the
     q110/q114/q117 index family, whose checkpoint-truncated plans may
     or may not surface the node) — each bit-identity-asserted against
-    a pure-JVM twin (test_similarity_ops / test_dedup)."""
+    a pure-JVM twin (test_similarity_ops / test_dedup).  (q35 was
+    listed here by mistake in r11 — it is the exact bounded-slice
+    cosine, never calls _with_buckets, and has no Arrow stage;
+    verdict-r11 ask #8.)"""
     arrow_ok = {
         "q40_multimodal_features",
         "q116_media_headers",
@@ -77,7 +80,6 @@ def test_declared_queries_have_no_python_udfs(spark, sf_dir):
         "q65_kmeans_assign",
         "q66_semantic_dedup",
         # r11 exact Arrow tiers (bit-identical fold replays)
-        "q35_embedding_neardup",
         "q36_ann_multi_query",
         "q37_minhash_lsh_neardup",
         "q38_simhash_neardup",
