@@ -1144,6 +1144,12 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("__rn") <= prefix_len)
         .select("id", "shingle", F.col("__rn").alias("pos"), "set_size")
     )
+    # r12 note: a lazy localCheckpoint here (the two self-join aliases
+    # re-run the freq aggregate + rank window) was measured WORSE —
+    # the RDD-backed frame loses plan statistics, AQE mis-sizes the
+    # prefix self-join (6-task stages at 1.2-1.4 s replaced the two
+    # concurrent 0.6 s branch jobs).  The duplicated branch is the
+    # cheaper evil; left alone.
     # PPJoin positional + length filters (Xiao et al. WWW 2008), r11
     # verdict #3 — prune candidates BEFORE they exist, without losing
     # completeness:

@@ -987,6 +987,11 @@ def pq_adc_audit(
         raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
     d_sub = dim // m
 
+    # r12 note: widening the corpus projection here was measured WORSE
+    # (probe wall 2.08 -> 2.50 s, stage-task time 0.9 -> 20 s): the
+    # fold-heavy passes are interpreted HOFs whose per-task evaluator
+    # setup swamps the 62-row slices a 32-way split leaves, and the
+    # single-task form finishes in 0.5 s anyway.  Left narrow.
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
@@ -1041,12 +1046,15 @@ def pq_adc_audit(
         [F.desc("exact_dot"), F.asc("vec_id")],
         k,
         rank_col="rank",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # checkpointed because top anchors TWO branches (the audit pairs
     # below and the final join): self-join dealiasing re-numbers the
     # HOF lambda exprIds in the exact-dot subtree, so Catalyst would
     # otherwise run the full crossJoin scan twice (the ReuseExchange
-    # trap); the frame is tiny (k rows per query).
+    # trap); the frame is tiny (k rows per query).  Lazy (r12, the
+    # 676e41e precedent): the eager form scheduled the materialization
+    # as its own driver job plus a planning gap; the first consumer
+    # materializes it once either way.
 
     q_sub = q.select(
         "query_id",

@@ -721,15 +721,23 @@ def q35(spark, sf_dir):
     q39/operators.similarity.embedding_near_duplicates (rows-only).
     """
     from golang_cassandra_kafka_feed_spark.operators.similarity import (
-        cosine,
         _as_double,
+        _dot,
+        _norm,
     )
+    from golang_cassandra_kafka_feed_spark.session import auto_widen
 
-    emb = (
+    # r12: hoist each vector's norm out of the pair loop (200 sqrt
+    # folds instead of 2 x 19,900 — cosine's divide sees the SAME
+    # sqrt(fold) doubles, so sims are bit-identical), and widen before
+    # the nested-loop pair join so the remaining 19,900 interpreted
+    # dot folds spread across the cluster instead of the scan's single
+    # split (job_profile: the whole key ran on 4 tasks).
+    emb = auto_widen(
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
         .select("vec_id", _as_double("embedding").alias("e"))
-    )
+    ).withColumn("n", _norm(F.col("e")))
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -737,7 +745,10 @@ def q35(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            _round4(cosine(F.col("a.e"), F.col("b.e"))).alias("sim"),
+            _round4(
+                _dot(F.col("a.e"), F.col("b.e"))
+                / (F.col("a.n") * F.col("b.n"))
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.3)
         .orderBy("id_a", "id_b")
