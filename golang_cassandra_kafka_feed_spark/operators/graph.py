@@ -319,6 +319,13 @@ def pagerank(
     every node has outdegree >= 1 (e.g. a symmetrized graph) it is the
     textbook recurrence exactly.
 
+    NOT fully lazy (ADVICE r11): constructing the result runs bounded
+    eager work at CALL time — one node-count action (replacing a
+    per-iteration broadcast, the r11 trade) plus the periodic lineage
+    checkpoints — so composing callers should invoke this when they
+    are ready to pay for the edge derivation, not during plan
+    assembly.
+
     Engine-portable determinism: each node's in-contribution sum folds
     an ascending-sorted array (the DSIR idiom), so the double is
     independent of shuffle arrival order and a DuckDB twin with the

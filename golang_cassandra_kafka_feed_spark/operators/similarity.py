@@ -75,16 +75,27 @@ def brute_force_topk(
     """
     from golang_cassandra_kafka_feed_spark.operators.topk import top_k_per_key
 
+    # Norms hoisted out of the pair loop (r12, the q35 pattern): one
+    # sqrt-fold per corpus/query vector instead of one per PAIR — the
+    # cosine divide sees the same sqrt(fold) doubles, so sims are
+    # bit-identical to the inline form.
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
-    )
+    ).withColumn("en", _norm(F.col("e")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qe")
-    )
+    ).withColumn("qn", _norm(F.col("qe")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        (F.round(cosine(F.col("e"), F.col("qe")) * 10000) / 10000).alias("sim"),
+        (
+            F.round(
+                _dot(F.col("e"), F.col("qe"))
+                / (F.col("en") * F.col("qn"))
+                * 10000
+            )
+            / 10000
+        ).alias("sim"),
     )
     return top_k_per_key(
         scored,
