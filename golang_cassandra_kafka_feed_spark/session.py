@@ -85,6 +85,13 @@ def auto_widen(df, *key_cols, target: int | None = None):
     """
     sc = df.sparkSession.sparkContext
     want = int(target) if target else sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
+    # Fire only on SEVERELY under-split inputs (< half the target,
+    # r12): in the marginal zone the repartition shuffles the whole
+    # input for a fractional parallelism gain — measured at sf1.0 on
+    # q98, a 30-partition scan widened to 32 cost 1.75 s vs 1.63 s
+    # unwidened, while the pathological 1-3-split local scans this
+    # helper exists for still fire (and a pre-split cluster source
+    # stays a structural no-op).
+    if 2 * df.rdd.getNumPartitions() >= want:
         return df
     return df.repartition(want, *key_cols) if key_cols else df.repartition(want)
