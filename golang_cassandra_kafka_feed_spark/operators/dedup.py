@@ -409,7 +409,16 @@ def banded_rows(
     ``bucket`` is a STRING for both hashers (md5: the band's signature
     slice joined as text — the DuckDB-portable key; xxhash: the band
     hash cast to string) so index storage has one schema regardless of
-    hasher."""
+    hasher.
+
+    Deployment note (ADVICE r11): the md5 hasher routes through the
+    Arrow signature fold unconditionally — a deliberate trade: md5 is
+    the oracle-verification hasher, its r11 explode fallback cost 2
+    extra exchanges, and the buckets are bit-identical either way.
+    JVM-only deployments (no Python workers) should use the xxhash
+    hasher, which never leaves the JVM; `minhash_signatures` /
+    `simhash_signatures_md5` keep `use_arrow=False` escapes for the
+    signature-only surfaces."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into "
