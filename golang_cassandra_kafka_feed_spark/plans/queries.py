@@ -3521,18 +3521,33 @@ def q128(spark, sf_dir):
             if not path_exists(spark, root + "/_STREAMED"):
                 # four deterministic arrival groups -> four source
                 # files (hidden _SUCCESS/.crc files are ignored by the
-                # file streaming source)
-                for g in range(4):
+                # file streaming source).  The four writes are
+                # independent single-file jobs into disjoint dirs —
+                # overlap them (guide §2.6; r12, build-side only).
+                # Arrival ORDER of the four files may now vary by
+                # mtime, but maxFilesPerTrigger=1 makes each file its
+                # own epoch regardless, and the rollup's decimal
+                # partials are merge-order-insensitive by design — the
+                # committed rollup is identical (oracle-checked).
+                import os as _os
+                from concurrent.futures import ThreadPoolExecutor
+
+                _os.makedirs(root + "/src", exist_ok=True)
+
+                def _stage_group(g: int) -> None:
                     stage = f"{root}/stage{g}"
                     ev.filter(
                         F.pmod(F.col("event_id"), F.lit(4)) == g
                     ).coalesce(1).write.mode("overwrite").parquet(stage)
                     part = _glob.glob(stage + "/part-*.parquet")[0]
-                    import os as _os
-
-                    _os.makedirs(root + "/src", exist_ok=True)
                     shutil.move(part, f"{root}/src/g{g}.parquet")
                     shutil.rmtree(stage, ignore_errors=True)
+
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    for _f in [
+                        pool.submit(_stage_group, g) for g in range(4)
+                    ]:
+                        _f.result()
                 q = (
                     spark.readStream.schema(ev.schema)
                     .option("maxFilesPerTrigger", "1")
